@@ -1,0 +1,108 @@
+"""CIGAR strings (reference: src/cigar.rs).
+
+Operations are encoded with the same numeric values as the reference so trace
+buffers and the native traceback runtime agree on the encoding.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from typing import List, Tuple
+
+__all__ = ["Operation", "OpLen", "Cigar"]
+
+
+class Operation(enum.IntEnum):
+    """Edit operations to get from ``r`` to ``q`` (reference: src/cigar.rs:10-31)."""
+
+    Sentinel = 0
+    M = 1  # match or mismatch (diagonal)
+    Eq = 2  # match
+    X = 3  # mismatch
+    I = 4  # insertion: gap in r (row transition)  # noqa: E741
+    D = 5  # deletion: gap in q (column transition)
+
+
+_OP_CHAR = {
+    Operation.M: "M",
+    Operation.Eq: "=",
+    Operation.X: "X",
+    Operation.I: "I",
+    Operation.D: "D",
+}
+
+
+@dataclass
+class OpLen:
+    op: Operation
+    len: int
+
+
+class Cigar:
+    """Run-length-encoded operation list, built in reverse during traceback."""
+
+    def __init__(self, query_len: int = 0, reference_len: int = 0):
+        # ops are appended in traceback (reverse) order; viewing methods
+        # reverse them (reference: src/cigar.rs:63-94)
+        self._ops: List[OpLen] = []
+
+    def clear(self, query_len: int = 0, reference_len: int = 0) -> None:
+        self._ops.clear()
+
+    def add(self, op: Operation, n: int = 1) -> None:
+        """Append ``op`` (run-length-coalescing), in reverse order."""
+        if self._ops and self._ops[-1].op == op:
+            self._ops[-1].len += n
+        else:
+            self._ops.append(OpLen(Operation(op), n))
+
+    def reverse(self) -> None:
+        self._ops.reverse()
+
+    def __len__(self) -> int:
+        return len(self._ops)
+
+    def get(self, i: int) -> OpLen:
+        return self._ops[len(self._ops) - 1 - i]
+
+    def to_vec(self) -> List[OpLen]:
+        return [OpLen(o.op, o.len) for o in reversed(self._ops)]
+
+    def format(self, q, r) -> Tuple[str, str]:
+        """Render the two aligned strings with '-' for gaps (reference: src/cigar.rs:97-132)."""
+        if isinstance(q, str):
+            q = q.encode("ascii")
+        if isinstance(r, str):
+            r = r.encode("ascii")
+        a = []
+        b = []
+        i = j = 0
+        for ol in reversed(self._ops):
+            if ol.op in (Operation.M, Operation.Eq, Operation.X):
+                for _ in range(ol.len):
+                    a.append(chr(q[i]))
+                    b.append(chr(r[j]))
+                    i += 1
+                    j += 1
+            elif ol.op == Operation.I:
+                for _ in range(ol.len):
+                    a.append(chr(q[i]))
+                    b.append("-")
+                    i += 1
+            elif ol.op == Operation.D:
+                for _ in range(ol.len):
+                    a.append("-")
+                    b.append(chr(r[j]))
+                    j += 1
+        return "".join(a), "".join(b)
+
+    def __str__(self) -> str:
+        return "".join(
+            f"{ol.len}{_OP_CHAR[ol.op]}" for ol in reversed(self._ops) if ol.op in _OP_CHAR
+        )
+
+    to_string = __str__
+
+    def __repr__(self) -> str:
+        return f"Cigar({self})"

@@ -1,0 +1,71 @@
+"""Padded sequence container (reference: src/scan_block.rs:1785-1884).
+
+A single NULL code is prepended (so DP row/column 0 lines up with the
+boundary) and ``block_size`` NULL codes are appended so block reads past the
+sequence end stay in-bounds and score -128 against everything.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["PaddedBytes"]
+
+
+class PaddedBytes:
+    """A converted, padded byte string.
+
+    Stores *converted* codes (see ``Matrix.convert``), with one NULL code in
+    front and ``block_size`` NULL codes behind.
+    """
+
+    def __init__(self, codes: np.ndarray, length: int):
+        self.codes = codes  # uint8, size 1 + length + block_size (at least)
+        self._len = length
+
+    @classmethod
+    def new(cls, length: int, block_size: int, matrix) -> "PaddedBytes":
+        null_code = int(matrix.convert(bytes([matrix.NULL]))[0])
+        codes = np.full(1 + length + block_size, null_code, dtype=np.uint8)
+        return cls(codes, length)
+
+    @classmethod
+    def from_bytes(cls, b, block_size: int, matrix) -> "PaddedBytes":
+        if isinstance(b, str):
+            b = b.encode("ascii")
+        conv = matrix.convert(b)
+        null_code = int(matrix.convert(bytes([matrix.NULL]))[0])
+        codes = np.full(1 + len(b) + block_size, null_code, dtype=np.uint8)
+        codes[1 : 1 + len(b)] = conv
+        return cls(codes, len(b))
+
+    from_str = from_bytes
+    from_string = from_bytes
+
+    def set_bytes(self, b, block_size: int, matrix) -> None:
+        if isinstance(b, str):
+            b = b.encode("ascii")
+        conv = matrix.convert(b)
+        null_code = int(matrix.convert(bytes([matrix.NULL]))[0])
+        assert 1 + len(b) + block_size <= self.codes.size
+        self.codes[0] = null_code
+        self.codes[1 : 1 + len(b)] = conv
+        self.codes[1 + len(b) : 1 + len(b) + block_size] = null_code
+        self._len = len(b)
+
+    def set_bytes_rev(self, b, block_size: int, matrix) -> None:
+        if isinstance(b, str):
+            b = b.encode("ascii")
+        self.set_bytes(b[::-1], block_size, matrix)
+
+    def get(self, i: int) -> int:
+        return int(self.codes[i])
+
+    def set(self, i: int, c: int) -> None:
+        self.codes[i] = c
+
+    def __len__(self) -> int:
+        return self._len
+
+    def len(self) -> int:
+        return self._len
