@@ -1,0 +1,702 @@
+"""Batched lockstep JAX engine for the adaptive block aligner.
+
+TPU-native re-derivation of the reference state machine (reference:
+src/scan_block.rs:94-595): instead of one sequential CPU-SIMD aligner, this
+engine runs a *batch* of B independent aligner state machines in lockstep.
+The per-pair data-dependent control flow (shift right/down, grow, shrink,
+checkpoint restore, x-drop) is flattened to **column granularity**: every
+iteration of one ``lax.while_loop`` computes one DP column (a vector of up to
+``max_size`` cells) for every pair, so per-pair divergence in rect widths
+(STEP=8 shifts vs. power-of-two grow rects) never stalls the batch.
+
+Hot-loop math is exact i16-saturating arithmetic carried in int32 lanes.  The
+reference's chunked AVX2 prefix scan (reference: src/avx2.rs:312-338) is
+replaced by the mathematically identical closed form
+
+    R[k] = max( clip(e*k + cummax_m<=k(v[m] - e*m)),  e*((k mod 8) + 1) )
+
+where the second term reproduces the MIN=0 zeros the AVX2 kernel shifts into
+each 8-lane half -- one ``lax.cummax`` instead of a sequential carry chain.
+
+Phases (per pair): START -> RECT columns -> (MIDGROW ->RECT) -> END -> ...
+DONE.  All phase logic is masked vector arithmetic; iteration order is
+arranged so a pair never idles more than the boundary bookkeeping itself.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.oracle import I16_MAX, I16_MIN, L, MIN_VAL, STEP, X_DROP_ITER, ZERO
+
+__all__ = ["EngineConfig", "build_engine", "pack_pairs"]
+
+# phases
+P_START = 0
+P_RECT = 1
+P_MIDGROW = 2
+P_END = 3
+P_DONE = 4
+
+# directions
+DIR_R = 0
+DIR_D = 1
+DIR_G = 2
+
+
+def _sat(x):
+    return jnp.clip(x, I16_MIN, I16_MAX)
+
+
+def _clamp16(x):
+    return jnp.clip(x, I16_MIN, I16_MAX)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static (trace-time) engine configuration; one jit specialization per
+    distinct config (the analogue of the reference's const generics,
+    reference: src/scan_block.rs:89)."""
+
+    batch: int
+    min_size: int
+    max_size: int
+    seq_cap: int  # padded per-side sequence capacity (Lmax)
+    n_rows: int  # score-table rows (27->32 for AA, 8 for Nuc)
+    is_byte: bool = False
+    x_drop: bool = False
+    trace: bool = False
+    local_start: bool = False
+    free_query_start_gaps: bool = False
+    free_query_end_gaps: bool = False
+    max_iters: Optional[int] = None
+
+    def __post_init__(self):
+        assert self.min_size % L == 0 and self.max_size % L == 0
+        assert self.min_size & (self.min_size - 1) == 0
+        assert self.max_size & (self.max_size - 1) == 0
+
+    @property
+    def iter_cap(self) -> int:
+        if self.max_iters is not None:
+            return self.max_iters
+        # each 8-column shift advances i+j by 8; grows/boundaries add slack
+        return 16 * self.seq_cap + 1024
+
+
+def build_engine(cfg: EngineConfig):
+    """Build the jitted batched aligner.
+
+    Returns ``fn(Sprof, CRow, qlen, rlen, gap_open, gap_extend, x_drop)``
+    with shapes::
+
+        Sprof: (B, 2, n_rows, seq_cap) int8   per-pair score profiles
+               [b, 0] = scores vs query lanes (right rects),
+               [b, 1] = scores vs reference lanes (down rects)
+        CRow:  (B, 2, seq_cap) int32          column-char table rows
+               [b, 0, p] = row index of reference char p (right rects),
+               [b, 1, p] = row index of query char p (down rects)
+        qlen, rlen: (B,) int32
+
+    and returns ``(score, query_idx, reference_idx, iters)`` each (B,).
+    For ``is_byte`` configs, Sprof/CRow instead carry raw byte codes:
+    Sprof is (B, 2, 1, seq_cap) lane codes and scoring compares equality.
+    """
+    B = cfg.batch
+    H = cfg.max_size
+    lanes = jnp.arange(H, dtype=jnp.int32)
+    lane_mod8_cost = None  # built once gap_extend is known (traced)
+
+    def engine(Sprof, CRow, qlen, rlen, gap_open, gap_extend, x_drop_amt,
+               byte_match=jnp.int32(0), byte_mismatch=jnp.int32(0)):
+        gap_open = jnp.int32(gap_open)
+        e = jnp.int32(gap_extend)
+        x_drop_amt = jnp.int32(x_drop_amt)
+        qlen = qlen.astype(jnp.int32)
+        rlen = rlen.astype(jnp.int32)
+
+        zeros_b = jnp.zeros((B,), jnp.int32)
+        min_border = jnp.full((B, H), MIN_VAL, jnp.int32)
+
+        state = dict(
+            iters=jnp.int32(0),
+            phase=jnp.full((B,), P_START, jnp.int32),
+            dirn=jnp.full((B,), DIR_G, jnp.int32),
+            prev_dir=jnp.full((B,), DIR_G, jnp.int32),
+            sub=zeros_b,  # 0 = first rect of a grow step, 1 = second
+            i=zeros_b,
+            j=zeros_b,
+            blk=jnp.full((B,), cfg.min_size, jnp.int32),
+            prev_size=zeros_b,
+            off=zeros_b,
+            off_max=zeros_b,
+            off_add=zeros_b,
+            best_max=zeros_b,
+            best_i=zeros_b,
+            best_j=zeros_b,
+            y_drop=zeros_b,
+            x_iter=zeros_b,
+            ickpt=zeros_b,
+            jckpt=zeros_b,
+            offckpt=zeros_b,
+            corner=jnp.full((B,), MIN_VAL, jnp.int32),
+            D_col=min_border,
+            C_col=min_border,
+            D_row=min_border,
+            R_row=min_border,
+            Dc_ck=min_border,
+            Cc_ck=min_border,
+            Dr_ck=min_border,
+            Rr_ck=min_border,
+            tempD=jnp.full((B, STEP), MIN_VAL, jnp.int32),
+            tempR=jnp.full((B, STEP), MIN_VAL, jnp.int32),
+            # current rect
+            r_right=jnp.zeros((B,), jnp.bool_),
+            r_starti=zeros_b,
+            r_startj=zeros_b,
+            r_width=zeros_b,
+            r_height=zeros_b,
+            r_col=zeros_b,
+            corner_col=jnp.full((B,), MIN_VAL, jnp.int32),
+            rz=jnp.full((B,), ZERO, jnp.int32),
+            # D_max tracker (16 row-residue lanes) and saved grow tracker
+            tk_max=jnp.full((B, L), MIN_VAL, jnp.int32),
+            tk_ai=jnp.zeros((B, L), jnp.int32),
+            tk_aj=jnp.zeros((B, L), jnp.int32),
+            gtk_max=jnp.full((B, L), MIN_VAL, jnp.int32),
+            gtk_ai=jnp.zeros((B, L), jnp.int32),
+            gtk_aj=jnp.zeros((B, L), jnp.int32),
+            right_max=zeros_b,
+            down_max=zeros_b,
+            out_score=zeros_b,
+            out_qi=zeros_b,
+            out_rj=zeros_b,
+        )
+
+        def bwhere(m, new, old):
+            m = m.reshape((B,) + (1,) * (old.ndim - 1))
+            return jnp.where(m, new, old)
+
+        def body(s):
+            s = dict(s)
+            # ---------------- (a) rect-complete transition ----------------
+            m_done_rect = (s["phase"] == P_RECT) & (s["r_col"] >= s["r_width"])
+            to_mid = m_done_rect & (s["dirn"] == DIR_G) & (s["sub"] == 0)
+            s["phase"] = jnp.where(to_mid, P_MIDGROW, jnp.where(m_done_rect, P_END, s["phase"]))
+
+            # ---------------- (d) END bookkeeping -------------------------
+            s = end_phase(s)
+
+            # ---------------- (b) MIDGROW: set up grow-right rect ---------
+            m_mid = s["phase"] == P_MIDGROW
+            if True:
+                grow_step = s["blk"] - s["prev_size"]
+                s["gtk_max"] = bwhere(m_mid, s["tk_max"], s["gtk_max"])
+                s["gtk_ai"] = bwhere(m_mid, s["tk_ai"], s["gtk_ai"])
+                s["gtk_aj"] = bwhere(m_mid, s["tk_aj"], s["gtk_aj"])
+                s["tk_max"] = bwhere(m_mid, jnp.full((B, L), MIN_VAL, jnp.int32), s["tk_max"])
+                s["r_right"] = jnp.where(m_mid, True, s["r_right"])
+                s["r_starti"] = jnp.where(m_mid, s["i"], s["r_starti"])
+                s["r_startj"] = jnp.where(m_mid, s["j"] + s["prev_size"], s["r_startj"])
+                s["r_width"] = jnp.where(m_mid, grow_step, s["r_width"])
+                s["r_height"] = jnp.where(m_mid, s["blk"], s["r_height"])
+                s["r_col"] = jnp.where(m_mid, 0, s["r_col"])
+                s["corner_col"] = jnp.where(m_mid, MIN_VAL, s["corner_col"])
+                s["sub"] = jnp.where(m_mid, 1, s["sub"])
+                s["phase"] = jnp.where(m_mid, P_RECT, s["phase"])
+
+            # ---------------- (c) START: set up the step's first rect -----
+            s = start_phase(s)
+
+            # ---------------- (e) one DP column ---------------------------
+            s = column_phase(s)
+
+            s["iters"] = s["iters"] + 1
+            return s
+
+        def start_phase(s):
+            m = s["phase"] == P_START
+            is_r = m & (s["dirn"] == DIR_R)
+            is_d = m & (s["dirn"] == DIR_D)
+            is_g = m & (s["dirn"] == DIR_G)
+            blk = s["blk"]
+            lane_ok = lanes[None, :] < blk[:, None]
+
+            # off rebasing for shifts (reference: src/scan_block.rs:148-151)
+            off_new = jnp.where(is_r | is_d, s["off_max"], s["off"])
+            off_add = _clamp16(s["off"] - off_new)
+            s["off"] = off_new
+            s["off_add"] = jnp.where(is_r | is_d, off_add, s["off_add"])
+            s["rz"] = jnp.where(m, _clamp16(-off_new + ZERO), s["rz"])
+
+            # just_offset on the borders that persist through the shift
+            def offset2(a, b, mm):
+                mm2 = mm[:, None] & lane_ok
+                return (
+                    jnp.where(mm2, _sat(a + off_add[:, None]), a),
+                    jnp.where(mm2, _sat(b + off_add[:, None]), b),
+                )
+
+            s["D_col"], s["C_col"] = offset2(s["D_col"], s["C_col"], is_r)
+            s["D_row"], s["R_row"] = offset2(s["D_row"], s["R_row"], is_d)
+
+            corner_use = jnp.where(
+                (is_r & (s["prev_dir"] == DIR_D)) | (is_d & (s["prev_dir"] == DIR_R)),
+                _sat(s["corner"] + off_add),
+                MIN_VAL,
+            )
+            s["corner"] = jnp.where(is_g, MIN_VAL, s["corner"])
+
+            grow_step = blk - s["prev_size"]
+            # rect parameters
+            s["r_right"] = jnp.where(m, is_r, s["r_right"])  # grow starts down
+            s["r_starti"] = jnp.where(
+                is_r, s["i"], jnp.where(is_d | is_g, s["j"], s["r_starti"])
+            )
+            s["r_startj"] = jnp.where(
+                is_r,
+                s["j"] + blk - STEP,
+                jnp.where(
+                    is_d,
+                    s["i"] + blk - STEP,
+                    jnp.where(is_g, s["i"] + s["prev_size"], s["r_startj"]),
+                ),
+            )
+            s["r_width"] = jnp.where(is_r | is_d, STEP, jnp.where(is_g, grow_step, s["r_width"]))
+            s["r_height"] = jnp.where(
+                is_r | is_d, blk, jnp.where(is_g, s["prev_size"], s["r_height"])
+            )
+            # height==0 grow-down rects (first iteration) are skipped outright
+            s["r_col"] = jnp.where(
+                m, jnp.where(is_g & (s["prev_size"] == 0), s["r_width"], 0), s["r_col"]
+            )
+            s["corner_col"] = jnp.where(m, jnp.where(is_g, MIN_VAL, corner_use), s["corner_col"])
+            s["sub"] = jnp.where(m, 0, s["sub"])
+            s["tk_max"] = bwhere(m, jnp.full((B, L), MIN_VAL, jnp.int32), s["tk_max"])
+            s["tk_ai"] = bwhere(m, jnp.zeros((B, L), jnp.int32), s["tk_ai"])
+            s["tk_aj"] = bwhere(m, jnp.zeros((B, L), jnp.int32), s["tk_aj"])
+            s["gtk_max"] = bwhere(m, jnp.full((B, L), MIN_VAL, jnp.int32), s["gtk_max"])
+            s["phase"] = jnp.where(m, P_RECT, s["phase"])
+            return s
+
+        def column_phase(s):
+            m = (s["phase"] == P_RECT) & (s["r_col"] < s["r_width"])
+            right = s["r_right"]
+            blkH = s["r_height"]
+            lane_ok = lanes[None, :] < blkH[:, None]
+            cp = s["r_startj"] + s["r_col"]
+            d_idx = jnp.where(right, 0, 1).astype(jnp.int32)
+            cp_c = jnp.clip(cp, 0, cfg.seq_cap - 1)
+            starti = jnp.clip(s["r_starti"], 0, cfg.seq_cap - H)
+
+            c_row = jax.vmap(lambda cr, d, p: cr[d, p])(CRow, d_idx, cp_c)
+            if cfg.is_byte:
+                lane_codes = jax.vmap(
+                    lambda S, d, st: lax.dynamic_slice(S, (d, 0, st), (1, 1, H)).reshape(H)
+                )(Sprof, d_idx, starti).astype(jnp.int32)
+                scores = jnp.where(lane_codes == c_row[:, None], byte_match, byte_mismatch)
+            else:
+                scores = jax.vmap(
+                    lambda S, d, c, st: lax.dynamic_slice(S, (d, c, st), (1, 1, H)).reshape(H)
+                )(Sprof, d_idx, c_row, starti).astype(jnp.int32)
+
+            D10 = jnp.where(right[:, None], s["D_col"], s["D_row"])
+            C10 = jnp.where(right[:, None], s["C_col"], s["R_row"])
+            D00 = jnp.concatenate([s["corner_col"][:, None], D10[:, :-1]], axis=1)
+
+            D11 = _sat(D00 + scores)
+            # boundary-origin insert (reference: src/scan_block.rs:1130-1132)
+            if cfg.free_query_start_gaps:
+                ins0 = right & (s["r_starti"] == 0)
+            elif cfg.local_start:
+                ins0 = jnp.zeros((B,), jnp.bool_)
+            else:
+                ins0 = (s["r_starti"] == 0) & (cp == 0)
+            D11 = D11.at[:, 0].set(jnp.where(ins0, s["rz"], D11[:, 0]))
+            if cfg.local_start:
+                D11 = jnp.maximum(D11, s["rz"][:, None])
+
+            C11_open = _sat(D10 + gap_open)
+            C11 = jnp.maximum(_sat(C10 + e), C11_open)
+            C11_end = C11
+            D11 = jnp.maximum(D11, C11_end)
+
+            D11_open = _sat(D11 + (gap_open - e))
+            # exact chunked-AVX2 prefix scan, closed form
+            ek = e * lanes[None, :]
+            run = lax.cummax(D11_open - ek, axis=1)
+            R11 = _clamp16(run + ek)
+            zero_cand = e * ((lanes % STEP) + 1)
+            R11 = jnp.maximum(R11, zero_cand[None, :])
+            R11_end = R11
+            D11 = jnp.maximum(D11, R11_end)
+
+            # tracker update over 16-row residues
+            D11_m = jnp.where(lane_ok, D11, I16_MIN)
+            chunks = D11_m.reshape(B, H // L, L)
+            col_max = chunks.max(axis=1)
+            new_max = jnp.maximum(s["tk_max"], col_max)
+            if cfg.x_drop or cfg.free_query_end_gaps:
+                eq = chunks == new_max[:, None, :]
+                if cfg.free_query_end_gaps:
+                    chunk_base = (jnp.arange(H // L, dtype=jnp.int32) * L)[None, :, None]
+                    eq = eq & (s["r_starti"][:, None, None] + chunk_base + L > qlen[:, None, None])
+                any_eq = eq.any(axis=1)
+                # last chunk achieving the (new) max
+                nchunk = H // L
+                last_idx = (nchunk - 1) - jnp.argmax(eq[:, ::-1, :], axis=1)
+                upd = m[:, None] & any_eq
+                s["tk_ai"] = jnp.where(upd, last_idx.astype(jnp.int32) * L, s["tk_ai"])
+                s["tk_aj"] = jnp.where(upd, s["r_col"][:, None], s["tk_aj"])
+            s["tk_max"] = jnp.where(m[:, None], new_max, s["tk_max"])
+
+            # write back borders
+            wmask = m[:, None] & lane_ok
+            s["D_col"] = jnp.where(wmask & right[:, None], D11, s["D_col"])
+            s["C_col"] = jnp.where(wmask & right[:, None], C11, s["C_col"])
+            s["D_row"] = jnp.where(wmask & ~right[:, None], D11, s["D_row"])
+            s["R_row"] = jnp.where(wmask & ~right[:, None], C11, s["R_row"])
+
+            # bottom-border outputs
+            hm1 = jnp.clip(blkH - 1, 0, H - 1)
+            d_bot = jnp.take_along_axis(D11, hm1[:, None], axis=1)[:, 0]
+            r_bot = jnp.take_along_axis(R11, hm1[:, None], axis=1)[:, 0]
+            is_shift = s["dirn"] != DIR_G
+            bidx = jnp.arange(B)
+            tcol = jnp.clip(s["r_col"], 0, STEP - 1)
+            s["tempD"] = s["tempD"].at[bidx, tcol].set(
+                jnp.where(m & is_shift, d_bot, s["tempD"][bidx, tcol])
+            )
+            s["tempR"] = s["tempR"].at[bidx, tcol].set(
+                jnp.where(m & is_shift, r_bot, s["tempR"][bidx, tcol])
+            )
+            # grow rects write bottoms straight into the other border's
+            # extension (reference: src/scan_block.rs:262-305)
+            gcol = jnp.clip(s["prev_size"] + s["r_col"], 0, H - 1)
+            m_gd = m & ~is_shift & (s["sub"] == 0)  # grow-down -> D_col/C_col
+            m_gr = m & ~is_shift & (s["sub"] == 1)  # grow-right -> D_row/R_row
+            s["D_col"] = s["D_col"].at[bidx, gcol].set(
+                jnp.where(m_gd, d_bot, s["D_col"][bidx, gcol])
+            )
+            s["C_col"] = s["C_col"].at[bidx, gcol].set(
+                jnp.where(m_gd, r_bot, s["C_col"][bidx, gcol])
+            )
+            s["D_row"] = s["D_row"].at[bidx, gcol].set(
+                jnp.where(m_gr, d_bot, s["D_row"][bidx, gcol])
+            )
+            s["R_row"] = s["R_row"].at[bidx, gcol].set(
+                jnp.where(m_gr, r_bot, s["R_row"][bidx, gcol])
+            )
+
+            s["corner_col"] = jnp.where(m, MIN_VAL, s["corner_col"])
+            new_col = s["r_col"] + 1
+            # global-mode early exit freezes the rect once both seq ends are
+            # passed (reference: src/scan_block.rs:1216-1224)
+            if not (cfg.x_drop or cfg.free_query_end_gaps):
+                lane_len = jnp.where(right, qlen, rlen)
+                col_len = jnp.where(right, rlen, qlen)
+                frozen = (s["r_starti"] + s["r_height"] > lane_len) & (cp >= col_len)
+                new_col = jnp.where(frozen, s["r_width"], new_col)
+            s["r_col"] = jnp.where(m, new_col, s["r_col"])
+            return s
+
+        def end_phase(s):
+            m = s["phase"] == P_END
+            is_r = m & (s["dirn"] == DIR_R)
+            is_d = m & (s["dirn"] == DIR_D)
+            is_g = m & (s["dirn"] == DIR_G)
+            blk = s["blk"]
+            off_add = s["off_add"]
+            bidx = jnp.arange(B)
+
+            s["prev_dir"] = jnp.where(m, s["dirn"], s["prev_dir"])
+
+            # shift_and_offset of the passive border pair
+            def shift_splice(a, b, mm):
+                corner_new = _sat(
+                    jnp.take_along_axis(a, jnp.full((B, 1), STEP - 1), axis=1)[:, 0]
+                    + off_add
+                )
+                sh_a = _sat(jnp.roll(a, -STEP, axis=1) + off_add[:, None])
+                sh_b = _sat(jnp.roll(b, -STEP, axis=1) + off_add[:, None])
+                pos = lanes[None, :]
+                in_main = pos < (blk - STEP)[:, None]
+                in_tail = (pos >= (blk - STEP)[:, None]) & (pos < blk[:, None])
+                tidx = jnp.clip(pos - (blk - STEP)[:, None], 0, STEP - 1)
+                tail_a = jnp.take_along_axis(s["tempD"], tidx, axis=1)
+                tail_b = jnp.take_along_axis(s["tempR"], tidx, axis=1)
+                na = jnp.where(in_main, sh_a, jnp.where(in_tail, tail_a, a))
+                nb = jnp.where(in_main, sh_b, jnp.where(in_tail, tail_b, b))
+                mm2 = mm[:, None]
+                return jnp.where(mm2, na, a), jnp.where(mm2, nb, b), corner_new
+
+            nDr, nRr, cr = shift_splice(s["D_row"], s["R_row"], is_r)
+            s["D_row"], s["R_row"] = nDr, nRr
+            nDc, nCc, cd = shift_splice(s["D_col"], s["C_col"], is_d)
+            s["D_col"], s["C_col"] = nDc, nCc
+            s["corner"] = jnp.where(is_r, cr, jnp.where(is_d, cd, s["corner"]))
+
+            right_max = s["D_col"][:, :STEP].max(axis=1)
+            down_max = s["D_row"][:, :STEP].max(axis=1)
+
+            # grow steps re-save the checkpoint (reference: src/scan_block.rs:313-327)
+            def save_ck(s, mm):
+                lane_ok = lanes[None, :] < blk[:, None]
+                mm2 = mm[:, None] & lane_ok
+                s["Dc_ck"] = jnp.where(mm2, s["D_col"], s["Dc_ck"])
+                s["Cc_ck"] = jnp.where(mm2, s["C_col"], s["Cc_ck"])
+                s["Dr_ck"] = jnp.where(mm2, s["D_row"], s["Dr_ck"])
+                s["Rr_ck"] = jnp.where(mm2, s["R_row"], s["Rr_ck"])
+                return s
+
+            s = save_ck(s, is_g)
+
+            if cfg.free_query_end_gaps:
+                qmod = (qlen % L).astype(jnp.int32)
+                D_max_max = s["tk_max"][bidx, qmod]
+            else:
+                D_max_max = s["tk_max"].max(axis=1)
+            grow_max = s["gtk_max"].max(axis=1)
+            cur_max = jnp.maximum(D_max_max, grow_max)
+            off_max = s["off"] + cur_max - ZERO
+            s["off_max"] = jnp.where(m, off_max, s["off_max"])
+
+            y_drop = s["y_drop"] + 1
+            grow_no_max = is_g
+
+            improved = m & (off_max > s["best_max"])
+
+            if cfg.free_query_end_gaps:
+                idx_j = s["tk_aj"][bidx, qmod]
+                bi_f = qlen
+                bj_f = jnp.where(
+                    s["dirn"] == DIR_R,
+                    s["j"] + (blk - STEP) + idx_j,
+                    s["j"] + s["prev_size"] + idx_j,
+                )
+                s["best_i"] = jnp.where(improved, bi_f, s["best_i"])
+                s["best_j"] = jnp.where(improved, bj_f, s["best_j"])
+
+            if cfg.x_drop:
+                lane_idx = jnp.argmax(s["tk_max"] == D_max_max[:, None], axis=1).astype(
+                    jnp.int32
+                )
+                idx_i = s["tk_ai"][bidx, lane_idx]
+                idx_j = s["tk_aj"][bidx, lane_idx]
+                r_pos = idx_i + lane_idx
+                c_pos = (blk - STEP) + idx_j
+                g_lane = jnp.argmax(s["gtk_max"] == grow_max[:, None], axis=1).astype(jnp.int32)
+                g_ii = s["gtk_ai"][bidx, g_lane]
+                g_jj = s["gtk_aj"][bidx, g_lane]
+                use_right_grow = D_max_max >= grow_max
+                bi = jnp.where(
+                    s["dirn"] == DIR_R,
+                    s["i"] + r_pos,
+                    jnp.where(
+                        s["dirn"] == DIR_D,
+                        s["i"] + c_pos,
+                        jnp.where(
+                            use_right_grow,
+                            s["i"] + idx_i + lane_idx,
+                            s["i"] + s["prev_size"] + g_jj,
+                        ),
+                    ),
+                )
+                bj = jnp.where(
+                    s["dirn"] == DIR_R,
+                    s["j"] + c_pos,
+                    jnp.where(
+                        s["dirn"] == DIR_D,
+                        s["j"] + r_pos,
+                        jnp.where(
+                            use_right_grow,
+                            s["j"] + s["prev_size"] + idx_j,
+                            s["j"] + g_ii + g_lane,
+                        ),
+                    ),
+                )
+                s["best_i"] = jnp.where(improved, bi, s["best_i"])
+                s["best_j"] = jnp.where(improved, bj, s["best_j"])
+
+            can_ck = improved & (blk < cfg.max_size)
+            s["ickpt"] = jnp.where(can_ck, s["i"], s["ickpt"])
+            s["jckpt"] = jnp.where(can_ck, s["j"], s["jckpt"])
+            s["offckpt"] = jnp.where(can_ck, s["off"], s["offckpt"])
+            s = save_ck(s, can_ck)
+            grow_no_max = grow_no_max & ~can_ck
+            s["best_max"] = jnp.where(improved, off_max, s["best_max"])
+            y_drop = jnp.where(improved, 0, y_drop)
+
+            done_now = jnp.zeros((B,), jnp.bool_)
+            if cfg.x_drop:
+                xfail = m & (off_max < s["best_max"] - x_drop_amt)
+                terminate = xfail & (s["x_iter"] >= X_DROP_ITER - 1)
+                s["x_iter"] = jnp.where(
+                    xfail, s["x_iter"] + 1, jnp.where(m, 0, s["x_iter"])
+                )
+                done_now = done_now | terminate
+
+            reached_end = m & (s["i"] + blk > qlen) & (s["j"] + blk > rlen)
+            done_now = done_now | reached_end
+
+            # final score extraction (reference: src/scan_block.rs:567-592)
+            if cfg.x_drop or cfg.free_query_end_gaps:
+                fscore = s["best_max"]
+                fqi = s["best_i"]
+                frj = s["best_j"]
+            else:
+                use_col = s["dirn"] != DIR_D
+                idx = jnp.where(use_col, qlen - s["i"], rlen - s["j"])
+                idx = jnp.clip(idx, 0, H - 1)
+                val = jnp.where(
+                    use_col,
+                    jnp.take_along_axis(s["D_col"], idx[:, None], axis=1)[:, 0],
+                    jnp.take_along_axis(s["D_row"], idx[:, None], axis=1)[:, 0],
+                )
+                fscore = s["off"] + val - ZERO
+                fqi = qlen
+                frj = rlen
+            s["out_score"] = jnp.where(done_now, fscore, s["out_score"])
+            s["out_qi"] = jnp.where(done_now, fqi, s["out_qi"])
+            s["out_rj"] = jnp.where(done_now, frj, s["out_rj"])
+
+            cont = m & ~done_now
+            # forced directions at sequence ends
+            forced_down = cont & (s["j"] + blk > rlen)
+            forced_right = cont & ~forced_down & (s["i"] + blk > qlen)
+            free = cont & ~forced_down & ~forced_right
+
+            # grow heuristic + checkpoint restore
+            next_size = blk * 2
+            do_grow = free & (next_size <= cfg.max_size) & (
+                (y_drop > (blk // STEP) - 1) | grow_no_max
+            )
+            lane_ok_prev = lanes[None, :] < blk[:, None]  # prev_size = old blk
+            gm = do_grow[:, None] & lane_ok_prev
+            s["D_col"] = jnp.where(gm, s["Dc_ck"], s["D_col"])
+            s["C_col"] = jnp.where(gm, s["Cc_ck"], s["C_col"])
+            s["D_row"] = jnp.where(gm, s["Dr_ck"], s["D_row"])
+            s["R_row"] = jnp.where(gm, s["Rr_ck"], s["R_row"])
+            s["prev_size"] = jnp.where(do_grow, blk, s["prev_size"])
+            s["i"] = jnp.where(do_grow, s["ickpt"], s["i"])
+            s["j"] = jnp.where(do_grow, s["jckpt"], s["j"])
+            s["off"] = jnp.where(do_grow, s["offckpt"], s["off"])
+            s["blk"] = jnp.where(do_grow, next_size, s["blk"])
+            s["dirn"] = jnp.where(do_grow, DIR_G, s["dirn"])
+            y_drop = jnp.where(do_grow, 0, y_drop)
+            blk = s["blk"]
+
+            # shrink heuristic
+            maybe_shrink = free & ~do_grow & (blk > cfg.min_size) & (y_drop == 0)
+            sfx = jnp.clip(blk - SHRINK_SUFFIX, 0, H - 1)
+            sfx_idx = sfx[:, None] + jnp.arange(SHRINK_SUFFIX)[None, :]
+            sfx_idx = jnp.clip(sfx_idx, 0, H - 1)
+            shrink_max = jnp.maximum(
+                jnp.take_along_axis(s["D_row"], sfx_idx, axis=1).max(axis=1),
+                jnp.take_along_axis(s["D_col"], sfx_idx, axis=1).max(axis=1),
+            )
+            do_shrink = maybe_shrink & (shrink_max >= cur_max)
+            blk2 = blk // 2
+            upidx = jnp.clip(lanes[None, :] + blk2[:, None], 0, H - 1)
+            sm = do_shrink[:, None] & (lanes[None, :] < blk2[:, None])
+            for nm in ("D_col", "C_col", "D_row", "R_row"):
+                s[nm] = jnp.where(sm, jnp.take_along_axis(s[nm], upidx, axis=1), s[nm])
+            s["blk"] = jnp.where(do_shrink, blk2, s["blk"])
+            s["i"] = jnp.where(do_shrink, s["i"] + blk2, s["i"])
+            s["j"] = jnp.where(do_shrink, s["j"] + blk2, s["j"])
+            s["ickpt"] = jnp.where(do_shrink, s["i"], s["ickpt"])
+            s["jckpt"] = jnp.where(do_shrink, s["j"], s["jckpt"])
+            s["offckpt"] = jnp.where(do_shrink, s["off"], s["offckpt"])
+            s = save_ck_shrink(s, do_shrink)
+            right_max = jnp.where(do_shrink, s["D_col"][:, :STEP].max(axis=1), right_max)
+            down_max = jnp.where(do_shrink, s["D_row"][:, :STEP].max(axis=1), down_max)
+            s["prev_dir"] = jnp.where(do_shrink, DIR_G, s["prev_dir"])
+            y_drop = jnp.where(do_shrink, 0, y_drop)
+
+            # direction choice (reference: src/scan_block.rs:551-558)
+            choose = (free & ~do_grow) | forced_down | forced_right
+            godown = forced_down | (free & ~do_grow & (down_max > right_max) & ~forced_right)
+            s["i"] = jnp.where(choose & godown, s["i"] + STEP, s["i"])
+            s["j"] = jnp.where(choose & ~godown, s["j"] + STEP, s["j"])
+            s["dirn"] = jnp.where(
+                choose, jnp.where(godown, DIR_D, DIR_R), s["dirn"]
+            )
+
+            s["y_drop"] = jnp.where(m, y_drop, s["y_drop"])
+            s["phase"] = jnp.where(
+                m, jnp.where(done_now, P_DONE, P_START), s["phase"]
+            )
+            return s
+
+        def save_ck_shrink(s, mm):
+            lane_ok = lanes[None, :] < s["blk"][:, None]
+            mm2 = mm[:, None] & lane_ok
+            s["Dc_ck"] = jnp.where(mm2, s["D_col"], s["Dc_ck"])
+            s["Cc_ck"] = jnp.where(mm2, s["C_col"], s["Cc_ck"])
+            s["Dr_ck"] = jnp.where(mm2, s["D_row"], s["Dr_ck"])
+            s["Rr_ck"] = jnp.where(mm2, s["R_row"], s["Rr_ck"])
+            return s
+
+        SHRINK_SUFFIX = STEP // 4
+
+        def cond(s):
+            return jnp.any(s["phase"] != P_DONE) & (s["iters"] < cfg.iter_cap)
+
+        final = lax.while_loop(cond, body, state)
+        return final["out_score"], final["out_qi"], final["out_rj"], final["iters"]
+
+    return jax.jit(engine)
+
+
+def pack_pairs(pairs, matrix, cfg: EngineConfig):
+    """Host-side packer: build (Sprof, CRow, qlen, rlen) numpy arrays for a
+    list of (query_bytes, reference_bytes) pairs.
+
+    Implements the per-pair query-profile precompute that replaces the
+    reference's pshufb score lookup (reference TODO at src/scores.rs:115).
+    """
+    from ..core.scores import ByteMatrix
+
+    B, Lmax = cfg.batch, cfg.seq_cap
+    assert len(pairs) <= B
+    is_byte = isinstance(matrix, ByteMatrix)
+    nr = 1 if is_byte else cfg.n_rows
+    Sprof = np.full((B, 2, nr, Lmax), -128, dtype=np.int8)
+    CRow = np.zeros((B, 2, Lmax), dtype=np.int32)
+    qlen = np.zeros(B, dtype=np.int32)
+    rlen = np.zeros(B, dtype=np.int32)
+
+    if not is_byte:
+        tab = matrix.dense().astype(np.int8)
+    null_code = int(matrix.convert(bytes([matrix.NULL]))[0])
+
+    for b, (q, r) in enumerate(pairs):
+        qc = matrix.convert(q)
+        rc = matrix.convert(r)
+        qlen[b] = len(qc)
+        rlen[b] = len(rc)
+        qp = np.full(Lmax, null_code, dtype=np.int64)
+        rp = np.full(Lmax, null_code, dtype=np.int64)
+        qp[1 : 1 + len(qc)] = qc
+        rp[1 : 1 + len(rc)] = rc
+        if is_byte:
+            # bytes >= 128 wrap to negative i8, consistently on both sides
+            Sprof[b, 0, 0] = qp.astype(np.uint8).astype(np.int8)
+            Sprof[b, 1, 0] = rp.astype(np.uint8).astype(np.int8)
+            CRow[b, 0] = rp.astype(np.uint8).astype(np.int8)
+            CRow[b, 1] = qp.astype(np.uint8).astype(np.int8)
+        else:
+            cols_q = matrix.col_index(qp.astype(np.uint8)).astype(np.int64)
+            cols_r = matrix.col_index(rp.astype(np.uint8)).astype(np.int64)
+            Sprof[b, 0, :, :] = tab[:nr, cols_q]
+            Sprof[b, 1, :, :] = tab[:nr, cols_r]
+            CRow[b, 0] = matrix.row_index(rp.astype(np.uint8)).astype(np.int64)
+            CRow[b, 1] = matrix.row_index(qp.astype(np.uint8)).astype(np.int64)
+    return Sprof, CRow, qlen, rlen
