@@ -1,0 +1,86 @@
+"""Benchmark: batched block alignment throughput on the attached TPU chip.
+
+Headline config mirrors the reference bench (reference: benches/rand_scan.rs:
+random protein 1000x1000, k=100 mutations, global, no trace), whose AVX2
+single-core baseline is 24.1 us/pair (BASELINE.md).  Prints one JSON line:
+{"metric": ..., "value": N, "unit": "us_per_pair", "vs_baseline": N}
+where vs_baseline > 1 means faster than the reference.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_US_PER_PAIR = 24.1  # reference bench notebook cell 11 (1k protein, 32-2048)
+
+
+def rand_protein_pairs(rng, n_pairs, length, k):
+    aa = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    pairs = []
+    for _ in range(n_pairs):
+        q = rng.choice(aa, size=length)
+        r = q.copy()
+        # k random substitutions/indels (simulate-seqs style mutate)
+        for _ in range(k):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(0, len(r)))
+            if op == 0:
+                r[pos] = rng.choice(aa)
+            elif op == 1:
+                r = np.delete(r, pos)
+            else:
+                r = np.insert(r, pos, rng.choice(aa))
+        pairs.append((q.tobytes(), r.tobytes()))
+    return pairs
+
+
+def main():
+    from block_aligner_tpu import BLOSUM62, Gaps
+    from block_aligner_tpu.api import BatchAligner
+
+    B = int(os.environ.get("BENCH_BATCH", "512"))
+    LEN = int(os.environ.get("BENCH_LEN", "1000"))
+    K = int(os.environ.get("BENCH_K", "100"))
+    MINB = int(os.environ.get("BENCH_MIN_BLOCK", "32"))
+    MAXB = int(os.environ.get("BENCH_MAX_BLOCK", "256"))
+
+    rng = np.random.default_rng(1234)
+    pairs = rand_protein_pairs(rng, B, LEN, K)
+
+    aligner = BatchAligner(
+        BLOSUM62,
+        Gaps(open=-11, extend=-1),
+        size=(MINB, MAXB),
+        batch=B,
+        seq_cap=LEN + LEN // 8 + 64,
+    )
+
+    # warmup / compile
+    aligner.align_batch(pairs[:B])
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = aligner.align_batch(pairs)
+    t1 = time.perf_counter()
+
+    us_per_pair = (t1 - t0) / (reps * B) * 1e6
+    print(
+        json.dumps(
+            {
+                "metric": f"random_protein_{LEN}x{LEN}_global_us_per_pair",
+                "value": round(us_per_pair, 3),
+                "unit": "us_per_pair",
+                "vs_baseline": round(BASELINE_US_PER_PAIR / us_per_pair, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""High-level batched alignment API.
+
+``BatchAligner`` is the TPU-facing entry point: it buckets pairs by length,
+packs per-pair score profiles, runs the lockstep engine (optionally sharded
+over a device mesh for multi-chip data parallelism -- the TPU analogue of
+scaling the reference's serial harness loop, reference:
+examples/uc_bench.rs:89-104), and returns ``AlignResult``s.
+
+For single pairs / CPU-exact work (including traceback CIGARs) use
+``BlockOracle``; engine-side traceback lands in the traced engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .core.oracle import AlignResult
+from .core.scores import ByteMatrix, Gaps
+from .ops.engine import EngineConfig, build_engine, pack_pairs
+
+__all__ = ["BatchAligner", "round_up"]
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class BatchAligner:
+    """Batched block aligner over a fixed configuration.
+
+    One instance owns one jitted engine specialization (fixed batch size,
+    block-size range, sequence capacity, and mode flags) and can be reused
+    for many batches, like the reference's reusable ``Block`` allocation
+    (reference: src/scan_block.rs:798-805).
+    """
+
+    def __init__(
+        self,
+        matrix,
+        gaps: Gaps,
+        size: Tuple[int, int] = (32, 256),
+        *,
+        batch: int = 256,
+        seq_cap: int = 1024,
+        x_drop: Optional[int] = None,
+        mesh=None,
+        data_axis: str = "data",
+    ):
+        self.matrix = matrix
+        self.gaps = gaps
+        min_size, max_size = size
+        min_size = max(min_size, 16)
+        max_size = max(max_size, 16)
+        self.x_drop = x_drop
+        self.mesh = mesh
+        self.data_axis = data_axis
+        if mesh is not None:
+            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            batch = round_up(batch, ndev)
+        cap = round_up(1 + seq_cap + max_size + 16, 128)
+        self.cfg = EngineConfig(
+            batch=batch,
+            min_size=min_size,
+            max_size=max_size,
+            seq_cap=cap,
+            n_rows=getattr(matrix, "ROWS", 1),
+            is_byte=isinstance(matrix, ByteMatrix),
+            x_drop=x_drop is not None,
+        )
+        self._fn = self._build()
+
+    def _build(self):
+        fn = build_engine(self.cfg)
+        if self.mesh is None:
+            return fn
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        ax = self.data_axis
+        shard_b = NamedSharding(mesh, P(ax))
+        repl = NamedSharding(mesh, P())
+
+        def sharded(Sprof, CRow, qlen, rlen, go, ge, xd, **kw):
+            Sprof = jax.device_put(Sprof, NamedSharding(mesh, P(ax, None, None, None)))
+            CRow = jax.device_put(CRow, NamedSharding(mesh, P(ax, None, None)))
+            qlen = jax.device_put(qlen, shard_b)
+            rlen = jax.device_put(rlen, shard_b)
+            return fn(Sprof, CRow, qlen, rlen, go, ge, xd, **kw)
+
+        return sharded
+
+    @property
+    def batch_size(self) -> int:
+        return self.cfg.batch
+
+    def align_batch(self, pairs: Sequence[Tuple[bytes, bytes]]) -> List[AlignResult]:
+        """Align up to ``batch`` pairs; shorter lists are padded internally."""
+        assert len(pairs) <= self.cfg.batch
+        for q, r in pairs:
+            assert 1 + max(len(q), len(r)) + self.cfg.max_size + 16 <= self.cfg.seq_cap, (
+                "sequence too long for this BatchAligner's seq_cap"
+            )
+        padded = list(pairs) + [(b"", b"")] * (self.cfg.batch - len(pairs))
+        Sprof, CRow, qlen, rlen = pack_pairs(padded, self.matrix, self.cfg)
+        kw = {}
+        if self.cfg.is_byte:
+            kw = dict(
+                byte_match=self.matrix.match_score, byte_mismatch=self.matrix.mismatch_score
+            )
+        score, qi, rj, _ = self._fn(
+            Sprof,
+            CRow,
+            qlen,
+            rlen,
+            self.gaps.open,
+            self.gaps.extend,
+            self.x_drop or 0,
+            **kw,
+        )
+        score = np.asarray(score)
+        qi = np.asarray(qi)
+        rj = np.asarray(rj)
+        return [AlignResult(int(score[k]), int(qi[k]), int(rj[k])) for k in range(len(pairs))]
+
+    def align_all(self, pairs: Sequence[Tuple[bytes, bytes]]) -> List[AlignResult]:
+        """Align an arbitrary number of pairs in batches."""
+        out: List[AlignResult] = []
+        for k in range(0, len(pairs), self.cfg.batch):
+            out.extend(self.align_batch(pairs[k : k + self.cfg.batch]))
+        return out

@@ -2,10 +2,15 @@ import os
 import sys
 
 # Force CPU with a virtual 8-device mesh so sharding tests run anywhere;
-# benchmarks use the real TPU separately (bench.py).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# benchmarks use the real TPU separately (bench.py).  The environment may
+# pin JAX_PLATFORMS to a TPU plugin, so override via jax.config too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
