@@ -155,8 +155,8 @@ def build_engine(cfg: EngineConfig):
             Cc_ck=min_border,
             Dr_ck=min_border,
             Rr_ck=min_border,
-            tempD=jnp.full((B, STEP), MIN_VAL, jnp.int32),
-            tempR=jnp.full((B, STEP), MIN_VAL, jnp.int32),
+            tempD=jnp.full((B, H), MIN_VAL, jnp.int32),
+            tempR=jnp.full((B, H), MIN_VAL, jnp.int32),
             # current rect
             r_right=jnp.zeros((B,), jnp.bool_),
             r_starti=zeros_b,
@@ -191,10 +191,24 @@ def build_engine(cfg: EngineConfig):
             to_mid = m_done_rect & (s["dirn"] == DIR_G) & (s["sub"] == 0)
             s["phase"] = jnp.where(to_mid, P_MIDGROW, jnp.where(m_done_rect, P_END, s["phase"]))
 
-            # ---------------- (d) END bookkeeping -------------------------
-            s = end_phase(s)
+            # ---------------- (d) END bookkeeping (gated: runs only when
+            # some pair is at a step boundary) ------------------------------
+            s = lax.cond(jnp.any(s["phase"] == P_END), end_phase, lambda t: t, s)
 
             # ---------------- (b) MIDGROW: set up grow-right rect ---------
+            s = lax.cond(jnp.any(s["phase"] == P_MIDGROW), midgrow_phase, lambda t: t, s)
+
+            # ---------------- (c) START: set up the step's first rect -----
+            s = lax.cond(jnp.any(s["phase"] == P_START), start_phase, lambda t: t, s)
+
+            # ---------------- (e) one DP column ---------------------------
+            s = column_phase(s)
+
+            s["iters"] = s["iters"] + 1
+            return s
+
+        def midgrow_phase(s):
+            s = dict(s)
             m_mid = s["phase"] == P_MIDGROW
             if True:
                 grow_step = s["blk"] - s["prev_size"]
@@ -211,17 +225,10 @@ def build_engine(cfg: EngineConfig):
                 s["corner_col"] = jnp.where(m_mid, MIN_VAL, s["corner_col"])
                 s["sub"] = jnp.where(m_mid, 1, s["sub"])
                 s["phase"] = jnp.where(m_mid, P_RECT, s["phase"])
-
-            # ---------------- (c) START: set up the step's first rect -----
-            s = start_phase(s)
-
-            # ---------------- (e) one DP column ---------------------------
-            s = column_phase(s)
-
-            s["iters"] = s["iters"] + 1
             return s
 
         def start_phase(s):
+            s = dict(s)
             m = s["phase"] == P_START
             is_r = m & (s["dirn"] == DIR_R)
             is_d = m & (s["dirn"] == DIR_D)
@@ -287,6 +294,7 @@ def build_engine(cfg: EngineConfig):
             return s
 
         def column_phase(s):
+            s = dict(s)
             m = (s["phase"] == P_RECT) & (s["r_col"] < s["r_width"])
             right = s["r_right"]
             blkH = s["r_height"]
@@ -297,15 +305,26 @@ def build_engine(cfg: EngineConfig):
             starti = jnp.clip(s["r_starti"], 0, cfg.seq_cap - H)
 
             c_row = jax.vmap(lambda cr, d, p: cr[d, p])(CRow, d_idx, cp_c)
+            nr = 1 if cfg.is_byte else cfg.n_rows
+            # two-stage fetch: contiguous row gather, then a window slice at
+            # 8-element-chunk granularity (rect origins are always multiples
+            # of STEP, and coarse chunks cut the gather's index count 8x)
+            Sflat = Sprof.reshape(B, 2 * nr, cfg.seq_cap // STEP, STEP)
+
+            def window(rows, st):
+                return (
+                    jax.vmap(lambda r, sb: lax.dynamic_slice(r, (sb, 0), (H // STEP, STEP)))(
+                        rows, st // STEP
+                    ).reshape(B, H)
+                )
+
             if cfg.is_byte:
-                lane_codes = jax.vmap(
-                    lambda S, d, st: lax.dynamic_slice(S, (d, 0, st), (1, 1, H)).reshape(H)
-                )(Sprof, d_idx, starti).astype(jnp.int32)
+                rows = jax.vmap(lambda Sb, i: Sb[i])(Sflat, d_idx * nr)
+                lane_codes = window(rows, starti).astype(jnp.int32)
                 scores = jnp.where(lane_codes == c_row[:, None], byte_match, byte_mismatch)
             else:
-                scores = jax.vmap(
-                    lambda S, d, c, st: lax.dynamic_slice(S, (d, c, st), (1, 1, H)).reshape(H)
-                )(Sprof, d_idx, c_row, starti).astype(jnp.int32)
+                rows = jax.vmap(lambda Sb, i: Sb[i])(Sflat, d_idx * nr + c_row)
+                scores = window(rows, starti).astype(jnp.int32)
 
             D10 = jnp.where(right[:, None], s["D_col"], s["D_row"])
             C10 = jnp.where(right[:, None], s["C_col"], s["R_row"])
@@ -364,36 +383,29 @@ def build_engine(cfg: EngineConfig):
             s["D_row"] = jnp.where(wmask & ~right[:, None], D11, s["D_row"])
             s["R_row"] = jnp.where(wmask & ~right[:, None], C11, s["R_row"])
 
-            # bottom-border outputs
+            # bottom-border outputs: one-hot masked selects (no scatters --
+            # TPU scatters serialize)
             hm1 = jnp.clip(blkH - 1, 0, H - 1)
-            d_bot = jnp.take_along_axis(D11, hm1[:, None], axis=1)[:, 0]
-            r_bot = jnp.take_along_axis(R11, hm1[:, None], axis=1)[:, 0]
+            bot_mask = lanes[None, :] == hm1[:, None]
+            d_bot = jnp.max(jnp.where(bot_mask, D11, I16_MIN), axis=1)
+            r_bot = jnp.max(jnp.where(bot_mask, R11, I16_MIN), axis=1)
             is_shift = s["dirn"] != DIR_G
-            bidx = jnp.arange(B)
-            tcol = jnp.clip(s["r_col"], 0, STEP - 1)
-            s["tempD"] = s["tempD"].at[bidx, tcol].set(
-                jnp.where(m & is_shift, d_bot, s["tempD"][bidx, tcol])
-            )
-            s["tempR"] = s["tempR"].at[bidx, tcol].set(
-                jnp.where(m & is_shift, r_bot, s["tempR"][bidx, tcol])
-            )
+            # shift rects stage bottoms directly at their final spliced
+            # position blk-STEP+col in a full-width buffer
+            tpos = jnp.clip(s["blk"] - STEP + s["r_col"], 0, H - 1)
+            tmask = (m & is_shift)[:, None] & (lanes[None, :] == tpos[:, None])
+            s["tempD"] = jnp.where(tmask, d_bot[:, None], s["tempD"])
+            s["tempR"] = jnp.where(tmask, r_bot[:, None], s["tempR"])
             # grow rects write bottoms straight into the other border's
             # extension (reference: src/scan_block.rs:262-305)
             gcol = jnp.clip(s["prev_size"] + s["r_col"], 0, H - 1)
-            m_gd = m & ~is_shift & (s["sub"] == 0)  # grow-down -> D_col/C_col
-            m_gr = m & ~is_shift & (s["sub"] == 1)  # grow-right -> D_row/R_row
-            s["D_col"] = s["D_col"].at[bidx, gcol].set(
-                jnp.where(m_gd, d_bot, s["D_col"][bidx, gcol])
-            )
-            s["C_col"] = s["C_col"].at[bidx, gcol].set(
-                jnp.where(m_gd, r_bot, s["C_col"][bidx, gcol])
-            )
-            s["D_row"] = s["D_row"].at[bidx, gcol].set(
-                jnp.where(m_gr, d_bot, s["D_row"][bidx, gcol])
-            )
-            s["R_row"] = s["R_row"].at[bidx, gcol].set(
-                jnp.where(m_gr, r_bot, s["R_row"][bidx, gcol])
-            )
+            gc_mask = lanes[None, :] == gcol[:, None]
+            m_gd = (m & ~is_shift & (s["sub"] == 0))[:, None] & gc_mask  # grow-down
+            m_gr = (m & ~is_shift & (s["sub"] == 1))[:, None] & gc_mask  # grow-right
+            s["D_col"] = jnp.where(m_gd, d_bot[:, None], s["D_col"])
+            s["C_col"] = jnp.where(m_gd, r_bot[:, None], s["C_col"])
+            s["D_row"] = jnp.where(m_gr, d_bot[:, None], s["D_row"])
+            s["R_row"] = jnp.where(m_gr, r_bot[:, None], s["R_row"])
 
             s["corner_col"] = jnp.where(m, MIN_VAL, s["corner_col"])
             new_col = s["r_col"] + 1
@@ -408,6 +420,7 @@ def build_engine(cfg: EngineConfig):
             return s
 
         def end_phase(s):
+            s = dict(s)
             m = s["phase"] == P_END
             is_r = m & (s["dirn"] == DIR_R)
             is_d = m & (s["dirn"] == DIR_D)
@@ -418,22 +431,17 @@ def build_engine(cfg: EngineConfig):
 
             s["prev_dir"] = jnp.where(m, s["dirn"], s["prev_dir"])
 
-            # shift_and_offset of the passive border pair
+            # shift_and_offset of the passive border pair; the column phase
+            # already staged the new tail at its final position in temp*
             def shift_splice(a, b, mm):
-                corner_new = _sat(
-                    jnp.take_along_axis(a, jnp.full((B, 1), STEP - 1), axis=1)[:, 0]
-                    + off_add
-                )
+                corner_new = _sat(a[:, STEP - 1] + off_add)
                 sh_a = _sat(jnp.roll(a, -STEP, axis=1) + off_add[:, None])
                 sh_b = _sat(jnp.roll(b, -STEP, axis=1) + off_add[:, None])
                 pos = lanes[None, :]
                 in_main = pos < (blk - STEP)[:, None]
                 in_tail = (pos >= (blk - STEP)[:, None]) & (pos < blk[:, None])
-                tidx = jnp.clip(pos - (blk - STEP)[:, None], 0, STEP - 1)
-                tail_a = jnp.take_along_axis(s["tempD"], tidx, axis=1)
-                tail_b = jnp.take_along_axis(s["tempR"], tidx, axis=1)
-                na = jnp.where(in_main, sh_a, jnp.where(in_tail, tail_a, a))
-                nb = jnp.where(in_main, sh_b, jnp.where(in_tail, tail_b, b))
+                na = jnp.where(in_main, sh_a, jnp.where(in_tail, s["tempD"], a))
+                nb = jnp.where(in_main, sh_b, jnp.where(in_tail, s["tempR"], b))
                 mm2 = mm[:, None]
                 return jnp.where(mm2, na, a), jnp.where(mm2, nb, b), corner_new
 
@@ -458,9 +466,16 @@ def build_engine(cfg: EngineConfig):
 
             s = save_ck(s, is_g)
 
+            lane16 = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+            def pick16(arr, idx):
+                return jnp.max(
+                    jnp.where(lane16 == idx[:, None], arr, jnp.iinfo(jnp.int32).min), axis=1
+                )
+
             if cfg.free_query_end_gaps:
                 qmod = (qlen % L).astype(jnp.int32)
-                D_max_max = s["tk_max"][bidx, qmod]
+                D_max_max = pick16(s["tk_max"], qmod)
             else:
                 D_max_max = s["tk_max"].max(axis=1)
             grow_max = s["gtk_max"].max(axis=1)
@@ -474,7 +489,7 @@ def build_engine(cfg: EngineConfig):
             improved = m & (off_max > s["best_max"])
 
             if cfg.free_query_end_gaps:
-                idx_j = s["tk_aj"][bidx, qmod]
+                idx_j = pick16(s["tk_aj"], qmod)
                 bi_f = qlen
                 bj_f = jnp.where(
                     s["dirn"] == DIR_R,
@@ -488,13 +503,13 @@ def build_engine(cfg: EngineConfig):
                 lane_idx = jnp.argmax(s["tk_max"] == D_max_max[:, None], axis=1).astype(
                     jnp.int32
                 )
-                idx_i = s["tk_ai"][bidx, lane_idx]
-                idx_j = s["tk_aj"][bidx, lane_idx]
+                idx_i = pick16(s["tk_ai"], lane_idx)
+                idx_j = pick16(s["tk_aj"], lane_idx)
                 r_pos = idx_i + lane_idx
                 c_pos = (blk - STEP) + idx_j
                 g_lane = jnp.argmax(s["gtk_max"] == grow_max[:, None], axis=1).astype(jnp.int32)
-                g_ii = s["gtk_ai"][bidx, g_lane]
-                g_jj = s["gtk_aj"][bidx, g_lane]
+                g_ii = pick16(s["gtk_ai"], g_lane)
+                g_jj = pick16(s["gtk_aj"], g_lane)
                 use_right_grow = D_max_max >= grow_max
                 bi = jnp.where(
                     s["dirn"] == DIR_R,
@@ -555,10 +570,10 @@ def build_engine(cfg: EngineConfig):
                 use_col = s["dirn"] != DIR_D
                 idx = jnp.where(use_col, qlen - s["i"], rlen - s["j"])
                 idx = jnp.clip(idx, 0, H - 1)
-                val = jnp.where(
-                    use_col,
-                    jnp.take_along_axis(s["D_col"], idx[:, None], axis=1)[:, 0],
-                    jnp.take_along_axis(s["D_row"], idx[:, None], axis=1)[:, 0],
+                border = jnp.where(use_col[:, None], s["D_col"], s["D_row"])
+                val = jnp.max(
+                    jnp.where(lanes[None, :] == idx[:, None], border, jnp.iinfo(jnp.int32).min),
+                    axis=1,
                 )
                 fscore = s["off"] + val - ZERO
                 fqi = qlen
@@ -595,19 +610,27 @@ def build_engine(cfg: EngineConfig):
 
             # shrink heuristic
             maybe_shrink = free & ~do_grow & (blk > cfg.min_size) & (y_drop == 0)
-            sfx = jnp.clip(blk - SHRINK_SUFFIX, 0, H - 1)
-            sfx_idx = sfx[:, None] + jnp.arange(SHRINK_SUFFIX)[None, :]
-            sfx_idx = jnp.clip(sfx_idx, 0, H - 1)
+            sfx_mask = (lanes[None, :] >= (blk - SHRINK_SUFFIX)[:, None]) & (
+                lanes[None, :] < blk[:, None]
+            )
+            neg = jnp.iinfo(jnp.int32).min
             shrink_max = jnp.maximum(
-                jnp.take_along_axis(s["D_row"], sfx_idx, axis=1).max(axis=1),
-                jnp.take_along_axis(s["D_col"], sfx_idx, axis=1).max(axis=1),
+                jnp.max(jnp.where(sfx_mask, s["D_row"], neg), axis=1),
+                jnp.max(jnp.where(sfx_mask, s["D_col"], neg), axis=1),
             )
             do_shrink = maybe_shrink & (shrink_max >= cur_max)
             blk2 = blk // 2
-            upidx = jnp.clip(lanes[None, :] + blk2[:, None], 0, H - 1)
+            # per-pair variable left-shift by blk2, composed from static rolls
+            # over the possible power-of-two sizes (no gathers)
             sm = do_shrink[:, None] & (lanes[None, :] < blk2[:, None])
             for nm in ("D_col", "C_col", "D_row", "R_row"):
-                s[nm] = jnp.where(sm, jnp.take_along_axis(s[nm], upidx, axis=1), s[nm])
+                a = s[nm]
+                moved = a
+                p = cfg.min_size
+                while p <= cfg.max_size // 2:
+                    moved = jnp.where((blk2 == p)[:, None], jnp.roll(a, -p, axis=1), moved)
+                    p *= 2
+                s[nm] = jnp.where(sm, moved, a)
             s["blk"] = jnp.where(do_shrink, blk2, s["blk"])
             s["i"] = jnp.where(do_shrink, s["i"] + blk2, s["i"])
             s["j"] = jnp.where(do_shrink, s["j"] + blk2, s["j"])
