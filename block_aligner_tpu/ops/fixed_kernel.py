@@ -1,0 +1,580 @@
+"""Pallas TPU kernel for fixed-block-size global alignment (min == max).
+
+The reference's fastest configuration is a fixed block size (no grow/shrink;
+reference: benches/rand_scan.rs "32-32" rows, examples/uc_bench.rs size
+(32, 32)).  With a fixed size the state machine loses the grow/shrink/
+checkpoint machinery and, crucially, block positions (i, j) advance
+*monotonically* by STEP=8 -- which lets every data window be maintained
+incrementally with vector rolls instead of gathers.
+
+Layout ("packed"): work arrays are (8, 128) int32 tiles.  Lanes are split
+into G = 128/S segments of S lanes; pair (row, seg) owns lanes
+[seg*S, (seg+1)*S) of sublane `row`, so one VPU op advances one DP column for
+TP = 8*G pairs at once.  The vertical prefix scan is a segmented log-step
+max-plus scan plus the closed-form MIN=0 correction term (exactly matching
+the AVX2 chunked scan of reference: src/avx2.rs:312-338; see ops/engine.py).
+
+Score lookup: per step the lane-window codes are one-hotted and contracted
+with the substitution matrix on the MXU (M @ OH -> per-row score planes);
+each column then selects its plane by column character with A masked moves.
+Column characters stream from per-pair 1024-code lookahead buffers in VMEM,
+refilled by rare predicated DMAs (one per <=112 steps per pair per side).
+
+Scope v1: global, sequence-sequence, table matrices, no trace.  Other modes
+route to the general lockstep engine (ops/engine.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.oracle import I16_MIN, STEP, ZERO
+
+__all__ = ["FixedKernelConfig", "build_fixed_engine", "pack_fixed"]
+
+R_SUB = 8  # sublane rows per work tile
+NEG32 = I16_MIN  # python int: avoids traced-constant capture in kernels
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedKernelConfig:
+    batch: int
+    block: int  # S: fixed block size (pow2, 16..128)
+    seq_cap: int  # padded sequence capacity, multiple of 128
+    alpha: int = 32  # score-table rows (32 for AA, 16 for Nuc)
+    interpret: bool = False
+    debug: bool = False  # extra output: final Dcol/Drow border dump
+    debug_cols: int = 0  # if >0: stop after this many prologue columns
+
+    def __post_init__(self):
+        S = self.block
+        assert S & (S - 1) == 0 and 16 <= S <= 128
+        assert self.seq_cap % 128 == 0 and self.seq_cap >= 1024
+        assert self.batch % self.pairs_per_tile == 0
+
+    @property
+    def segs(self) -> int:
+        return 128 // self.block
+
+    @property
+    def pairs_per_tile(self) -> int:
+        return R_SUB * self.segs
+
+    @property
+    def n_chunks(self) -> int:
+        return self.seq_cap // 128
+
+
+def _sat(x):
+    # only the lower i16 rail is reachable: block maxes are rebased to
+    # ZERO = 2^14 every step, so the +32767 rail cannot be hit
+    return jnp.maximum(x, NEG32)
+
+
+def build_fixed_engine(cfg: FixedKernelConfig):
+    S = cfg.block
+    G = cfg.segs
+    TP = cfg.pairs_per_tile
+    A = cfg.alpha
+    NCH = cfg.n_chunks
+    n_tiles = cfg.batch // TP
+
+
+    def rep(x):
+        """(R, G) per-pair values -> (R, 128) segment broadcast."""
+        return pltpu.repeat(x, S, axis=1)
+
+    def repb(m):
+        """(R, G) bool -> (R, 128) bool."""
+        return rep(m.astype(jnp.int32)) == 1
+
+    def seg_max(x):
+        """(R, 128) -> (R, G) per-pair max via a log-rotation allreduce
+        (rotations by multiples of G stay within a pair)."""
+        m = x
+        k = 1
+        while k < S:
+            m = jnp.maximum(m, pltpu.roll(m, k * G, axis=1))
+            k *= 2
+        return m[:, 0:G]
+
+    def kernel(
+        qlen_ref, rlen_ref, qwin0_ref, rwin0_ref, M_ref, codes_hbm, gap_ref,
+        score_ref, *maybe_dbg_and_scratch,
+    ):
+        if cfg.debug:
+            dbg_ref = maybe_dbg_and_scratch[0]
+            scr = maybe_dbg_and_scratch[1:]
+        else:
+            scr = maybe_dbg_and_scratch
+        (Dcol, Ccol, Drow, Rrow, tempD, tempR, qwin, rwin, SC, ECQ, ECR,
+         baseQ, baseR, st_i, st_j, st_off, st_offmax, st_dir, st_pdir,
+         st_corner, st_done, st_out, sem) = scr
+        tile = pl.program_id(0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, 128), 1)
+        # interleaved segments: pair (row, seg) owns lanes {seg + t*G}; a
+        # full-lane rotation by k*G stays within a pair, and pltpu.repeat of
+        # an (R, G) array is exactly the per-pair broadcast
+        seg_pos = lanes // G
+
+        def seg_lane_select(x, idx_rg):
+            """value of each segment at lane ``idx`` (idx (R,G) in [0,S))."""
+            return seg_max(jnp.where(seg_pos == rep(idx_rg), x, NEG32))
+
+        def seg_shift_up(x, n, fill):
+            """position p <- p-n within each pair (interleaved: roll by n*G);
+            fill the first n positions.  ``fill`` is (R,128) or scalar."""
+            r = pltpu.roll(x, n * G, axis=1)
+            return jnp.where(seg_pos < n, fill, r)
+
+        def seg_shift_down(x, n, fill):
+            """position p <- p+n within each pair; fill the last n positions."""
+            r = pltpu.roll(x, (-n * G) % 128, axis=1)
+            return jnp.where(seg_pos >= S - n, fill, r)
+
+        def seg_scan(v, e):
+            """Exact i16 prefix max-plus scan per segment (reference semantics:
+            log-step scan with MIN=0 shifted into every 8-lane half; the final
+            max with e*((l%8)+1) reproduces the AVX2 virtual zeros)."""
+            t = v
+            k = 1
+            while k < S:
+                t = jnp.maximum(t, _sat(seg_shift_up(t, k, NEG32) + e * k))
+                k *= 2
+            return jnp.maximum(t, e * ((seg_pos % STEP) + 1))
+
+        open_ = gap_ref[0, 0]
+        e = gap_ref[0, 1]
+        qlen = qlen_ref[0]
+        rlen = rlen_ref[0]
+
+        # ---------------- init ----------------
+        zt = jnp.zeros((R_SUB, 128), jnp.int32)
+        zrg = jnp.zeros((R_SUB, G), jnp.int32)
+        Dcol[...] = zt
+        Ccol[...] = zt
+        Drow[...] = zt
+        Rrow[...] = zt
+        tempD[...] = zt
+        tempR[...] = zt
+        qwin[...] = qwin0_ref[0]
+        rwin[...] = rwin0_ref[0]
+        for ref in (st_i, st_j, st_off, st_offmax, st_dir, st_corner, st_done,
+                    st_out, baseQ, baseR):
+            ref[...] = zrg
+        st_pdir[...] = zrg + 2  # "grow": suppress the first shift's corner
+
+        # initial lookahead fills (chunk 0, both sides)
+        for p in range(TP):
+            row, seg = p // G, p % G
+            gp = tile * TP + p
+            for side, EC in ((0, ECQ), (1, ECR)):
+                dma = pltpu.make_async_copy(
+                    codes_hbm.at[gp, side, pl.ds(0, 8), :], EC.at[row, seg], sem
+                )
+                dma.start()
+                dma.wait()
+
+        def build_SC():
+            """SC[a] = M[a, lane_window_code]: one-hot the window codes and
+            contract with M on the MXU (one small matmul per sublane row)."""
+            lw = jnp.where(repb(st_dir[...] == 0), qwin[...], rwin[...])
+            Mb = M_ref[...].astype(jnp.bfloat16)
+            a_iota = jax.lax.broadcasted_iota(jnp.int32, (A, 128), 0)
+            for r_ in range(R_SUB):
+                oh = (a_iota == lw[r_, :][None, :]).astype(jnp.bfloat16)
+                planes = jnp.dot(Mb, oh, preferred_element_type=jnp.float32)
+                SC[:, r_, :] = planes.astype(jnp.int32)
+
+        def extract8(EC, base_chunk, pos8):
+            """(R, G, 8) codes at positions [pos8, pos8+8) from a lookahead
+            buffer EC (R, G, 8, 128) covering [base*128, base*128+1024)."""
+            off = pos8 - base_chunk * 128
+            u = off // 128
+            acc = jnp.zeros((R_SUB, G, 128), jnp.int32)
+            for r_ in range(8):
+                acc = acc + EC[:, :, r_, :] * (u == r_).astype(jnp.int32)[:, :, None]
+            lo = off % 128
+            out = jnp.zeros((R_SUB, G, 8), jnp.int32)
+            for v in range(16):
+                m = (lo == v * 8).astype(jnp.int32)[:, :, None]
+                out = out + acc[:, :, v * 8 : v * 8 + 8] * m
+            return out
+
+        def compute_rect(n_cols, ec_fn, col_base_lane, first_rect, corner_in):
+            """Compute ``n_cols`` DP columns (statically unrolled) for every
+            pair; returns the rect D-max (R, 128) running tracker.
+
+            ec_fn(w) -> (R, G) column codes for rect column w.
+            col_base_lane: static per-segment lane where column w's bottom
+            cell is staged (prologue: w; steady shifts: S-8+w)."""
+            dmax_run = zt  # MIN = 0 tracker (reference D_max init)
+            right = repb(st_dir[...] == 0)
+            active_rg = st_done[...] == 0
+            starti = jnp.where(st_dir[...] == 0, st_i[...], st_j[...])
+            startj = jnp.where(st_dir[...] == 0, st_j[...], st_i[...])
+            if not first_rect:
+                startj = startj + (S - STEP)
+            lane_len = jnp.where(st_dir[...] == 0, qlen, rlen)
+            col_len = jnp.where(st_dir[...] == 0, rlen, qlen)
+            rz = jnp.clip(-st_off[...] + ZERO, I16_MIN, 32767)
+            frozen = zrg
+
+            corner = corner_in
+            for w in range(n_cols):
+                m_act = repb(active_rg & (frozen == 0))
+                D10 = jnp.where(right, Dcol[...], Drow[...])
+                C10 = jnp.where(right, Ccol[...], Rrow[...])
+                D00 = seg_shift_up(D10, 1, corner)
+
+                c_rep = rep(ec_fn(w))
+                scores = jnp.full((R_SUB, 128), -128, jnp.int32)
+                for a in range(A):
+                    scores = jnp.where(c_rep == a, SC[a], scores)
+
+                D11 = _sat(D00 + scores)
+                if first_rect:
+                    # boundary-origin insert (reference: src/scan_block.rs:1130)
+                    ins = (rep(starti) == 0) & (rep(startj) + w == 0) & (seg_pos == 0)
+                    D11 = jnp.where(ins, rep(rz), D11)
+
+                C11 = jnp.maximum(_sat(C10 + e), _sat(D10 + open_))
+                D11 = jnp.maximum(D11, C11)
+                D11_open = _sat(D11 + (open_ - e))
+                R11 = seg_scan(D11_open, e)
+                D11 = jnp.maximum(D11, R11)
+
+                dmax_run = jnp.where(m_act, jnp.maximum(dmax_run, D11), dmax_run)
+
+                Dcol[...] = jnp.where(m_act & right, D11, Dcol[...])
+                Ccol[...] = jnp.where(m_act & right, C11, Ccol[...])
+                Drow[...] = jnp.where(m_act & ~right, D11, Drow[...])
+                Rrow[...] = jnp.where(m_act & ~right, C11, Rrow[...])
+
+                # stage the bottom cell (segment lane S-1) at lane tgt
+                tgt = col_base_lane + w
+                shift = (S - 1) - tgt
+                botD = seg_shift_down(D11, shift, NEG32) if shift > 0 else D11
+                botR = seg_shift_down(R11, shift, NEG32) if shift > 0 else R11
+                bmask = (seg_pos == tgt) & m_act
+                if first_rect:
+                    # the prologue grow-right rect writes bottoms straight
+                    # into the other border (reference: src/scan_block.rs:289)
+                    Drow[...] = jnp.where(bmask & right, botD, Drow[...])
+                    Rrow[...] = jnp.where(bmask & right, botR, Rrow[...])
+                else:
+                    tempD[...] = jnp.where(bmask, botD, tempD[...])
+                    tempR[...] = jnp.where(bmask, botR, tempR[...])
+
+                # global-mode early-exit freeze (reference: src/scan_block.rs:1216)
+                fr = ((starti + S) > lane_len) & ((startj + w) >= col_len)
+                frozen = jnp.where(fr & active_rg, 1, frozen)
+                corner = jnp.full((R_SUB, 128), NEG32, jnp.int32)
+            return dmax_run
+
+        def finish_or_choose(right_max, down_max):
+            """Done-check, score extraction, and direction choice
+            (reference: src/scan_block.rs:447-592)."""
+            i_, j_ = st_i[...], st_j[...]
+            reached = ((i_ + S) > qlen) & ((j_ + S) > rlen) & (st_done[...] == 0)
+            use_col = st_dir[...] != 1  # Right or Grow(prologue) -> D_col
+            idx = jnp.clip(jnp.where(use_col, qlen - i_, rlen - j_), 0, S - 1)
+            border = jnp.where(repb(use_col), Dcol[...], Drow[...])
+            val = seg_lane_select(border, idx)
+            fscore = st_off[...] + val - ZERO
+            st_out[...] = jnp.where(reached, fscore, st_out[...])
+            st_done[...] = jnp.where(reached, 1, st_done[...])
+
+            cont = st_done[...] == 0
+            forced_down = cont & ((j_ + S) > rlen)
+            forced_right = cont & ~forced_down & ((i_ + S) > qlen)
+            free = cont & ~forced_down & ~forced_right
+            godown = forced_down | (free & (down_max > right_max))
+            goright = cont & ~godown
+            st_pdir[...] = jnp.where(cont, st_dir[...], st_pdir[...])
+            st_i[...] = jnp.where(godown, i_ + STEP, i_)
+            st_j[...] = jnp.where(goright, j_ + STEP, j_)
+            st_dir[...] = jnp.where(godown, 1, jnp.where(goright, 0, st_dir[...]))
+
+        # ---------------- prologue: the initial S x S rect ----------------
+        # (the first Grow step with prev_size == 0: a single grow-right rect;
+        # reference: src/scan_block.rs:247-329)
+        build_SC()
+        ec_parts = [
+            extract8(ECR, baseR[...], jnp.full((R_SUB, G), b8 * 8, jnp.int32))
+            for b8 in range(S // STEP)
+        ]
+
+        def pro_ec(w):
+            return ec_parts[w // STEP][:, :, w % STEP]
+
+        n_pro = cfg.debug_cols if cfg.debug_cols else S
+        dmax = compute_rect(n_pro, pro_ec, 0, first_rect=True,
+                            corner_in=jnp.full((R_SUB, 128), NEG32, jnp.int32))
+        if cfg.debug_cols:
+            score_ref[0] = st_out[...]
+            dbg_ref[0, 0] = Dcol[...]
+            dbg_ref[0, 1] = Drow[...]
+            dbg_ref[0, 2] = qwin[...]
+            dbg_ref[0, 3] = rwin[...]
+            return
+        st_dir[...] = zrg + 2  # the prologue is the reference's Grow step
+        st_offmax[...] = st_off[...] + seg_max(dmax) - ZERO
+        right_max = seg_max(jnp.where(seg_pos < STEP, Dcol[...], NEG32))
+        down_max = seg_max(jnp.where(seg_pos < STEP, Drow[...], NEG32))
+        finish_or_choose(right_max, down_max)
+
+        # ---------------- steady-state shift steps ----------------
+        max_steps = (2 * cfg.seq_cap) // STEP
+
+        def step_body():
+            prev_off = st_off[...]
+            active = st_done[...] == 0
+            st_off[...] = jnp.where(active, st_offmax[...], prev_off)
+            off_add = jnp.clip(prev_off - st_off[...], I16_MIN, 32767)
+            oa = rep(off_add)
+            right = repb(st_dir[...] == 0)
+            act = repb(active)
+            Dcol[...] = jnp.where(act & right, _sat(Dcol[...] + oa), Dcol[...])
+            Ccol[...] = jnp.where(act & right, _sat(Ccol[...] + oa), Ccol[...])
+            Drow[...] = jnp.where(act & ~right, _sat(Drow[...] + oa), Drow[...])
+            Rrow[...] = jnp.where(act & ~right, _sat(Rrow[...] + oa), Rrow[...])
+
+            corner_ok = ((st_dir[...] == 0) & (st_pdir[...] == 1)) | (
+                (st_dir[...] == 1) & (st_pdir[...] == 0)
+            )
+            corner_in = jnp.where(
+                repb(corner_ok), _sat(rep(st_corner[...]) + oa), NEG32
+            )
+
+            # entering 8 codes on the advancing (column) side
+            pos8 = jnp.where(
+                st_dir[...] == 0, st_j[...] + (S - STEP), st_i[...] + (S - STEP)
+            )
+            need_r = active & (st_dir[...] == 0) & (pos8 + 8 > baseR[...] * 128 + 1024)
+            need_q = active & (st_dir[...] == 1) & (pos8 + 8 > baseQ[...] * 128 + 1024)
+            for p in range(TP):
+                row, seg = p // G, p % G
+                gp = tile * TP + p
+                pp8 = pos8[row, seg]
+
+                @pl.when(
+                    (st_done[row, seg] == 0) & (st_dir[row, seg] == 0)
+                    & (pp8 + 8 > baseR[row, seg] * 128 + 1024)
+                )
+                def _():
+                    k = jnp.minimum(pp8 // 128, NCH - 8)
+                    dma = pltpu.make_async_copy(
+                        codes_hbm.at[gp, 1, pl.ds(k, 8), :],
+                        ECR.at[row, seg],
+                        sem,
+                    )
+                    dma.start()
+                    dma.wait()
+
+                @pl.when(
+                    (st_done[row, seg] == 0) & (st_dir[row, seg] == 1)
+                    & (pp8 + 8 > baseQ[row, seg] * 128 + 1024)
+                )
+                def _():
+                    k = jnp.minimum(pp8 // 128, NCH - 8)
+                    dma = pltpu.make_async_copy(
+                        codes_hbm.at[gp, 0, pl.ds(k, 8), :],
+                        ECQ.at[row, seg],
+                        sem,
+                    )
+                    dma.start()
+                    dma.wait()
+            baseR[...] = jnp.where(need_r, jnp.minimum(pos8 // 128, NCH - 8), baseR[...])
+            baseQ[...] = jnp.where(need_q, jnp.minimum(pos8 // 128, NCH - 8), baseQ[...])
+
+            ecr = extract8(ECR, baseR[...], pos8)
+            ecq = extract8(ECQ, baseQ[...], pos8)
+            dmask = (st_dir[...] == 1).astype(jnp.int32)[:, :, None]
+            ec = ecr * (1 - dmask) + ecq * dmask
+
+            # the advancing side's lane window rolls by 8; entering codes at
+            # the tail (keeps both windows current so direction flips are free)
+            ins = jnp.zeros((R_SUB, 128), jnp.int32)
+            for w in range(STEP):
+                ins = jnp.where(seg_pos == (S - STEP + w), rep(ec[:, :, w]), ins)
+            rw_new = jnp.where(
+                seg_pos >= S - STEP, ins, seg_shift_down(rwin[...], STEP, 0)
+            )
+            qw_new = jnp.where(
+                seg_pos >= S - STEP, ins, seg_shift_down(qwin[...], STEP, 0)
+            )
+            rwin[...] = jnp.where(act & right, rw_new, rwin[...])
+            qwin[...] = jnp.where(act & ~right, qw_new, qwin[...])
+
+            build_SC()
+            dmax = compute_rect(
+                STEP, lambda w: ec[:, :, w], S - STEP, first_rect=False,
+                corner_in=corner_in,
+            )
+            st_offmax[...] = jnp.where(
+                active, st_off[...] + seg_max(dmax) - ZERO, st_offmax[...]
+            )
+
+            # shift_and_offset of the passive border pair
+            def shift_border(a_ref, b_ref, mm):
+                a, b = a_ref[...], b_ref[...]
+                a_off = _sat(a + oa)
+                b_off = _sat(b + oa)
+                corner_new = seg_lane_select(
+                    a_off, jnp.full((R_SUB, G), STEP - 1, jnp.int32)
+                )
+                na = jnp.where(
+                    seg_pos >= S - STEP, tempD[...], seg_shift_down(a_off, STEP, 0)
+                )
+                nb = jnp.where(
+                    seg_pos >= S - STEP, tempR[...], seg_shift_down(b_off, STEP, 0)
+                )
+                a_ref[...] = jnp.where(mm, na, a)
+                b_ref[...] = jnp.where(mm, nb, b)
+                return corner_new
+
+            cr = shift_border(Drow, Rrow, act & right)
+            cd = shift_border(Dcol, Ccol, act & ~right)
+            st_corner[...] = jnp.where(
+                active & (st_dir[...] == 0), cr,
+                jnp.where(active & (st_dir[...] == 1), cd, st_corner[...]),
+            )
+
+            right_max = seg_max(jnp.where(seg_pos < STEP, Dcol[...], NEG32))
+            down_max = seg_max(jnp.where(seg_pos < STEP, Drow[...], NEG32))
+            finish_or_choose(right_max, down_max)
+
+        def cond(carry):
+            t, alldone = carry
+            return (t < max_steps) & (alldone == 0)
+
+        def wbody(carry):
+            t, _ = carry
+            step_body()
+            return (t + 1, jnp.min(st_done[...]))
+
+        lax.while_loop(cond, wbody, (jnp.int32(0), jnp.min(st_done[...])))
+        score_ref[0] = st_out[...]
+        if cfg.debug:
+            dbg_ref[0, 0] = Dcol[...]
+            dbg_ref[0, 1] = Drow[...]
+            dbg_ref[0, 2] = rep(st_i[...] * 1000 + st_j[...])
+            dbg_ref[0, 3] = rep(st_dir[...] * 10 + st_done[...])
+
+    # ------------------------------------------------------------------
+    def engine(qlen, rlen, qwin0, rwin0, M, codes, gaps):
+        in_specs = [
+                pl.BlockSpec((1, R_SUB, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R_SUB, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R_SUB, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R_SUB, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        out_specs = pl.BlockSpec(
+            (1, R_SUB, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((n_tiles, R_SUB, G), jnp.int32)
+        if cfg.debug:
+            out_specs = [out_specs, pl.BlockSpec((1, 4, R_SUB, 128), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM)]
+            out_shape = [out_shape, jax.ShapeDtypeStruct((n_tiles, 4, R_SUB, 128), jnp.int32)]
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((R_SUB, 128), jnp.int32),  # Dcol
+                pltpu.VMEM((R_SUB, 128), jnp.int32),  # Ccol
+                pltpu.VMEM((R_SUB, 128), jnp.int32),  # Drow
+                pltpu.VMEM((R_SUB, 128), jnp.int32),  # Rrow
+                pltpu.VMEM((R_SUB, 128), jnp.int32),  # tempD
+                pltpu.VMEM((R_SUB, 128), jnp.int32),  # tempR
+                pltpu.VMEM((R_SUB, 128), jnp.int32),  # qwin
+                pltpu.VMEM((R_SUB, 128), jnp.int32),  # rwin
+                pltpu.VMEM((A, R_SUB, 128), jnp.int32),  # SC
+                pltpu.VMEM((R_SUB, G, 8, 128), jnp.int32),  # ECQ
+                pltpu.VMEM((R_SUB, G, 8, 128), jnp.int32),  # ECR
+                pltpu.VMEM((R_SUB, G), jnp.int32),  # baseQ
+                pltpu.VMEM((R_SUB, G), jnp.int32),  # baseR
+            ]
+            + [pltpu.VMEM((R_SUB, G), jnp.int32) for _ in range(9)]
+            + [pltpu.SemaphoreType.DMA],
+            interpret=cfg.interpret,
+        )(qlen, rlen, qwin0, rwin0, M, codes, gaps)
+
+    return jax.jit(engine)
+
+
+def pack_fixed(pairs, matrix, cfg: FixedKernelConfig, gaps=None):
+    """Host-side packing for the fixed-block kernel."""
+    B, TP, G = cfg.batch, cfg.pairs_per_tile, cfg.segs
+    S, A, NCH = cfg.block, cfg.alpha, cfg.n_chunks
+    n_tiles = B // TP
+    assert len(pairs) <= B
+    pairs = list(pairs) + [(b"", b"")] * (B - len(pairs))
+
+    tab = matrix.dense()
+    M = np.full((A, A), -128, dtype=np.int32)
+    if matrix.kind == "nuc":
+        # unified 16-code table: code = char & 15, M[x, y] = tab[x & 7, y]
+        assert A >= 16
+        for x in range(16):
+            for y in range(16):
+                M[x, y] = tab[x & 7, y]
+
+        def conv(c):
+            return matrix.convert(c) & 15
+
+        null_code = matrix.NULL & 15
+    else:
+        M[: tab.shape[0], : tab.shape[1]] = tab
+        conv = matrix.convert
+        null_code = int(matrix.convert(bytes([matrix.NULL]))[0])
+
+    codes = np.full((B, 2, NCH * 128), null_code, dtype=np.int32)
+    qlen = np.zeros(B, dtype=np.int32)
+    rlen = np.zeros(B, dtype=np.int32)
+    for b, (q, r) in enumerate(pairs):
+        qc = conv(q)
+        rc = conv(r)
+        assert 1 + max(len(qc), len(rc)) + S + 8 <= NCH * 128, "sequence too long"
+        qlen[b] = len(qc)
+        rlen[b] = len(rc)
+        codes[b, 0, 1 : 1 + len(qc)] = qc
+        codes[b, 1, 1 : 1 + len(rc)] = rc
+
+    def pack_rg(vals):
+        return np.ascontiguousarray(vals.reshape(n_tiles, R_SUB, G))
+
+    def pack_win(side):
+        w = np.zeros((n_tiles, R_SUB, 128), dtype=np.int32)
+        for b in range(B):
+            t, p = b // TP, b % TP
+            row, seg = p // G, p % G
+            w[t, row, seg + np.arange(S) * G] = codes[b, side, 0:S]
+        return w
+
+    g = np.zeros((1, 2), dtype=np.int32)
+    if gaps is not None:
+        g[0, 0] = gaps.open
+        g[0, 1] = gaps.extend
+    return (
+        pack_rg(qlen),
+        pack_rg(rlen),
+        pack_win(0),
+        pack_win(1),
+        M,
+        codes.reshape(B, 2, NCH, 128),
+        g,
+    )

@@ -1,0 +1,115 @@
+"""Fixed-block Pallas kernel vs the scalar oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from block_aligner_tpu import BLOSUM62, BlockOracle, Gaps, NW1, PaddedBytes
+from block_aligner_tpu.ops.fixed_kernel import (
+    FixedKernelConfig,
+    build_fixed_engine,
+    pack_fixed,
+)
+
+AA = b"ACDEFGHIKLMNPQRSTVWY"
+DNA = b"ACGT"
+
+
+def rand_seq(rng, alpha, n):
+    return bytes(rng.choice(list(alpha), size=n).tolist())
+
+
+def mutate(rng, s, k, alpha):
+    s = bytearray(s)
+    for _ in range(k):
+        op = int(rng.integers(0, 3))
+        pos = int(rng.integers(0, max(len(s), 1)))
+        if op == 0 and len(s) > 0:
+            s[pos % len(s)] = int(rng.choice(list(alpha)))
+        elif op == 1 and len(s) > 1:
+            del s[pos % len(s)]
+        else:
+            s.insert(pos, int(rng.choice(list(alpha))))
+    return bytes(s)
+
+
+def run_kernel(pairs, matrix, gaps, S, interpret=True):
+    maxlen = max(max(len(q), len(r)) for q, r in pairs)
+    cap = max(1024, -(-(1 + maxlen + S + 16) // 128) * 128)
+    cfg = FixedKernelConfig(batch=len(pairs), block=S, seq_cap=cap,
+                            alpha=32 if matrix.kind != "nuc" else 16,
+                            interpret=interpret)
+    fn = build_fixed_engine(cfg)
+    args = pack_fixed(pairs, matrix, cfg, gaps)
+    out = np.asarray(fn(*args))
+    TP, G = cfg.pairs_per_tile, cfg.segs
+    scores = []
+    for b in range(len(pairs)):
+        t, p = b // TP, b % TP
+        scores.append(int(out[t, p // G, p % G]))
+    return scores
+
+
+def oracle_scores(pairs, matrix, gaps, S):
+    a = BlockOracle()
+    out = []
+    for q, r in pairs:
+        pq = PaddedBytes.from_bytes(q, S, matrix)
+        pr = PaddedBytes.from_bytes(r, S, matrix)
+        a.align(pq, pr, matrix, gaps, (S, S), 0)
+        out.append(a.res().score)
+    return out
+
+
+def check(pairs, matrix, gaps, S, interpret=True):
+    want = oracle_scores(pairs, matrix, gaps, S)
+    got = run_kernel(pairs, matrix, gaps, S, interpret)
+    for k, (w, g) in enumerate(zip(want, got)):
+        assert w == g, f"pair {k}: oracle {w} != kernel {g}: q={pairs[k][0]!r} r={pairs[k][1]!r}"
+
+
+def test_kernel_tiny_protein():
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = [
+        (b"AAAA", b"AAAA"),
+        (b"AARA", b"AAAA"),
+        (b"AARAAAA", b"AAAAAAAA"),
+        (b"RRRR", b"AAAA"),
+        (b"AAA", b"AAAA"),
+        (b"", b"AAAA"),
+        (b"AAAA", b""),
+        (b"", b""),
+    ] * 4  # fill a 32-pair tile at S=32
+    check(pairs, BLOSUM62, gaps, 32)
+
+
+def test_kernel_nuc_asymmetric():
+    gaps = Gaps(open=-2, extend=-1)
+    pairs = [
+        (b"TTTTTTTTAAAAAAATTTTTTTTT", b"TTAAAAAAATTTTTTTTTTTT"),
+        (b"C", b"AAAA"),
+        (b"AAAA", b"C"),
+        (b"TA" * 16, b"A" * 32),
+    ] * 16  # 64 pairs (S=16 -> TP=64)
+    check(pairs, NW1, gaps, 16)
+
+
+def test_kernel_random_protein():
+    rng = np.random.default_rng(11)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(32):
+        q = rand_seq(rng, AA, int(rng.integers(20, 150)))
+        r = mutate(rng, q, int(rng.integers(2, 25)), AA)
+        pairs.append((q, r))
+    check(pairs, BLOSUM62, gaps, 32)
+
+
+def test_kernel_random_dna_s64():
+    rng = np.random.default_rng(12)
+    gaps = Gaps(open=-2, extend=-1)
+    pairs = []
+    for _ in range(16):
+        q = rand_seq(rng, DNA, int(rng.integers(50, 250)))
+        r = mutate(rng, q, int(rng.integers(5, 40)), DNA)
+        pairs.append((q, r))
+    check(pairs, NW1, gaps, 64)
