@@ -711,55 +711,14 @@ class BlockOracle:
     # ------------------------------------------------------------------
     def _cigar_core(self, i, j, eq, cigar=None, q=None, r=None):
         assert self.TRACE
-        if cigar is None:
-            cigar = Cigar()
-        cigar.clear()
-        if eq:
-            assert q is not None and r is not None
+        from .traceback import cigar_walk
 
-        lut = _op_lut()
-        TABLE_D, TABLE_C, TABLE_R = 0, 1, 2
-        table = TABLE_D
-        rect_idx = len(self._rects)
-
-        outer_done = False
-        while (i > 0 or j > 0) and not outer_done:
-            # scan rects backward for the one containing (i, j); the reference
-            # checks only lower bounds (reference: src/scan_block.rs:1578-1590)
-            while True:
-                rect_idx -= 1
-                rect = self._rects[rect_idx]
-                if i >= rect.row and j >= rect.col:
-                    break
-
-            bi, bj = rect.row, rect.col
-            while i >= bi and j >= bj and (i > 0 or j > 0):
-                if rect.right:
-                    if self.FREE_QUERY_START_GAPS and i == 0:
-                        # the i == 0 row can only be inside right rects
-                        outer_done = True
-                        break
-                    pc, lane = j - bj, i - bi  # place col = DP col offset
-                else:
-                    pc, lane = i - bi, j - bj  # place col = DP row offset
-                t = int(rect.t[pc, lane])
-                t2 = int(rect.t2[pc, lane])
-                if self.LOCAL_START and table == TABLE_D and rect.zero[pc, lane]:
-                    outer_done = True
-                    break
-                op, di, dj, table = lut[1 if rect.right else 0][(t << 4) | (t2 << 2) | table]
-                op = self._resolve_eq(op, eq, q, r, i, j)
-                i -= di
-                j -= dj
-                cigar.add(op)
-
-        return cigar
-
-    @staticmethod
-    def _resolve_eq(op, eq, q, r, i, j):
-        if eq and op == Operation.M:
-            return Operation.Eq if q.get(i) == r.get(j) else Operation.X
-        return op
+        return cigar_walk(
+            self._rects, i, j,
+            local_start=self.LOCAL_START,
+            free_query_start_gaps=self.FREE_QUERY_START_GAPS,
+            eq=eq, q=q, r=r, cigar=cigar,
+        )
 
 
 class _SeqSeqFetch:
@@ -824,56 +783,3 @@ class _SeqProfileFetch:
             gap_open_R = p.gap_open_C[pos].astype(np.int64)
             gap_close_R = p.gap_close_C[pos].astype(np.int64)
             return scores, gap_open_C, None, gap_open_R, gap_close_R
-
-
-_OP_LUT_CACHE = None
-
-
-def _op_lut():
-    """The 2x64-entry traceback LUT keyed by (trace<<4 | trace2<<2 | table)
-    (reference: src/scan_block.rs:1506-1572)."""
-    global _OP_LUT_CACHE
-    if _OP_LUT_CACHE is not None:
-        return _OP_LUT_CACHE
-    D, C, R = 0, 1, 2
-    OpD, OpI, OpM = Operation.D, Operation.I, Operation.M
-    lut = [[(OpD, 0, 1, D)] * 64, [(OpD, 0, 1, D)] * 64]
-    for right in (0, 1):
-        for t in range(4):
-            for t2 in range(4):
-                for table in (D, C, R):
-                    if right == 1:
-                        if table == C:
-                            res = (OpD, 0, 1, C) if t2 in (0b00, 0b10) else (OpD, 0, 1, D)
-                        elif table == R:
-                            res = (OpI, 1, 0, R) if t2 in (0b00, 0b01) else (OpI, 1, 0, D)
-                        else:  # D
-                            if t == 0b00:
-                                res = (OpM, 1, 1, D)
-                            elif t in (0b01, 0b11):
-                                res = (
-                                    (OpD, 0, 1, C) if t2 in (0b00, 0b10) else (OpD, 0, 1, D)
-                                )
-                            else:  # t == 0b10
-                                res = (
-                                    (OpI, 1, 0, R) if t2 in (0b00, 0b01) else (OpI, 1, 0, D)
-                                )
-                    else:
-                        if table == R:
-                            res = (OpI, 1, 0, R) if t2 in (0b00, 0b10) else (OpI, 1, 0, D)
-                        elif table == C:
-                            res = (OpD, 0, 1, C) if t2 in (0b00, 0b01) else (OpD, 0, 1, D)
-                        else:
-                            if t == 0b00:
-                                res = (OpM, 1, 1, D)
-                            elif t in (0b01, 0b11):
-                                res = (
-                                    (OpI, 1, 0, R) if t2 in (0b00, 0b10) else (OpI, 1, 0, D)
-                                )
-                            else:
-                                res = (
-                                    (OpD, 0, 1, C) if t2 in (0b00, 0b01) else (OpD, 0, 1, D)
-                                )
-                    lut[right][(t << 4) | (t2 << 2) | table] = res
-    _OP_LUT_CACHE = lut
-    return lut

@@ -77,6 +77,7 @@ class EngineConfig:
     free_query_start_gaps: bool = False
     free_query_end_gaps: bool = False
     max_iters: Optional[int] = None
+    trace_cols: Optional[int] = None
 
     def __post_init__(self):
         assert self.min_size % L == 0 and self.max_size % L == 0
@@ -89,6 +90,16 @@ class EngineConfig:
             return self.max_iters
         # each 8-column shift advances i+j by 8; grows/boundaries add slack
         return 16 * self.seq_cap + 1024
+
+    @property
+    def trace_cap(self) -> int:
+        """Column (= iteration) capacity of the trace stream: one column per
+        iteration; shifts cost qlen+rlen columns, grows/restores are bounded
+        by the doubling ladder (reference trace sizing analogue:
+        src/scan_block.rs:1363-1374)."""
+        if self.trace_cols is not None:
+            return self.trace_cols
+        return 2 * self.seq_cap + 16 * self.max_size + 64
 
 
 def build_engine(cfg: EngineConfig):
@@ -179,6 +190,13 @@ def build_engine(cfg: EngineConfig):
             out_qi=zeros_b,
             out_rj=zeros_b,
         )
+        if cfg.trace:
+            state.update(
+                trace=jnp.zeros((cfg.trace_cap, B, H), jnp.int8),
+                meta=jnp.zeros((cfg.trace_cap, B, 2), jnp.int32),
+                ev_save=zeros_b,
+                ev_restore=zeros_b,
+            )
 
         def bwhere(m, new, old):
             m = m.reshape((B,) + (1,) * (old.ndim - 1))
@@ -356,6 +374,43 @@ def build_engine(cfg: EngineConfig):
             R11 = jnp.maximum(R11, zero_cand[None, :])
             R11_end = R11
             D11 = jnp.maximum(D11, R11_end)
+
+            if cfg.trace:
+                # packed 2+2(+zero)-bit trace emission per cell (reference:
+                # src/scan_block.rs:1166-1190); stream format in
+                # core/traceback.py
+                t_bits = (D11 == C11_end).astype(jnp.int32) | (
+                    (D11 == R11_end).astype(jnp.int32) << 1
+                )
+                temp_tr = (R11 == D11_open).astype(jnp.int32)
+                tr_R = jnp.concatenate(
+                    [jnp.zeros((B, 1), jnp.int32), temp_tr[:, :-1]], axis=1
+                )
+                t2_bits = (C11 == C11_open).astype(jnp.int32) | (tr_R << 1)
+                packed = t_bits | (t2_bits << 2)
+                if cfg.local_start:
+                    packed = packed | (
+                        (D11 == s["rz"][:, None]).astype(jnp.int32) << 4
+                    )
+                it = jnp.minimum(s["iters"], cfg.trace_cap - 1)
+                s["trace"] = lax.dynamic_update_slice(
+                    s["trace"], packed.astype(jnp.int8)[None], (it, 0, 0)
+                )
+                mi = m.astype(jnp.int32)
+                meta1 = (
+                    s["r_starti"]
+                    | (s["r_right"].astype(jnp.int32) << 25)
+                    | (mi << 26)
+                    | (s["ev_save"] << 27)
+                    | (s["ev_restore"] << 28)
+                    | ((mi & (s["r_col"] == 0).astype(jnp.int32)) << 29)
+                )
+                meta2 = cp | (s["r_height"] << 17)
+                s["meta"] = lax.dynamic_update_slice(
+                    s["meta"], jnp.stack([meta1, meta2], axis=-1)[None], (it, 0, 0)
+                )
+                s["ev_save"] = jnp.zeros((B,), jnp.int32)
+                s["ev_restore"] = jnp.zeros((B,), jnp.int32)
 
             # tracker update over 16-row residues
             D11_m = jnp.where(lane_ok, D11, I16_MIN)
@@ -643,6 +698,14 @@ def build_engine(cfg: EngineConfig):
             s["prev_dir"] = jnp.where(do_shrink, DIR_G, s["prev_dir"])
             y_drop = jnp.where(do_shrink, 0, y_drop)
 
+            if cfg.trace:
+                # trace-stack checkpoint events, consumed by the next column's
+                # meta record (reference: src/scan_block.rs:1451-1462); save
+                # marks happen on grow completion, new-best, and shrink;
+                # restore pops on grow (oracle: _align_core)
+                s["ev_save"] = (is_g | can_ck | do_shrink).astype(jnp.int32)
+                s["ev_restore"] = do_grow.astype(jnp.int32)
+
             # direction choice (reference: src/scan_block.rs:551-558)
             choose = (free & ~do_grow) | forced_down | forced_right
             godown = forced_down | (free & ~do_grow & (down_max > right_max) & ~forced_right)
@@ -673,6 +736,11 @@ def build_engine(cfg: EngineConfig):
             return jnp.any(s["phase"] != P_DONE) & (s["iters"] < cfg.iter_cap)
 
         final = lax.while_loop(cond, body, state)
+        if cfg.trace:
+            return (
+                final["out_score"], final["out_qi"], final["out_rj"],
+                final["iters"], final["trace"], final["meta"],
+            )
         return final["out_score"], final["out_qi"], final["out_rj"], final["iters"]
 
     return jax.jit(engine)

@@ -8,19 +8,28 @@ checkpoint machinery and, crucially, block positions (i, j) advance
 incrementally with vector rolls instead of gathers.
 
 Layout ("packed"): work arrays are (8, 128) int32 tiles.  Lanes are split
-into G = 128/S segments of S lanes; pair (row, seg) owns lanes
-[seg*S, (seg+1)*S) of sublane `row`, so one VPU op advances one DP column for
-TP = 8*G pairs at once.  The vertical prefix scan is a segmented log-step
+into G = 128/S interleaved segments: pair (row, seg) owns lanes
+{seg + p*G : p in [0, S)}, so one VPU op advances one DP column for
+TP = 8*G pairs at once, and a full-lane rotation by k*G moves every pair's
+in-segment position by k.  The vertical prefix scan is a segmented log-step
 max-plus scan plus the closed-form MIN=0 correction term (exactly matching
 the AVX2 chunked scan of reference: src/avx2.rs:312-338; see ops/engine.py).
 
-Score lookup: per step the lane-window codes are one-hotted and contracted
-with the substitution matrix on the MXU (M @ OH -> per-row score planes);
-each column then selects its plane by column character with A masked moves.
-Column characters stream from per-pair 1024-code lookahead buffers in VMEM,
-refilled by rare predicated DMAs (one per <=112 steps per pair per side).
+Control flow is **column-granular**: one `lax.while_loop` whose body computes
+one DP column for every pair; step bookkeeping (offset rebasing, border
+shifting, direction choice, lookahead DMA refills) runs predicated every
+8th column.  All pairs are always at the same column phase -- fixed block
+size means rect widths never diverge -- so the bookkeeping is uniform and
+the body stays small (fast Mosaic compiles, small scoped-VMEM stack).
 
-Scope v1: global, sequence-sequence, table matrices, no trace.  Other modes
+Score lookup: per step the lane-window codes are one-hotted and contracted
+with the substitution matrix on the MXU (M @ OH -> per-aa score planes in
+VMEM); each column then selects its plane by column character with masked
+moves.  Column characters stream from per-pair 1024-code lookahead buffers
+in VMEM, refilled by rare predicated DMAs (one per <=112 steps per pair per
+side).
+
+Scope: global, sequence-sequence, table matrices, no trace.  Other modes
 route to the general lockstep engine (ops/engine.py).
 """
 
@@ -50,8 +59,6 @@ class FixedKernelConfig:
     seq_cap: int  # padded sequence capacity, multiple of 128
     alpha: int = 32  # score-table rows (32 for AA, 16 for Nuc)
     interpret: bool = False
-    debug: bool = False  # extra output: final Dcol/Drow border dump
-    debug_cols: int = 0  # if >0: stop after this many prologue columns
 
     def __post_init__(self):
         S = self.block
@@ -85,7 +92,7 @@ def build_fixed_engine(cfg: FixedKernelConfig):
     A = cfg.alpha
     NCH = cfg.n_chunks
     n_tiles = cfg.batch // TP
-
+    MAX_COLS = S + 2 * cfg.seq_cap
 
     def rep(x):
         """(R, G) per-pair values -> (R, 128) segment broadcast."""
@@ -107,21 +114,13 @@ def build_fixed_engine(cfg: FixedKernelConfig):
 
     def kernel(
         qlen_ref, rlen_ref, qwin0_ref, rwin0_ref, M_ref, codes_hbm, gap_ref,
-        score_ref, *maybe_dbg_and_scratch,
+        score_ref, *scr,
     ):
-        if cfg.debug:
-            dbg_ref = maybe_dbg_and_scratch[0]
-            scr = maybe_dbg_and_scratch[1:]
-        else:
-            scr = maybe_dbg_and_scratch
-        (Dcol, Ccol, Drow, Rrow, tempD, tempR, qwin, rwin, SC, ECQ, ECR,
-         baseQ, baseR, st_i, st_j, st_off, st_offmax, st_dir, st_pdir,
-         st_corner, st_done, st_out, sem) = scr
+        (Dcol, Ccol, Drow, Rrow, tempD, tempR, qwin, rwin, SC, ECQ, ECR, EC8,
+         CVEC, DMAX, baseQ, baseR, st_i, st_j, st_off, st_offmax, st_oa,
+         st_dir, st_pdir, st_corner, st_done, st_out, st_fr, sem) = scr
         tile = pl.program_id(0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, 128), 1)
-        # interleaved segments: pair (row, seg) owns lanes {seg + t*G}; a
-        # full-lane rotation by k*G stays within a pair, and pltpu.repeat of
-        # an (R, G) array is exactly the per-pair broadcast
         seg_pos = lanes // G
 
         def seg_lane_select(x, idx_rg):
@@ -158,18 +157,17 @@ def build_fixed_engine(cfg: FixedKernelConfig):
         # ---------------- init ----------------
         zt = jnp.zeros((R_SUB, 128), jnp.int32)
         zrg = jnp.zeros((R_SUB, G), jnp.int32)
-        Dcol[...] = zt
-        Ccol[...] = zt
-        Drow[...] = zt
-        Rrow[...] = zt
-        tempD[...] = zt
-        tempR[...] = zt
+        for ref in (Dcol, Ccol, Drow, Rrow, tempD, tempR, DMAX, CVEC):
+            ref[...] = zt
         qwin[...] = qwin0_ref[0]
         rwin[...] = rwin0_ref[0]
         for ref in (st_i, st_j, st_off, st_offmax, st_dir, st_corner, st_done,
-                    st_out, baseQ, baseR):
+                    st_out, st_fr, baseQ, baseR):
             ref[...] = zrg
+        st_oa[...] = zrg
         st_pdir[...] = zrg + 2  # "grow": suppress the first shift's corner
+        DMAX[...] = zt  # MIN = 0 tracker (reference D_max init)
+        CVEC[...] = zt + NEG32
 
         # initial lookahead fills (chunk 0, both sides)
         for p in range(TP):
@@ -208,82 +206,237 @@ def build_fixed_engine(cfg: FixedKernelConfig):
                 out = out + acc[:, :, v * 8 : v * 8 + 8] * m
             return out
 
-        def compute_rect(n_cols, ec_fn, col_base_lane, first_rect, corner_in):
-            """Compute ``n_cols`` DP columns (statically unrolled) for every
-            pair; returns the rect D-max (R, 128) running tracker.
+        def write_EC8(ec):
+            """Stage the step's 8 per-pair column codes, segment-broadcast."""
+            for w in range(STEP):
+                EC8[w] = rep(ec[:, :, w])
 
-            ec_fn(w) -> (R, G) column codes for rect column w.
-            col_base_lane: static per-segment lane where column w's bottom
-            cell is staged (prologue: w; steady shifts: S-8+w)."""
-            dmax_run = zt  # MIN = 0 tracker (reference D_max init)
+        # prologue chunk 0: columns 0..7 read reference codes 0..7
+        build_SC()
+        write_EC8(extract8(ECR, baseR[...], jnp.zeros((R_SUB, G), jnp.int32)))
+
+        def pre_step(t):
+            """Step-boundary setup, runs when t % 8 == 0 (t > 0)."""
+            in_pro = t < S
+
+            @pl.when(in_pro)
+            def _():
+                # next prologue chunk: column codes t..t+7 from the reference
+                write_EC8(extract8(ECR, baseR[...], zrg + t))
+
+            @pl.when(jnp.logical_not(in_pro))
+            def _():
+                prev_off = st_off[...]
+                active = st_done[...] == 0
+                st_off[...] = jnp.where(active, st_offmax[...], prev_off)
+                off_add = jnp.clip(prev_off - st_off[...], I16_MIN, 32767)
+                st_oa[...] = off_add
+                oa = rep(off_add)
+                right = repb(st_dir[...] == 0)
+                act = repb(active)
+                Dcol[...] = jnp.where(act & right, _sat(Dcol[...] + oa), Dcol[...])
+                Ccol[...] = jnp.where(act & right, _sat(Ccol[...] + oa), Ccol[...])
+                Drow[...] = jnp.where(act & ~right, _sat(Drow[...] + oa), Drow[...])
+                Rrow[...] = jnp.where(act & ~right, _sat(Rrow[...] + oa), Rrow[...])
+
+                corner_ok = ((st_dir[...] == 0) & (st_pdir[...] == 1)) | (
+                    (st_dir[...] == 1) & (st_pdir[...] == 0)
+                )
+                CVEC[...] = jnp.where(
+                    repb(corner_ok), _sat(rep(st_corner[...]) + oa), NEG32
+                )
+
+                # entering 8 codes on the advancing (column) side
+                pos8 = jnp.where(
+                    st_dir[...] == 0, st_j[...] + (S - STEP), st_i[...] + (S - STEP)
+                )
+                need_r = active & (st_dir[...] == 0) & (
+                    pos8 + 8 > baseR[...] * 128 + 1024
+                )
+                need_q = active & (st_dir[...] == 1) & (
+                    pos8 + 8 > baseQ[...] * 128 + 1024
+                )
+                for p in range(TP):
+                    row, seg = p // G, p % G
+                    gp = tile * TP + p
+                    pp8 = pos8[row, seg]
+
+                    @pl.when(
+                        (st_done[row, seg] == 0) & (st_dir[row, seg] == 0)
+                        & (pp8 + 8 > baseR[row, seg] * 128 + 1024)
+                    )
+                    def _():
+                        k = jnp.minimum(pp8 // 128, NCH - 8)
+                        dma = pltpu.make_async_copy(
+                            codes_hbm.at[gp, 1, pl.ds(k, 8), :],
+                            ECR.at[row, seg],
+                            sem,
+                        )
+                        dma.start()
+                        dma.wait()
+
+                    @pl.when(
+                        (st_done[row, seg] == 0) & (st_dir[row, seg] == 1)
+                        & (pp8 + 8 > baseQ[row, seg] * 128 + 1024)
+                    )
+                    def _():
+                        k = jnp.minimum(pp8 // 128, NCH - 8)
+                        dma = pltpu.make_async_copy(
+                            codes_hbm.at[gp, 0, pl.ds(k, 8), :],
+                            ECQ.at[row, seg],
+                            sem,
+                        )
+                        dma.start()
+                        dma.wait()
+                baseR[...] = jnp.where(
+                    need_r, jnp.minimum(pos8 // 128, NCH - 8), baseR[...]
+                )
+                baseQ[...] = jnp.where(
+                    need_q, jnp.minimum(pos8 // 128, NCH - 8), baseQ[...]
+                )
+
+                ecr = extract8(ECR, baseR[...], pos8)
+                ecq = extract8(ECQ, baseQ[...], pos8)
+                dmask = (st_dir[...] == 1).astype(jnp.int32)[:, :, None]
+                ec = ecr * (1 - dmask) + ecq * dmask
+                write_EC8(ec)
+
+                # the advancing side's lane window rolls by 8; entering codes
+                # at the tail (keeps both windows current so direction flips
+                # are free)
+                ins = jnp.zeros((R_SUB, 128), jnp.int32)
+                for w in range(STEP):
+                    ins = jnp.where(seg_pos == (S - STEP + w), rep(ec[:, :, w]), ins)
+                rw_new = jnp.where(
+                    seg_pos >= S - STEP, ins, seg_shift_down(rwin[...], STEP, 0)
+                )
+                qw_new = jnp.where(
+                    seg_pos >= S - STEP, ins, seg_shift_down(qwin[...], STEP, 0)
+                )
+                rwin[...] = jnp.where(act & right, rw_new, rwin[...])
+                qwin[...] = jnp.where(act & ~right, qw_new, qwin[...])
+                build_SC()
+
+            DMAX[...] = jnp.where(in_pro, DMAX[...], zt)
+            st_fr[...] = jnp.where(in_pro, st_fr[...], zrg)
+
+        def column(t):
+            """One DP column for every pair (reference place_block inner loop,
+            src/scan_block.rs:1119-1209, vertical vectors = segment lanes)."""
+            in_pro = t < S
+            w8 = t % 8
+            wloc = jnp.where(in_pro, t, w8)  # column index within the rect
+            # prologue: dir == 0 for everyone (the initial grow-right rect)
             right = repb(st_dir[...] == 0)
-            active_rg = st_done[...] == 0
+            m_act = repb((st_done[...] == 0) & (st_fr[...] == 0))
             starti = jnp.where(st_dir[...] == 0, st_i[...], st_j[...])
-            startj = jnp.where(st_dir[...] == 0, st_j[...], st_i[...])
-            if not first_rect:
-                startj = startj + (S - STEP)
+            startj = jnp.where(st_dir[...] == 0, st_j[...], st_i[...]) + jnp.where(
+                in_pro, 0, S - STEP
+            )
             lane_len = jnp.where(st_dir[...] == 0, qlen, rlen)
             col_len = jnp.where(st_dir[...] == 0, rlen, qlen)
+
+            D10 = jnp.where(right, Dcol[...], Drow[...])
+            C10 = jnp.where(right, Ccol[...], Rrow[...])
+            corner = jnp.where(wloc == 0, CVEC[...], jnp.full((R_SUB, 128), NEG32, jnp.int32))
+            D00 = seg_shift_up(D10, 1, corner)
+
+            c_rep = EC8[w8]
+            scores = jnp.full((R_SUB, 128), -128, jnp.int32)
+            for a in range(A):
+                scores = jnp.where(c_rep == a, SC[a], scores)
+
+            D11 = _sat(D00 + scores)
+            # boundary-origin insert (reference: src/scan_block.rs:1130):
+            # cell (0,0) of the whole DP is relative zero
             rz = jnp.clip(-st_off[...] + ZERO, I16_MIN, 32767)
-            frozen = zrg
+            ins0 = (t == 0) & (seg_pos == 0)
+            D11 = jnp.where(ins0, rep(rz), D11)
 
-            corner = corner_in
-            for w in range(n_cols):
-                m_act = repb(active_rg & (frozen == 0))
-                D10 = jnp.where(right, Dcol[...], Drow[...])
-                C10 = jnp.where(right, Ccol[...], Rrow[...])
-                D00 = seg_shift_up(D10, 1, corner)
+            C11 = jnp.maximum(_sat(C10 + e), _sat(D10 + open_))
+            D11 = jnp.maximum(D11, C11)
+            D11_open = _sat(D11 + (open_ - e))
+            R11 = seg_scan(D11_open, e)
+            D11 = jnp.maximum(D11, R11)
 
-                c_rep = rep(ec_fn(w))
-                scores = jnp.full((R_SUB, 128), -128, jnp.int32)
-                for a in range(A):
-                    scores = jnp.where(c_rep == a, SC[a], scores)
+            DMAX[...] = jnp.where(m_act, jnp.maximum(DMAX[...], D11), DMAX[...])
 
-                D11 = _sat(D00 + scores)
-                if first_rect:
-                    # boundary-origin insert (reference: src/scan_block.rs:1130)
-                    ins = (rep(starti) == 0) & (rep(startj) + w == 0) & (seg_pos == 0)
-                    D11 = jnp.where(ins, rep(rz), D11)
+            Dcol[...] = jnp.where(m_act & right, D11, Dcol[...])
+            Ccol[...] = jnp.where(m_act & right, C11, Ccol[...])
+            Drow[...] = jnp.where(m_act & ~right, D11, Drow[...])
+            Rrow[...] = jnp.where(m_act & ~right, C11, Rrow[...])
 
-                C11 = jnp.maximum(_sat(C10 + e), _sat(D10 + open_))
-                D11 = jnp.maximum(D11, C11)
-                D11_open = _sat(D11 + (open_ - e))
-                R11 = seg_scan(D11_open, e)
-                D11 = jnp.maximum(D11, R11)
+            # stage the column's bottom cell (segment lane S-1):
+            # prologue -> straight into the other border at lane t
+            # (reference: src/scan_block.rs:289); steady -> temp splice
+            # buffers at the final position S-8+w
+            botD = rep(seg_lane_select(D11, zrg + (S - 1)))
+            botR = rep(seg_lane_select(R11, zrg + (S - 1)))
+            tgt = jnp.where(in_pro, t, S - STEP + w8)
+            bmask = (seg_pos == tgt) & m_act
 
-                dmax_run = jnp.where(m_act, jnp.maximum(dmax_run, D11), dmax_run)
+            @pl.when(in_pro)
+            def _():
+                Drow[...] = jnp.where(bmask & right, botD, Drow[...])
+                Rrow[...] = jnp.where(bmask & right, botR, Rrow[...])
 
-                Dcol[...] = jnp.where(m_act & right, D11, Dcol[...])
-                Ccol[...] = jnp.where(m_act & right, C11, Ccol[...])
-                Drow[...] = jnp.where(m_act & ~right, D11, Drow[...])
-                Rrow[...] = jnp.where(m_act & ~right, C11, Rrow[...])
+            @pl.when(jnp.logical_not(in_pro))
+            def _():
+                tempD[...] = jnp.where(bmask, botD, tempD[...])
+                tempR[...] = jnp.where(bmask, botR, tempR[...])
 
-                # stage the bottom cell (segment lane S-1) at lane tgt
-                tgt = col_base_lane + w
-                shift = (S - 1) - tgt
-                botD = seg_shift_down(D11, shift, NEG32) if shift > 0 else D11
-                botR = seg_shift_down(R11, shift, NEG32) if shift > 0 else R11
-                bmask = (seg_pos == tgt) & m_act
-                if first_rect:
-                    # the prologue grow-right rect writes bottoms straight
-                    # into the other border (reference: src/scan_block.rs:289)
-                    Drow[...] = jnp.where(bmask & right, botD, Drow[...])
-                    Rrow[...] = jnp.where(bmask & right, botR, Rrow[...])
-                else:
-                    tempD[...] = jnp.where(bmask, botD, tempD[...])
-                    tempR[...] = jnp.where(bmask, botR, tempR[...])
+            # global-mode early-exit freeze (reference: src/scan_block.rs:1216)
+            fr = ((starti + S) > lane_len) & ((startj + wloc) >= col_len)
+            st_fr[...] = jnp.where(fr & (st_done[...] == 0), 1, st_fr[...])
 
-                # global-mode early-exit freeze (reference: src/scan_block.rs:1216)
-                fr = ((starti + S) > lane_len) & ((startj + w) >= col_len)
-                frozen = jnp.where(fr & active_rg, 1, frozen)
-                corner = jnp.full((R_SUB, 128), NEG32, jnp.int32)
-            return dmax_run
+        def post_step(t):
+            """End-of-rect bookkeeping, runs when t % 8 == 7 or t == S - 1:
+            border shift/splice, score bookkeeping, done check, direction
+            choice (reference: src/scan_block.rs:162-196, 333-345, 447-592)."""
+            in_pro_end = t == S - 1
+            active = st_done[...] == 0
 
-        def finish_or_choose(right_max, down_max):
-            """Done-check, score extraction, and direction choice
-            (reference: src/scan_block.rs:447-592)."""
+            @pl.when(in_pro_end)
+            def _():
+                st_dir[...] = zrg + 2  # the prologue is the reference Grow step
+
+            @pl.when(jnp.logical_not(in_pro_end))
+            def _():
+                # shift_and_offset of the passive border pair; the column
+                # phase staged the new tail at its final position in temp*
+                oa = rep(st_oa[...])
+                right = repb(st_dir[...] == 0)
+                act = repb(active)
+
+                def shift_border(a_ref, b_ref, mm):
+                    a, b = a_ref[...], b_ref[...]
+                    a_off = _sat(a + oa)
+                    b_off = _sat(b + oa)
+                    corner_new = seg_lane_select(a_off, zrg + (STEP - 1))
+                    na = jnp.where(
+                        seg_pos >= S - STEP, tempD[...], seg_shift_down(a_off, STEP, 0)
+                    )
+                    nb = jnp.where(
+                        seg_pos >= S - STEP, tempR[...], seg_shift_down(b_off, STEP, 0)
+                    )
+                    a_ref[...] = jnp.where(mm, na, a)
+                    b_ref[...] = jnp.where(mm, nb, b)
+                    return corner_new
+
+                cr = shift_border(Drow, Rrow, act & right)
+                cd = shift_border(Dcol, Ccol, act & ~right)
+                st_corner[...] = jnp.where(
+                    active & (st_dir[...] == 0), cr,
+                    jnp.where(active & (st_dir[...] == 1), cd, st_corner[...]),
+                )
+
+            st_offmax[...] = jnp.where(
+                active, st_off[...] + seg_max(DMAX[...]) - ZERO, st_offmax[...]
+            )
+
+            # done-check, score extraction, direction choice
             i_, j_ = st_i[...], st_j[...]
-            reached = ((i_ + S) > qlen) & ((j_ + S) > rlen) & (st_done[...] == 0)
+            reached = ((i_ + S) > qlen) & ((j_ + S) > rlen) & active
             use_col = st_dir[...] != 1  # Right or Grow(prologue) -> D_col
             idx = jnp.clip(jnp.where(use_col, qlen - i_, rlen - j_), 0, S - 1)
             border = jnp.where(repb(use_col), Dcol[...], Drow[...])
@@ -292,6 +445,8 @@ def build_fixed_engine(cfg: FixedKernelConfig):
             st_out[...] = jnp.where(reached, fscore, st_out[...])
             st_done[...] = jnp.where(reached, 1, st_done[...])
 
+            right_max = seg_max(jnp.where(seg_pos < STEP, Dcol[...], NEG32))
+            down_max = seg_max(jnp.where(seg_pos < STEP, Drow[...], NEG32))
             cont = st_done[...] == 0
             forced_down = cont & ((j_ + S) > rlen)
             forced_right = cont & ~forced_down & ((i_ + S) > qlen)
@@ -303,190 +458,44 @@ def build_fixed_engine(cfg: FixedKernelConfig):
             st_j[...] = jnp.where(goright, j_ + STEP, j_)
             st_dir[...] = jnp.where(godown, 1, jnp.where(goright, 0, st_dir[...]))
 
-        # ---------------- prologue: the initial S x S rect ----------------
-        # (the first Grow step with prev_size == 0: a single grow-right rect;
-        # reference: src/scan_block.rs:247-329)
-        build_SC()
-        ec_parts = [
-            extract8(ECR, baseR[...], jnp.full((R_SUB, G), b8 * 8, jnp.int32))
-            for b8 in range(S // STEP)
-        ]
+        # ---------------- main column loop ----------------
+        def body(carry):
+            t, _ = carry
 
-        def pro_ec(w):
-            return ec_parts[w // STEP][:, :, w % STEP]
+            @pl.when((t % 8 == 0) & (t > 0))
+            def _():
+                pre_step(t)
 
-        n_pro = cfg.debug_cols if cfg.debug_cols else S
-        dmax = compute_rect(n_pro, pro_ec, 0, first_rect=True,
-                            corner_in=jnp.full((R_SUB, 128), NEG32, jnp.int32))
-        if cfg.debug_cols:
-            score_ref[0] = st_out[...]
-            dbg_ref[0, 0] = Dcol[...]
-            dbg_ref[0, 1] = Drow[...]
-            dbg_ref[0, 2] = qwin[...]
-            dbg_ref[0, 3] = rwin[...]
-            return
-        st_dir[...] = zrg + 2  # the prologue is the reference's Grow step
-        st_offmax[...] = st_off[...] + seg_max(dmax) - ZERO
-        right_max = seg_max(jnp.where(seg_pos < STEP, Dcol[...], NEG32))
-        down_max = seg_max(jnp.where(seg_pos < STEP, Drow[...], NEG32))
-        finish_or_choose(right_max, down_max)
+            column(t)
 
-        # ---------------- steady-state shift steps ----------------
-        max_steps = (2 * cfg.seq_cap) // STEP
+            @pl.when((t % 8 == 7) & (t >= S - 1))
+            def _():
+                post_step(t)
 
-        def step_body():
-            prev_off = st_off[...]
-            active = st_done[...] == 0
-            st_off[...] = jnp.where(active, st_offmax[...], prev_off)
-            off_add = jnp.clip(prev_off - st_off[...], I16_MIN, 32767)
-            oa = rep(off_add)
-            right = repb(st_dir[...] == 0)
-            act = repb(active)
-            Dcol[...] = jnp.where(act & right, _sat(Dcol[...] + oa), Dcol[...])
-            Ccol[...] = jnp.where(act & right, _sat(Ccol[...] + oa), Ccol[...])
-            Drow[...] = jnp.where(act & ~right, _sat(Drow[...] + oa), Drow[...])
-            Rrow[...] = jnp.where(act & ~right, _sat(Rrow[...] + oa), Rrow[...])
-
-            corner_ok = ((st_dir[...] == 0) & (st_pdir[...] == 1)) | (
-                (st_dir[...] == 1) & (st_pdir[...] == 0)
-            )
-            corner_in = jnp.where(
-                repb(corner_ok), _sat(rep(st_corner[...]) + oa), NEG32
-            )
-
-            # entering 8 codes on the advancing (column) side
-            pos8 = jnp.where(
-                st_dir[...] == 0, st_j[...] + (S - STEP), st_i[...] + (S - STEP)
-            )
-            need_r = active & (st_dir[...] == 0) & (pos8 + 8 > baseR[...] * 128 + 1024)
-            need_q = active & (st_dir[...] == 1) & (pos8 + 8 > baseQ[...] * 128 + 1024)
-            for p in range(TP):
-                row, seg = p // G, p % G
-                gp = tile * TP + p
-                pp8 = pos8[row, seg]
-
-                @pl.when(
-                    (st_done[row, seg] == 0) & (st_dir[row, seg] == 0)
-                    & (pp8 + 8 > baseR[row, seg] * 128 + 1024)
-                )
-                def _():
-                    k = jnp.minimum(pp8 // 128, NCH - 8)
-                    dma = pltpu.make_async_copy(
-                        codes_hbm.at[gp, 1, pl.ds(k, 8), :],
-                        ECR.at[row, seg],
-                        sem,
-                    )
-                    dma.start()
-                    dma.wait()
-
-                @pl.when(
-                    (st_done[row, seg] == 0) & (st_dir[row, seg] == 1)
-                    & (pp8 + 8 > baseQ[row, seg] * 128 + 1024)
-                )
-                def _():
-                    k = jnp.minimum(pp8 // 128, NCH - 8)
-                    dma = pltpu.make_async_copy(
-                        codes_hbm.at[gp, 0, pl.ds(k, 8), :],
-                        ECQ.at[row, seg],
-                        sem,
-                    )
-                    dma.start()
-                    dma.wait()
-            baseR[...] = jnp.where(need_r, jnp.minimum(pos8 // 128, NCH - 8), baseR[...])
-            baseQ[...] = jnp.where(need_q, jnp.minimum(pos8 // 128, NCH - 8), baseQ[...])
-
-            ecr = extract8(ECR, baseR[...], pos8)
-            ecq = extract8(ECQ, baseQ[...], pos8)
-            dmask = (st_dir[...] == 1).astype(jnp.int32)[:, :, None]
-            ec = ecr * (1 - dmask) + ecq * dmask
-
-            # the advancing side's lane window rolls by 8; entering codes at
-            # the tail (keeps both windows current so direction flips are free)
-            ins = jnp.zeros((R_SUB, 128), jnp.int32)
-            for w in range(STEP):
-                ins = jnp.where(seg_pos == (S - STEP + w), rep(ec[:, :, w]), ins)
-            rw_new = jnp.where(
-                seg_pos >= S - STEP, ins, seg_shift_down(rwin[...], STEP, 0)
-            )
-            qw_new = jnp.where(
-                seg_pos >= S - STEP, ins, seg_shift_down(qwin[...], STEP, 0)
-            )
-            rwin[...] = jnp.where(act & right, rw_new, rwin[...])
-            qwin[...] = jnp.where(act & ~right, qw_new, qwin[...])
-
-            build_SC()
-            dmax = compute_rect(
-                STEP, lambda w: ec[:, :, w], S - STEP, first_rect=False,
-                corner_in=corner_in,
-            )
-            st_offmax[...] = jnp.where(
-                active, st_off[...] + seg_max(dmax) - ZERO, st_offmax[...]
-            )
-
-            # shift_and_offset of the passive border pair
-            def shift_border(a_ref, b_ref, mm):
-                a, b = a_ref[...], b_ref[...]
-                a_off = _sat(a + oa)
-                b_off = _sat(b + oa)
-                corner_new = seg_lane_select(
-                    a_off, jnp.full((R_SUB, G), STEP - 1, jnp.int32)
-                )
-                na = jnp.where(
-                    seg_pos >= S - STEP, tempD[...], seg_shift_down(a_off, STEP, 0)
-                )
-                nb = jnp.where(
-                    seg_pos >= S - STEP, tempR[...], seg_shift_down(b_off, STEP, 0)
-                )
-                a_ref[...] = jnp.where(mm, na, a)
-                b_ref[...] = jnp.where(mm, nb, b)
-                return corner_new
-
-            cr = shift_border(Drow, Rrow, act & right)
-            cd = shift_border(Dcol, Ccol, act & ~right)
-            st_corner[...] = jnp.where(
-                active & (st_dir[...] == 0), cr,
-                jnp.where(active & (st_dir[...] == 1), cd, st_corner[...]),
-            )
-
-            right_max = seg_max(jnp.where(seg_pos < STEP, Dcol[...], NEG32))
-            down_max = seg_max(jnp.where(seg_pos < STEP, Drow[...], NEG32))
-            finish_or_choose(right_max, down_max)
+            return (t + 1, jnp.min(st_done[...]))
 
         def cond(carry):
             t, alldone = carry
-            return (t < max_steps) & (alldone == 0)
+            return (t < MAX_COLS) & (alldone == 0)
 
-        def wbody(carry):
-            t, _ = carry
-            step_body()
-            return (t + 1, jnp.min(st_done[...]))
-
-        lax.while_loop(cond, wbody, (jnp.int32(0), jnp.min(st_done[...])))
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
         score_ref[0] = st_out[...]
-        if cfg.debug:
-            dbg_ref[0, 0] = Dcol[...]
-            dbg_ref[0, 1] = Drow[...]
-            dbg_ref[0, 2] = rep(st_i[...] * 1000 + st_j[...])
-            dbg_ref[0, 3] = rep(st_dir[...] * 10 + st_done[...])
 
     # ------------------------------------------------------------------
     def engine(qlen, rlen, qwin0, rwin0, M, codes, gaps):
         in_specs = [
-                pl.BlockSpec((1, R_SUB, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, R_SUB, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, R_SUB, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, R_SUB, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_SUB, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_SUB, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_SUB, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_SUB, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         out_specs = pl.BlockSpec(
             (1, R_SUB, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((n_tiles, R_SUB, G), jnp.int32)
-        if cfg.debug:
-            out_specs = [out_specs, pl.BlockSpec((1, 4, R_SUB, 128), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM)]
-            out_shape = [out_shape, jax.ShapeDtypeStruct((n_tiles, 4, R_SUB, 128), jnp.int32)]
         return pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -505,11 +514,15 @@ def build_fixed_engine(cfg: FixedKernelConfig):
                 pltpu.VMEM((A, R_SUB, 128), jnp.int32),  # SC
                 pltpu.VMEM((R_SUB, G, 8, 128), jnp.int32),  # ECQ
                 pltpu.VMEM((R_SUB, G, 8, 128), jnp.int32),  # ECR
-                pltpu.VMEM((R_SUB, G), jnp.int32),  # baseQ
-                pltpu.VMEM((R_SUB, G), jnp.int32),  # baseR
+                pltpu.VMEM((STEP, R_SUB, 128), jnp.int32),  # EC8
+                pltpu.VMEM((R_SUB, 128), jnp.int32),  # CVEC
+                pltpu.VMEM((R_SUB, 128), jnp.int32),  # DMAX
             ]
-            + [pltpu.VMEM((R_SUB, G), jnp.int32) for _ in range(9)]
+            + [pltpu.VMEM((R_SUB, G), jnp.int32) for _ in range(13)]
             + [pltpu.SemaphoreType.DMA],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
             interpret=cfg.interpret,
         )(qlen, rlen, qwin0, rwin0, M, codes, gaps)
 

@@ -1,0 +1,108 @@
+"""Lane-layout Pallas kernel vs the scalar oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from block_aligner_tpu import BLOSUM62, BlockOracle, Gaps, NW1, PaddedBytes
+from block_aligner_tpu.ops.lane_kernel import (
+    LaneKernelConfig,
+    build_lane_engine,
+    pack_lane,
+)
+
+AA = b"ACDEFGHIKLMNPQRSTVWY"
+DNA = b"ACGT"
+
+
+def rand_seq(rng, alpha, n):
+    return bytes(rng.choice(list(alpha), size=n).tolist())
+
+
+def mutate(rng, s, k, alpha):
+    s = bytearray(s)
+    for _ in range(k):
+        op = int(rng.integers(0, 3))
+        pos = int(rng.integers(0, max(len(s), 1)))
+        if op == 0 and len(s) > 0:
+            s[pos % len(s)] = int(rng.choice(list(alpha)))
+        elif op == 1 and len(s) > 1:
+            del s[pos % len(s)]
+        else:
+            s.insert(pos, int(rng.choice(list(alpha))))
+    return bytes(s)
+
+
+def run_kernel(pairs, matrix, gaps, S, interpret=True):
+    maxlen = max(max(len(q), len(r)) for q, r in pairs)
+    cap = max(256, -(-(1 + maxlen + S + 16) // 128) * 128)
+    cfg = LaneKernelConfig(batch=128, block=S, seq_cap=cap,
+                           alpha=32 if matrix.kind != "nuc" else 16,
+                           interpret=interpret)
+    fn = build_lane_engine(cfg)
+    args = pack_lane(pairs, matrix, cfg, gaps)
+    out = np.asarray(fn(*args))
+    return [int(out[b // 128, 0, b % 128]) for b in range(len(pairs))]
+
+
+def oracle_scores(pairs, matrix, gaps, S):
+    a = BlockOracle()
+    out = []
+    for q, r in pairs:
+        pq = PaddedBytes.from_bytes(q, S, matrix)
+        pr = PaddedBytes.from_bytes(r, S, matrix)
+        a.align(pq, pr, matrix, gaps, (S, S), 0)
+        out.append(a.res().score)
+    return out
+
+
+def check(pairs, matrix, gaps, S, interpret=True):
+    want = oracle_scores(pairs, matrix, gaps, S)
+    got = run_kernel(pairs, matrix, gaps, S, interpret)
+    for k, (w, g) in enumerate(zip(want, got)):
+        assert w == g, f"pair {k}: oracle {w} != kernel {g}: q={pairs[k][0]!r} r={pairs[k][1]!r}"
+
+
+def test_lane_tiny_protein():
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = [
+        (b"AAAA", b"AARA"),
+        (b"AAAA", b"RRRR"),
+        (b"AAAA", b"AAA"),
+        (b"CAGGATTAGCGGATCACG", b"CTGGAGTCTTTTAGCGGATCACGC"),
+        (b"A", b"A"),
+        (b"AAAA", b""),
+    ]
+    check(pairs, BLOSUM62, gaps, 16)
+
+
+def test_lane_random_protein():
+    rng = np.random.default_rng(5)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(24):
+        n = int(rng.integers(10, 160))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 5, AA)))
+    check(pairs, BLOSUM62, gaps, 32)
+
+
+def test_lane_nuc_asymmetric():
+    rng = np.random.default_rng(9)
+    gaps = Gaps(open=-2, extend=-1)
+    pairs = []
+    for _ in range(16):
+        n = int(rng.integers(20, 120))
+        m = int(rng.integers(20, 120))
+        pairs.append((rand_seq(rng, DNA, n), rand_seq(rng, DNA, m)))
+    check(pairs, NW1, gaps, 16)
+
+
+def test_lane_random_dna_s64():
+    rng = np.random.default_rng(13)
+    gaps = Gaps(open=-6, extend=-2)
+    pairs = []
+    for _ in range(12):
+        n = int(rng.integers(64, 200))
+        q = rand_seq(rng, DNA, n)
+        pairs.append((q, mutate(rng, q, n // 4, DNA)))
+    check(pairs, NW1, gaps, 64)
