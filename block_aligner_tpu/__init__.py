@@ -29,11 +29,14 @@ from .core.scores import (
     percent_len,
 )
 from .core.seqs import PaddedBytes
+from .api import BatchAligner, ProfileAligner
 
 __version__ = "0.1.0"
 
 __all__ = [
     "AlignResult",
+    "BatchAligner",
+    "ProfileAligner",
     "BlockOracle",
     "Cigar",
     "Operation",

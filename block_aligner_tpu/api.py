@@ -1,13 +1,23 @@
-"""High-level batched alignment API.
+"""High-level batched alignment APIs.
 
-``BatchAligner`` is the TPU-facing entry point: it buckets pairs by length,
-packs per-pair score profiles, runs the lockstep engine (optionally sharded
-over a device mesh for multi-chip data parallelism -- the TPU analogue of
-scaling the reference's serial harness loop, reference:
-examples/uc_bench.rs:89-104), and returns ``AlignResult``s.
+``BatchAligner`` is the TPU-facing entry point: it packs per-pair score
+profiles, runs a batched aligner (optionally sharded over a device mesh for
+multi-chip data parallelism -- the TPU analogue of scaling the reference's
+serial harness loop, reference: examples/uc_bench.rs:89-104), and returns
+``AlignResult``s (plus CIGARs in trace mode).
 
-For single pairs / CPU-exact work (including traceback CIGARs) use
-``BlockOracle``; engine-side traceback lands in the traced engine.
+Two device backends sit underneath:
+
+* the general lockstep engine (ops/engine.py) -- adaptive block sizes,
+  x-drop, traceback, PSSM profiles, local-start / free-end-gap modes;
+* the lane kernel (ops/lane_kernel.py) -- the speed-of-light path for the
+  fixed-block global no-trace configuration (min_size == max_size), picked
+  automatically when eligible.
+
+``ProfileAligner`` is the sequence-to-PSSM counterpart of ``BatchAligner``
+(reference: Block::align_profile, src/scan_block.rs:942-995).
+
+For single pairs / CPU-exact work use ``BlockOracle``.
 """
 
 from __future__ import annotations
@@ -17,11 +27,13 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .core.cigar import Cigar
 from .core.oracle import AlignResult
 from .core.scores import ByteMatrix, Gaps
-from .ops.engine import EngineConfig, build_engine, pack_pairs
+from .core.traceback import EngineTrace
+from .ops.engine import EngineConfig, build_engine, pack_pairs, pack_profiles
 
-__all__ = ["BatchAligner", "round_up"]
+__all__ = ["BatchAligner", "ProfileAligner", "round_up"]
 
 
 def round_up(x: int, m: int) -> int:
@@ -35,6 +47,10 @@ class BatchAligner:
     block-size range, sequence capacity, and mode flags) and can be reused
     for many batches, like the reference's reusable ``Block`` allocation
     (reference: src/scan_block.rs:798-805).
+
+    Mode flags mirror the reference const generics ``Block<TRACE, X_DROP,
+    LOCAL_START, FREE_QUERY_START_GAPS, FREE_QUERY_END_GAPS>``
+    (reference: src/scan_block.rs:89).
     """
 
     def __init__(
@@ -45,18 +61,64 @@ class BatchAligner:
         *,
         batch: int = 256,
         seq_cap: int = 1024,
+        trace: bool = False,
         x_drop: Optional[int] = None,
+        local_start: bool = False,
+        free_query_start_gaps: bool = False,
+        free_query_end_gaps: bool = False,
         mesh=None,
         data_axis: str = "data",
+        use_lane_kernel: Optional[bool] = None,
     ):
+        assert gaps.open < 0 and gaps.extend < 0, "Gap costs must be negative!"
+        assert gaps.open < gaps.extend, "Gap open must cost more than gap extend!"
+        assert not (local_start and free_query_start_gaps)
+        assert not (x_drop is not None and free_query_end_gaps)
         self.matrix = matrix
         self.gaps = gaps
         min_size, max_size = size
         min_size = max(min_size, 16)
-        max_size = max(max_size, 16)
+        max_size = max(max_size, min_size)
         self.x_drop = x_drop
         self.mesh = mesh
         self.data_axis = data_axis
+        self._trace_mode = trace
+        self._last_trace: Optional[EngineTrace] = None
+        plain = not (
+            trace
+            or x_drop is not None
+            or local_start
+            or free_query_start_gaps
+            or free_query_end_gaps
+            or isinstance(matrix, ByteMatrix)
+        )
+        if use_lane_kernel is None:
+            use_lane_kernel = (
+                plain and min_size == max_size and 16 <= min_size <= 512
+                and mesh is None
+            )
+        self._lane = use_lane_kernel
+        if self._lane:
+            import jax
+
+            from .ops.lane_kernel import LaneKernelConfig, build_lane_engine
+
+            cap = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
+            banks = max(1, min(16, round_up(max(batch, 128), 128) // 128))
+            while banks & (banks - 1):
+                banks -= 1
+            self._lane_cfg = LaneKernelConfig(
+                batch=round_up(max(batch, 128), 128 * banks),
+                block=min_size,
+                seq_cap=cap,
+                alpha=32 if matrix.kind != "nuc" else 16,
+                banks=banks,
+                # Mosaic compiles only on TPU; elsewhere run interpreted
+                interpret=jax.default_backend() != "tpu",
+            )
+            self._lane_fn = build_lane_engine(self._lane_cfg)
+            self.cfg = None
+            return
         if mesh is not None:
             ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
             batch = round_up(batch, ndev)
@@ -68,7 +130,11 @@ class BatchAligner:
             seq_cap=cap,
             n_rows=getattr(matrix, "ROWS", 1),
             is_byte=isinstance(matrix, ByteMatrix),
+            trace=trace,
             x_drop=x_drop is not None,
+            local_start=local_start,
+            free_query_start_gaps=free_query_start_gaps,
+            free_query_end_gaps=free_query_end_gaps,
         )
         self._fn = self._build()
 
@@ -82,7 +148,6 @@ class BatchAligner:
         mesh = self.mesh
         ax = self.data_axis
         shard_b = NamedSharding(mesh, P(ax))
-        repl = NamedSharding(mesh, P())
 
         def sharded(Sprof, CRow, qlen, rlen, go, ge, xd, **kw):
             Sprof = jax.device_put(Sprof, NamedSharding(mesh, P(ax, None, None, None)))
@@ -95,15 +160,30 @@ class BatchAligner:
 
     @property
     def batch_size(self) -> int:
-        return self.cfg.batch
+        return self._lane_cfg.batch if self._lane else self.cfg.batch
+
+    @property
+    def seq_capacity(self) -> int:
+        cap = self._lane_cfg.seq_cap if self._lane else self.cfg.seq_cap
+        blk = self._lane_cfg.block if self._lane else self.cfg.max_size
+        return cap - blk - 17
 
     def align_batch(self, pairs: Sequence[Tuple[bytes, bytes]]) -> List[AlignResult]:
-        """Align up to ``batch`` pairs; shorter lists are padded internally."""
-        assert len(pairs) <= self.cfg.batch
+        """Align up to ``batch_size`` pairs; shorter lists pad internally."""
+        assert len(pairs) <= self.batch_size
         for q, r in pairs:
-            assert 1 + max(len(q), len(r)) + self.cfg.max_size + 16 <= self.cfg.seq_cap, (
+            assert max(len(q), len(r)) <= self.seq_capacity, (
                 "sequence too long for this BatchAligner's seq_cap"
             )
+        if self._lane:
+            from .ops.lane_kernel import pack_lane
+
+            args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps)
+            out = np.asarray(self._lane_fn(*args)).reshape(self._lane_cfg.batch)
+            return [
+                AlignResult(int(out[b]), len(q), len(r))
+                for b, (q, r) in enumerate(pairs)
+            ]
         padded = list(pairs) + [(b"", b"")] * (self.cfg.batch - len(pairs))
         Sprof, CRow, qlen, rlen = pack_pairs(padded, self.matrix, self.cfg)
         kw = {}
@@ -111,24 +191,106 @@ class BatchAligner:
             kw = dict(
                 byte_match=self.matrix.match_score, byte_mismatch=self.matrix.mismatch_score
             )
-        score, qi, rj, _ = self._fn(
-            Sprof,
-            CRow,
-            qlen,
-            rlen,
-            self.gaps.open,
-            self.gaps.extend,
-            self.x_drop or 0,
-            **kw,
+        out = self._fn(
+            Sprof, CRow, qlen, rlen,
+            self.gaps.open, self.gaps.extend, self.x_drop or 0, **kw,
         )
+        if self._trace_mode:
+            score, qi, rj, iters, tr, meta = out
+            self._last_trace = EngineTrace(
+                np.asarray(tr), np.asarray(meta), int(iters),
+                local_start=self.cfg.local_start,
+                free_query_start_gaps=self.cfg.free_query_start_gaps,
+            )
+        else:
+            score, qi, rj, _ = out
         score = np.asarray(score)
         qi = np.asarray(qi)
         rj = np.asarray(rj)
         return [AlignResult(int(score[k]), int(qi[k]), int(rj[k])) for k in range(len(pairs))]
 
     def align_all(self, pairs: Sequence[Tuple[bytes, bytes]]) -> List[AlignResult]:
-        """Align an arbitrary number of pairs in batches."""
+        """Align an arbitrary number of pairs in batches (trace mode keeps
+        only the last batch's trace; use batch-sized calls for CIGARs)."""
         out: List[AlignResult] = []
-        for k in range(0, len(pairs), self.cfg.batch):
-            out.extend(self.align_batch(pairs[k : k + self.cfg.batch]))
+        for k in range(0, len(pairs), self.batch_size):
+            out.extend(self.align_batch(pairs[k : k + self.batch_size]))
         return out
+
+    # --- trace accessors (reference: Block::trace, src/scan_block.rs:1241) --
+    def trace(self) -> EngineTrace:
+        assert self._trace_mode and self._last_trace is not None
+        return self._last_trace
+
+    def cigar(self, k: int, i: int, j: int, cigar: Optional[Cigar] = None) -> Cigar:
+        """CIGAR for pair ``k`` of the last batch, from end position (i, j)."""
+        return self.trace().cigar(k, i, j, cigar)
+
+    def cigar_eq(self, k: int, q, r, i: int, j: int,
+                 cigar: Optional[Cigar] = None) -> Cigar:
+        from .core.seqs import PaddedBytes
+
+        blk = self.cfg.max_size
+        pq = q if isinstance(q, PaddedBytes) else PaddedBytes.from_bytes(q, blk, self.matrix)
+        pr = r if isinstance(r, PaddedBytes) else PaddedBytes.from_bytes(r, blk, self.matrix)
+        return self.trace().cigar_eq(k, pq, pr, i, j, cigar)
+
+
+class ProfileAligner:
+    """Batched sequence-to-PSSM aligner (reference: align_profile,
+    src/scan_block.rs:942-995).  Pairs are ``(query_bytes, AAProfile)``."""
+
+    def __init__(
+        self,
+        size: Tuple[int, int] = (32, 256),
+        *,
+        batch: int = 64,
+        seq_cap: int = 1024,
+        trace: bool = False,
+        x_drop: Optional[int] = None,
+    ):
+        min_size, max_size = size
+        min_size = max(min_size, 16)
+        max_size = max(max_size, min_size)
+        self.x_drop = x_drop
+        self._trace_mode = trace
+        self._last_trace: Optional[EngineTrace] = None
+        cap = round_up(1 + seq_cap + max_size + 16, 128)
+        self.cfg = EngineConfig(
+            batch=batch,
+            min_size=min_size,
+            max_size=max_size,
+            seq_cap=cap,
+            n_rows=27,
+            profile=True,
+            trace=trace,
+            x_drop=x_drop is not None,
+        )
+        self._fn = build_engine(self.cfg)
+
+    @property
+    def batch_size(self) -> int:
+        return self.cfg.batch
+
+    def align_batch(self, pairs) -> List[AlignResult]:
+        assert len(pairs) <= self.cfg.batch
+        padded = list(pairs) + [(b"", None)] * (self.cfg.batch - len(pairs))
+        Sprof, CRow, qlen, rlen, GOC, GCC, GOR, ge = pack_profiles(padded, self.cfg)
+        out = self._fn(Sprof, CRow, qlen, rlen, 0, ge, self.x_drop or 0,
+                       GOC=GOC, GCC=GCC, GOR=GOR)
+        if self._trace_mode:
+            score, qi, rj, iters, tr, meta = out
+            self._last_trace = EngineTrace(np.asarray(tr), np.asarray(meta), int(iters))
+        else:
+            score, qi, rj, _ = out
+        score = np.asarray(score)
+        qi = np.asarray(qi)
+        rj = np.asarray(rj)
+        return [AlignResult(int(score[k]), int(qi[k]), int(rj[k])) for k in range(len(pairs))]
+
+    def trace(self) -> EngineTrace:
+        assert self._trace_mode and self._last_trace is not None
+        return self._last_trace
+
+    def cigar(self, k: int, i: int, j: int, cigar: Optional[Cigar] = None) -> Cigar:
+        return self.trace().cigar(k, i, j, cigar)

@@ -198,9 +198,9 @@ class EngineTrace:
     """
 
     def __init__(self, trace, meta, iters: int, *, local_start=False,
-                 free_query_start_gaps=False):
-        self.trace = np.asarray(trace)
-        self.meta = np.asarray(meta)
+                 free_query_start_gaps=False, native=True):
+        self.trace = np.ascontiguousarray(np.asarray(trace))
+        self.meta = np.ascontiguousarray(np.asarray(meta))
         self.iters = int(iters)
         assert self.iters <= self.trace.shape[0], (
             "engine trace buffer overflow: raise EngineConfig.trace_cols"
@@ -208,6 +208,47 @@ class EngineTrace:
         self.local_start = local_start
         self.free_query_start_gaps = free_query_start_gaps
         self._rect_cache = {}
+        self._native = None
+        if native:
+            from ..native import load
+
+            self._native = load()
+
+    def _native_cigar(self, b, i, j, eq=False, q=None, r=None,
+                      cigar: Optional[Cigar] = None) -> Optional[Cigar]:
+        lib = self._native
+        if lib is None:
+            return None
+        import ctypes
+
+        T, B, H = self.trace.shape
+        cap = 2 * (int(i) + int(j) + 4)
+        out = np.empty(cap, dtype=np.int32)
+        if eq:
+            qc = np.ascontiguousarray(q.codes, dtype=np.uint8)
+            rc = np.ascontiguousarray(r.codes, dtype=np.uint8)
+            qp = qc.ctypes.data_as(ctypes.c_void_p)
+            rp = rc.ctypes.data_as(ctypes.c_void_p)
+        else:
+            qp = rp = None
+        n = lib.ba_trace_cigar(
+            self.trace.ctypes.data_as(ctypes.c_void_p),
+            self.meta.ctypes.data_as(ctypes.c_void_p),
+            T, B, H, self.iters, b, int(i), int(j),
+            1 if self.local_start else 0,
+            1 if self.free_query_start_gaps else 0,
+            1 if eq else 0,
+            qp, rp,
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+        )
+        if n < 0:
+            return None  # fall back to the python walker
+        if cigar is None:
+            cigar = Cigar()
+        cigar.clear()
+        for k in range(int(n) - 1, -1, -1):  # Cigar stores reversed
+            cigar.add(Operation(int(out[2 * k])), int(out[2 * k + 1]))
+        return cigar
 
     def rects_for(self, b: int) -> List[TraceRect]:
         if b in self._rect_cache:
@@ -256,6 +297,9 @@ class EngineTrace:
         return rects
 
     def cigar(self, b: int, i: int, j: int, cigar: Optional[Cigar] = None) -> Cigar:
+        got = self._native_cigar(b, i, j, cigar=cigar)
+        if got is not None:
+            return got
         return cigar_walk(
             self.rects_for(b), i, j,
             local_start=self.local_start,
@@ -265,6 +309,9 @@ class EngineTrace:
 
     def cigar_eq(self, b: int, q, r, i: int, j: int,
                  cigar: Optional[Cigar] = None) -> Cigar:
+        got = self._native_cigar(b, i, j, eq=True, q=q, r=r, cigar=cigar)
+        if got is not None:
+            return got
         return cigar_walk(
             self.rects_for(b), i, j,
             local_start=self.local_start,

@@ -1,0 +1,74 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The shared library is built on demand with the system toolchain (g++) and
+cached next to the sources; everything has a pure-Python fallback, so a
+missing compiler only costs speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+import threading
+from pathlib import Path
+from typing import Optional
+
+_DIR = Path(__file__).resolve().parent
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build() -> Optional[Path]:
+    so = _DIR / "libbawalker.so"
+    src = _DIR / "walker.cpp"
+    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+        return so
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", str(so), str(src)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return so
+    except Exception:
+        return None
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native walker; None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            return None
+        lib.ba_trace_cigar.restype = ctypes.c_int64
+        lib.ba_trace_cigar.argtypes = [
+            ctypes.c_void_p,  # trace (T,B,H) int8
+            ctypes.c_void_p,  # meta (T,B,2) int32
+            ctypes.c_int64,  # T
+            ctypes.c_int64,  # B
+            ctypes.c_int64,  # H
+            ctypes.c_int64,  # iters
+            ctypes.c_int64,  # b
+            ctypes.c_int64,  # i
+            ctypes.c_int64,  # j
+            ctypes.c_int32,  # local_start
+            ctypes.c_int32,  # free_query_start_gaps
+            ctypes.c_int32,  # eq
+            ctypes.c_void_p,  # qcodes (uint8, 1-based) or None
+            ctypes.c_void_p,  # rcodes
+            ctypes.c_void_p,  # out_ops int32*
+            ctypes.c_int64,  # out_cap
+        ]
+        _LIB = lib
+        return _LIB

@@ -1,0 +1,134 @@
+// Exact full-matrix affine-gap DP oracles (native).
+//
+// The fast counterpart of core/full_dp.py -- the analogue of the reference's
+// external exact oracles (rust-bio in examples/accuracy.rs /
+// examples/uc_accuracy.rs; the scalar x-drop oracle in
+// examples/x_drop_accuracy.rs:109-160).  Used by the dataset-scale accuracy
+// harnesses where the NumPy oracle would dominate wall time.
+//
+// Gap convention matches Gaps: a gap of length n costs open + extend*(n-1).
+//
+// Build: g++ -O3 -shared -fPIC -o libbaexact.so exact.cpp
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+namespace {
+constexpr int64_t NEG = -(int64_t)1 << 40;
+}
+
+extern "C" {
+
+// Global (Needleman-Wunsch-Gotoh) score. q/r are table row/col indices
+// (pre-converted); sub is the (rows x cols) substitution table, row-major,
+// indexed sub[r_code * cols + q_code] (the reference's get(a=row char, b=col
+// char) orientation is symmetric for matrices used here).
+int64_t ba_global_score(const int32_t* q, int64_t n, const int32_t* r,
+                        int64_t m, const int32_t* sub, int64_t cols,
+                        int32_t open, int32_t extend) {
+  std::vector<int64_t> D(m + 1), C(m + 1);
+  D[0] = 0;
+  for (int64_t j = 1; j <= m; j++) D[j] = open + (j - 1) * (int64_t)extend;
+  for (int64_t j = 0; j <= m; j++) C[j] = NEG;
+  for (int64_t i = 1; i <= n; i++) {
+    int64_t diag = D[0];  // D[i-1][0]
+    D[0] = open + (i - 1) * (int64_t)extend;
+    int64_t R = NEG;  // horizontal-in-row gap table (gap in r)
+    for (int64_t j = 1; j <= m; j++) {
+      C[j] = std::max(C[j] + extend, D[j] + open);          // gap in q (col)
+      R = std::max(R + extend, D[j - 1] + open);            // gap in r (row)
+      const int64_t s = diag + sub[r[j - 1] * cols + q[i - 1]];
+      diag = D[j];
+      D[j] = std::max({s, C[j], R});
+    }
+  }
+  return D[m];
+}
+
+// X-drop full-DP: best score + end position, pruning cells more than x
+// below the running best. Ties prefer smaller i then smaller j.
+void ba_xdrop_score(const int32_t* q, int64_t n, const int32_t* r, int64_t m,
+                    const int32_t* sub, int64_t cols, int32_t open,
+                    int32_t extend, int32_t x, int64_t* out_score,
+                    int64_t* out_i, int64_t* out_j) {
+  // rolling rows: D/F need only the previous row; E is horizontal in-row
+  std::vector<int64_t> Dp(m + 1, NEG), D(m + 1, NEG), F(m + 1, NEG);
+  Dp[0] = 0;
+  int64_t best = 0, bi = 0, bj = 0;
+  // row 0
+  {
+    int64_t E = NEG;
+    for (int64_t j = 1; j <= m; j++) {
+      E = std::max(E + extend, Dp[j - 1] + open);
+      int64_t d = E;
+      if (d < best - x) d = NEG;
+      Dp[j] = d;
+      if (d > best) {
+        best = d;
+        bi = 0;
+        bj = j;
+      }
+    }
+  }
+  for (int64_t i = 1; i <= n; i++) {
+    int64_t E = NEG;
+    for (int64_t j = 0; j <= m; j++) {
+      F[j] = std::max(F[j] + extend, Dp[j] + open);
+      int64_t s = NEG;
+      if (j > 0) {
+        E = std::max(E + extend, D[j - 1] + open);
+        s = Dp[j - 1] + sub[r[j - 1] * cols + q[i - 1]];
+      }
+      int64_t d = std::max({s, (j > 0 ? E : NEG), F[j]});
+      if (d < best - x) d = NEG;
+      D[j] = d;
+      if (d > best) {
+        best = d;
+        bi = i;
+        bj = j;
+      }
+    }
+    std::swap(Dp, D);
+  }
+  *out_score = best;
+  *out_i = bi;
+  *out_j = bj;
+}
+
+// Global score against a PSSM profile with position-specific scores and gap
+// open/close costs (the exact counterpart of the reference profile DP;
+// reference semantics per core/full_dp.py:global_align_profile_score).
+// pos_scores: (m+1) x 32 row-major; gap arrays length m+1.
+int64_t ba_global_profile_score(const int32_t* q, int64_t n,
+                                const int32_t* pos_scores, int64_t m,
+                                const int32_t* gap_open_C,
+                                const int32_t* gap_close_C,
+                                const int32_t* gap_open_R, int32_t extend) {
+  std::vector<int64_t> D(m + 1), C(m + 1), R(m + 1);
+  D[0] = 0;
+  C[0] = NEG;
+  R[0] = NEG;
+  for (int64_t j = 1; j <= m; j++) {
+    C[j] = std::max(C[j - 1] + extend, D[j - 1] + gap_open_C[j] + extend);
+    D[j] = C[j] + gap_close_C[j];
+    R[j] = NEG;
+  }
+  for (int64_t i = 1; i <= n; i++) {
+    int64_t diag = D[0];
+    R[0] = std::max(R[0] + extend, D[0] + gap_open_R[0] + extend);
+    D[0] = R[0];
+    int64_t Crow = NEG;
+    for (int64_t j = 1; j <= m; j++) {
+      Crow = std::max(Crow + extend, D[j - 1] + gap_open_C[j] + extend);
+      C[j] = Crow;
+      R[j] = std::max(R[j] + extend, D[j] + gap_open_R[j] + extend);
+      const int64_t s = diag + pos_scores[j * 32 + q[i - 1]];
+      diag = D[j];
+      D[j] = std::max({s, Crow + gap_close_C[j], R[j]});
+    }
+  }
+  return D[m];
+}
+
+}  // extern "C"

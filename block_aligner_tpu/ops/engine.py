@@ -36,7 +36,7 @@ from jax import lax
 
 from ..core.oracle import I16_MAX, I16_MIN, L, MIN_VAL, STEP, X_DROP_ITER, ZERO
 
-__all__ = ["EngineConfig", "build_engine", "pack_pairs"]
+__all__ = ["EngineConfig", "build_engine", "pack_pairs", "pack_profiles"]
 
 # phases
 P_START = 0
@@ -71,6 +71,7 @@ class EngineConfig:
     seq_cap: int  # padded per-side sequence capacity (Lmax)
     n_rows: int  # score-table rows (27->32 for AA, 8 for Nuc)
     is_byte: bool = False
+    profile: bool = False  # sequence-to-PSSM mode (reference align_profile)
     x_drop: bool = False
     trace: bool = False
     local_start: bool = False
@@ -126,7 +127,8 @@ def build_engine(cfg: EngineConfig):
     lane_mod8_cost = None  # built once gap_extend is known (traced)
 
     def engine(Sprof, CRow, qlen, rlen, gap_open, gap_extend, x_drop_amt,
-               byte_match=jnp.int32(0), byte_mismatch=jnp.int32(0)):
+               byte_match=jnp.int32(0), byte_mismatch=jnp.int32(0),
+               GOC=None, GCC=None, GOR=None):
         gap_open = jnp.int32(gap_open)
         e = jnp.int32(gap_extend)
         x_drop_amt = jnp.int32(x_drop_amt)
@@ -340,9 +342,45 @@ def build_engine(cfg: EngineConfig):
                 rows = jax.vmap(lambda Sb, i: Sb[i])(Sflat, d_idx * nr)
                 lane_codes = window(rows, starti).astype(jnp.int32)
                 scores = jnp.where(lane_codes == c_row[:, None], byte_match, byte_mismatch)
+            elif cfg.profile:
+                # seq-to-PSSM is asymmetric (reference: src/scan_block.rs:597-783):
+                # right rects score per-position rows against the query lane
+                # window; down rects score one amino acid along positions.
+                rightb = right
+                # right: row32 = profile scores at position cp, one-hot-
+                # contracted with the query-code lane window
+                row32 = jax.vmap(lambda s, p: lax.dynamic_slice(s, (0, p), (nr, 1)))(
+                    Sprof[:, 1], cp_c
+                )[..., 0].astype(jnp.int32)  # (B, nr)
+                qwin = window(
+                    CRow[:, 0, :].reshape(B, cfg.seq_cap // STEP, STEP), starti
+                )  # (B, H) query codes
+                scores_r = jnp.zeros((B, H), jnp.int32)
+                for a in range(nr):
+                    scores_r = jnp.where(qwin == a, row32[:, a : a + 1], scores_r)
+                # down: contiguous per-aa score row along positions
+                rows = jax.vmap(lambda Sb, i: Sb[i])(Sflat, nr + c_row)
+                scores_d = window(rows, starti).astype(jnp.int32)
+                scores = jnp.where(rightb[:, None], scores_r, scores_d)
             else:
                 rows = jax.vmap(lambda Sb, i: Sb[i])(Sflat, d_idx * nr + c_row)
                 scores = window(rows, starti).astype(jnp.int32)
+
+            if cfg.profile:
+                # per-position gap costs (reference: src/scores.rs:341-447;
+                # down rects swap C<->R roles, src/scan_block.rs:651-705)
+                def gword(v):
+                    return jax.vmap(lambda a, p: a[p])(v, cp_c)
+
+                def gwin(v):
+                    return window(v.reshape(B, cfg.seq_cap // STEP, STEP), starti)
+
+                goc = jnp.where(
+                    right[:, None], (gword(GOC) + e)[:, None], gwin(GOR) + e
+                )
+                gor_v = jnp.where(right[:, None], gword(GOR)[:, None], gwin(GOC))
+                gcc_b = gword(GCC)  # right-rect C-close, broadcast
+                gcr_v = gwin(GCC)  # down-rect R-close, per lane
 
             D10 = jnp.where(right[:, None], s["D_col"], s["D_row"])
             C10 = jnp.where(right[:, None], s["C_col"], s["R_row"])
@@ -360,19 +398,35 @@ def build_engine(cfg: EngineConfig):
             if cfg.local_start:
                 D11 = jnp.maximum(D11, s["rz"][:, None])
 
-            C11_open = _sat(D10 + gap_open)
-            C11 = jnp.maximum(_sat(C10 + e), C11_open)
-            C11_end = C11
+            if cfg.profile:
+                C11_open = _sat(D10 + goc)
+                C11 = jnp.maximum(_sat(C10 + e), C11_open)
+                # gap close costs when leaving C (right rects only;
+                # reference: src/scan_block.rs:692-705)
+                C11_end = jnp.where(
+                    right[:, None], _sat(C11 + gcc_b[:, None]), C11
+                )
+            else:
+                C11_open = _sat(D10 + gap_open)
+                C11 = jnp.maximum(_sat(C10 + e), C11_open)
+                C11_end = C11
             D11 = jnp.maximum(D11, C11_end)
 
-            D11_open = _sat(D11 + (gap_open - e))
+            if cfg.profile:
+                D11_open = _sat(D11 + gor_v)
+            else:
+                D11_open = _sat(D11 + (gap_open - e))
             # exact chunked-AVX2 prefix scan, closed form
             ek = e * lanes[None, :]
             run = lax.cummax(D11_open - ek, axis=1)
             R11 = _clamp16(run + ek)
             zero_cand = e * ((lanes % STEP) + 1)
             R11 = jnp.maximum(R11, zero_cand[None, :])
-            R11_end = R11
+            if cfg.profile:
+                # gap close costs when leaving R (down rects only)
+                R11_end = jnp.where(right[:, None], R11, _sat(R11 + gcr_v))
+            else:
+                R11_end = R11
             D11 = jnp.maximum(D11, R11_end)
 
             if cfg.trace:
@@ -791,3 +845,52 @@ def pack_pairs(pairs, matrix, cfg: EngineConfig):
             CRow[b, 0] = matrix.row_index(rp.astype(np.uint8)).astype(np.int64)
             CRow[b, 1] = matrix.row_index(qp.astype(np.uint8)).astype(np.int64)
     return Sprof, CRow, qlen, rlen
+
+
+def pack_profiles(pairs, cfg: EngineConfig):
+    """Host-side packer for sequence-to-PSSM batches.
+
+    ``pairs`` is a list of ``(query_bytes, AAProfile)``; the profile plays
+    the reference role (reference: src/scan_block.rs:942-995).  Returns
+    ``(Sprof, CRow, qlen, rlen, GOC, GCC, GOR, gap_extend)``:
+
+      Sprof[b, 1, a, p] = profile score of amino acid ``a`` at position p
+      (the reference's transposed ``aa_pos`` layout, src/scores.rs:454-468);
+      Sprof[b, 0] is unused.  CRow[b, :, p] = query code at p.  GOC/GCC/GOR
+      are the per-position gap open/close cost vectors.
+    """
+    assert cfg.profile
+    B, Lmax, nr = cfg.batch, cfg.seq_cap, cfg.n_rows
+    Sprof = np.full((B, 2, nr, Lmax), -128, dtype=np.int8)
+    CRow = np.full((B, 2, Lmax), nr - 1, dtype=np.int32)
+    GOC = np.full((B, Lmax), -128, dtype=np.int32)
+    GCC = np.full((B, Lmax), -128, dtype=np.int32)
+    GOR = np.full((B, Lmax), -128, dtype=np.int32)
+    qlen = np.zeros(B, dtype=np.int32)
+    rlen = np.zeros(B, dtype=np.int32)
+    gap_extend = None
+
+    for b, (q, prof) in enumerate(pairs):
+        if prof is None:  # batch padding entry
+            continue
+        if gap_extend is None:
+            gap_extend = prof.get_gap_extend()
+        assert gap_extend == prof.get_gap_extend(), (
+            "all profiles in a batch must share gap_extend"
+        )
+        qc = prof.convert(q).astype(np.int64)
+        qlen[b] = len(qc)
+        rlen[b] = prof.str_len
+        cl = prof.curr_len
+        assert cl <= Lmax and 1 + len(qc) + cfg.max_size + 16 <= Lmax
+        qp = np.full(Lmax, 26, dtype=np.int64)  # NULL code
+        qp[1 : 1 + len(qc)] = qc
+        CRow[b, 0] = qp
+        CRow[b, 1] = qp
+        ps = np.asarray(prof.pos_scores[:cl], dtype=np.int64)
+        assert ps.min() >= -128 and ps.max() <= 127
+        Sprof[b, 1, :, :cl] = ps.T[:nr].astype(np.int8)
+        GOC[b, :cl] = prof.gap_open_C[:cl]
+        GCC[b, :cl] = prof.gap_close_C[:cl]
+        GOR[b, :cl] = prof.gap_open_R[:cl]
+    return Sprof, CRow, qlen, rlen, GOC, GCC, GOR, (gap_extend or -1)

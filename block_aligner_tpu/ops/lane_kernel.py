@@ -1,29 +1,25 @@
 """Pallas TPU lane kernel: fixed-block global alignment, pairs-in-lanes.
 
 Second-generation fixed-block kernel (supersedes ops/fixed_kernel.py's
-interleaved-segment layout).  Measured TPU op costs drove the layout: lane
-rotations cost ~80 ns and `pltpu.repeat` ~75 ns per (8,128) vreg, while
-sublane shifts are ~14 ns and plain VPU ops ~3-6 ns.  The interleaved layout
-needed ~8 lane rolls + ~6 repeats per DP column; this layout needs zero of
-either.
+interleaved-segment layout).  Measured TPU op costs drove the design:
 
-Layout: each grid program owns P=128 pairs, one per *lane*.  Every DP border
-/ score array is (S, 128): sublane s = in-block position, lane b = pair.
-Consequences:
+* lane rotations cost ~80 ns and `pltpu.repeat` ~75 ns per (8,128) vreg,
+  while sublane shifts are ~14 ns and plain VPU ops ~3-6 ns -- so the DP
+  column lives along *sublanes* (shift = concat) and pairs live along
+  *lanes* (per-pair scalars are native (1,128) rows);
+* a dependent (32,128) op costs ~25 ns (latency-bound, ~23 cycles) but the
+  VPU retires one (8,128) vreg per cycle -- so each program interleaves
+  ``banks`` independent 128-pair blocks: every op is (K, S, 128)-shaped,
+  giving K*S/8 independent vregs per op and hiding the dependency latency
+  of the inherently sequential DP column chain.
 
-* the vertical shift-by-1 (D00) and the log-step prefix scan are sublane
-  concats (cheap);
-* per-pair scalars (i, j, off, direction, done) are native (1, 128) rows --
-  no broadcasts or lane reductions;
-* both sequences' codes for all 128 pairs fit in VMEM as an int8
-  (2*NCH, 128, 128) block (position-major, pair-in-lane), DMA'd once at
-  program start -- there are **no mid-run DMA refills** (the predecessor
-  needed per-pair predicated DMAs);
-* per-step entering codes are extracted with a masked chunk/offset
-  reduction; per-side score-plane stacks SCQ/SCR (A, S, 128) int8 are
-  maintained incrementally (8 new rows per step, scored on the MXU via
-  one-hot matmuls against the substitution matrix), so direction flips cost
-  one masked copy instead of a rebuild.
+Layout: each grid program owns K*128 pairs.  DP state is (K, S, 128):
+bank k, in-block position s, pair lane b.  Both sequences' codes live in
+VMEM as int8 (K, 2*NCH, 128, 128) (position-major), DMA'd once at program
+start -- no mid-run DMA.  Entering codes are extracted with a masked
+chunk/offset reduction; per-side score-plane stacks SCQ/SCR
+(A, K, S, 128) int8 advance incrementally (8 new rows per step, scored on
+the MXU via one-hot matmuls), so direction flips cost one masked copy.
 
 Algorithm semantics are identical to the reference fixed-size configuration
 (reference: src/scan_block.rs:94-595 with min==max: no grow/shrink/ckpt;
@@ -55,7 +51,7 @@ from ..core.oracle import I16_MIN, STEP, ZERO
 
 __all__ = ["LaneKernelConfig", "build_lane_engine", "pack_lane"]
 
-P = 128  # pairs per grid program (one per lane)
+P = 128  # pairs per bank (one per lane)
 NEG32 = I16_MIN
 
 
@@ -65,6 +61,7 @@ class LaneKernelConfig:
     block: int  # S: fixed block size (pow2, 16..512)
     seq_cap: int  # padded sequence capacity, multiple of 128
     alpha: int = 32  # score-table rows (32 for AA, 16 for Nuc)
+    banks: int = 4  # independent 128-pair banks per program (ILP)
     interpret: bool = False
 
     def __post_init__(self):
@@ -72,7 +69,10 @@ class LaneKernelConfig:
         assert S & (S - 1) == 0 and 16 <= S <= 512
         assert self.seq_cap % 128 == 0 and self.seq_cap >= 256
         assert self.seq_cap <= 4096, "lane kernel keeps codes VMEM-resident"
-        assert self.batch % P == 0
+        assert self.banks in (1, 2, 4, 8, 16, 32)
+        # K == 1 leaves a unit leading dim that pessimizes Mosaic layouts
+        # ~5x (measured); prefer K >= 2 whenever the batch allows it
+        assert self.batch % (P * self.banks) == 0
 
     @property
     def n_chunks(self) -> int:
@@ -80,7 +80,7 @@ class LaneKernelConfig:
 
     @property
     def n_programs(self) -> int:
-        return self.batch // P
+        return self.batch // (P * self.banks)
 
 
 def _sat(x):
@@ -92,77 +92,79 @@ def _sat(x):
 def build_lane_engine(cfg: LaneKernelConfig):
     S = cfg.block
     A = cfg.alpha
+    K = cfg.banks
     NCH = cfg.n_chunks
     PRO_STEPS = S // STEP
     MAX_STEPS = (2 * cfg.seq_cap) // STEP + PRO_STEPS + 2
 
     def shift_up_rows(x, k, fill):
-        """row p <- p - k; rows [0, k) filled with the scalar ``fill``."""
+        """position p <- p - k along axis 1; first k rows filled."""
         return jnp.concatenate(
-            [jnp.full((k, P), fill, x.dtype), x[: S - k]], axis=0
+            [jnp.full((K, k, P), fill, x.dtype), x[:, : S - k, :]], axis=1
         )
 
     def kernel(qlen_ref, rlen_ref, scq0_ref, scr0_ref, M_ref, codes_hbm,
                gap_ref, score_ref, *scr):
         (CODES, SCQ, SCR, SCACT, NR, EC8, ACT_D, ACT_C, PAS_D, PAS_R,
-         tempD, tempR, DMAX, ZC, ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_OA,
+         tempD, tempR, DMAX, ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_OA,
          ST_DIR, ST_PDIR, ST_DONE, CORN, CVEC, OUT, sem) = scr
         prog = pl.program_id(0)
 
         open_ = gap_ref[0, 0]
         e = gap_ref[0, 1]
-        qlen = qlen_ref[0]  # (1, P)
+        qlen = qlen_ref[0]  # (K, 1, P)
         rlen = rlen_ref[0]
 
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (S, P), 0)
-        a_iota = jax.lax.broadcasted_iota(jnp.int32, (A, P), 0)
+        oh_iota = jax.lax.broadcasted_iota(jnp.int32, (A, K, P), 0)
+        zc = e * ((rows_iota % STEP) + 1)  # scan zero-correction constants
 
         # ---------------- init ----------------
         dma = pltpu.make_async_copy(codes_hbm.at[prog], CODES, sem)
         dma.start()
-        SCQ[...] = scq0_ref[0]
-        SCR[...] = scr0_ref[0]
-        SCACT[...] = scq0_ref[0]  # the prologue rect's lane axis is q
-        zS = jnp.zeros((S, P), jnp.int32)
+        SCQ[...] = scq0_ref[0].astype(jnp.int32)
+        SCR[...] = scr0_ref[0].astype(jnp.int32)
+        SCACT[...] = scq0_ref[0].astype(jnp.int32)  # prologue lane axis is q
+        zS = jnp.zeros((K, S, P), jnp.int32)
         for ref in (ACT_D, ACT_C, PAS_D, PAS_R, tempD, tempR):
             ref[...] = zS
-        DMAX[...] = jnp.full((S, P), NEG32, jnp.int32)
-        z1 = jnp.zeros((1, P), jnp.int32)
+        DMAX[...] = jnp.full((K, S, P), NEG32, jnp.int32)
+        z1 = jnp.zeros((K, 1, P), jnp.int32)
         for ref in (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_OA, ST_DONE, OUT):
             ref[...] = z1
         ST_DIR[...] = z1 + 2  # prologue is the reference's initial Grow step
         ST_PDIR[...] = z1 + 2
         CORN[...] = z1 + NEG32
         CVEC[...] = z1 + NEG32
-        # zero-correction constants of the chunked prefix scan (see
-        # ops/engine.py; reference: src/avx2.rs:297-338)
-        ZC[...] = e * ((rows_iota % STEP) + 1)
         dma.wait()
 
         Mb = M_ref[...].astype(jnp.bfloat16)
 
         def extract8(pos8, side):
-            """EC8[w, b] = code of pair b at position pos8[b] + w on side[b]
+            """EC8[k, w, b] = code at position pos8[k, 0, b] + w on side
             (masked chunk + sub-offset reduction over the VMEM code block)."""
-            cu = side * NCH + pos8 // 128  # (1, P)
+            cu = side * NCH + pos8 // 128  # (K, 1, P)
             lo = pos8 % 128  # multiple of 8
-            acc = jnp.zeros((128, P), jnp.int8)
+            acc = jnp.zeros((K, 128, P), jnp.int8)
             for c in range(2 * NCH):
-                acc = jnp.where(cu == c, CODES[c], acc)
+                acc = jnp.where(cu == c, CODES[:, c], acc)
             acc = acc.astype(jnp.int32)
-            out = jnp.zeros((STEP, P), jnp.int32)
+            out = jnp.zeros((K, STEP, P), jnp.int32)
             for v in range(128 // STEP):
-                out = jnp.where(lo == v * STEP, acc[v * STEP : v * STEP + STEP], out)
+                out = jnp.where(lo == v * STEP, acc[:, v * STEP : v * STEP + STEP], out)
             EC8[...] = out
 
         def score_new_rows():
-            """NR[a, r, b] = M[a, EC8[r, b]]: one one-hot matmul per entering
-            row (exact: one-hot x small-int table in bf16 -> f32 on the MXU)."""
+            """NR[a, k, r, b] = M[a, EC8[k, r, b]]: one one-hot matmul per
+            entering row (exact: one-hot x small-int table, bf16 -> f32)."""
             ec = EC8[...]
             for r in range(STEP):
-                oh = (a_iota == ec[r][None, :]).astype(jnp.bfloat16)
-                planes = jnp.dot(Mb, oh, preferred_element_type=jnp.float32)
-                NR[:, r, :] = planes.astype(jnp.int8)
+                oh = (oh_iota == ec[:, r, :][None]).astype(jnp.bfloat16)
+                planes = lax.dot_general(
+                    Mb, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (A, K, P)
+                NR[:, :, r, :] = planes.astype(jnp.int32)
 
         def pre_step(s_idx, in_pro):
             dirn = ST_DIR[...]
@@ -189,7 +191,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
             side = jnp.where(in_pro, 1, jnp.where(dirn == 0, 1, 0))
             pos8 = jnp.where(
                 in_pro,
-                jnp.broadcast_to(s_idx * STEP, (1, P)),
+                jnp.broadcast_to(s_idx * STEP, (K, 1, P)),
                 jnp.where(dirn == 0, ST_J[...], ST_I[...]) + (S - STEP),
             )
             extract8(pos8, side)
@@ -198,23 +200,23 @@ def build_lane_engine(cfg: LaneKernelConfig):
             def _():
                 # advance the moved side's lane-window score stack by 8 rows
                 score_new_rows()
-                qmoved = dirn == 1  # i advanced on the last down step
-                rmoved = dirn == 0
-                right = dirn == 0
-                for a in range(A):
-                    nr = NR[a]
-                    sq_new = jnp.where(
-                        qmoved, jnp.concatenate([SCQ[a][STEP:], nr], axis=0), SCQ[a]
-                    )
-                    sr_new = jnp.where(
-                        rmoved, jnp.concatenate([SCR[a][STEP:], nr], axis=0), SCR[a]
-                    )
-                    SCQ[a] = sq_new
-                    SCR[a] = sr_new
-                    SCACT[a] = jnp.where(right, sq_new, sr_new)
+                qmoved = (dirn == 1)[None]  # (1, K, 1, P)
+                rmoved = (dirn == 0)[None]
+                nr = NR[...]  # (A, K, STEP, P)
+                sq = SCQ[...]
+                sr = SCR[...]
+                sq_new = jnp.where(
+                    qmoved, jnp.concatenate([sq[:, :, STEP:, :], nr], axis=2), sq
+                )
+                sr_new = jnp.where(
+                    rmoved, jnp.concatenate([sr[:, :, STEP:, :], nr], axis=2), sr
+                )
+                SCQ[...] = sq_new
+                SCR[...] = sr_new
+                SCACT[...] = jnp.where(rmoved, sq_new, sr_new)
 
         def column(w, s_idx, in_pro):
-            """One DP column for all P pairs (reference place_block inner
+            """One DP column for all K*P pairs (reference place_block inner
             loop, src/scan_block.rs:1119-1209; lanes = sublane rows here)."""
             i_ = ST_I[...]
             j_ = ST_J[...]
@@ -222,20 +224,19 @@ def build_lane_engine(cfg: LaneKernelConfig):
             done = ST_DONE[...]
             off = ST_OFF[...]
 
-            c_w = EC8[w : w + 1]  # (1, P) column codes
+            c_w = EC8[:, w, :][:, None, :]  # (K, 1, P) column codes
             # score column: A-way masked select over the active plane stack
             scores = SCACT[0]
             for a in range(1, A):
                 scores = jnp.where(c_w == a, SCACT[a], scores)
-            scores = scores.astype(jnp.int32)
 
             D10 = ACT_D[...]
             C10 = ACT_C[...]
             if w == 0:
                 corner = CVEC[...]
             else:
-                corner = jnp.full((1, P), NEG32, jnp.int32)
-            D00 = jnp.concatenate([corner, D10[: S - 1]], axis=0)
+                corner = jnp.full((K, 1, P), NEG32, jnp.int32)
+            D00 = jnp.concatenate([corner, D10[:, : S - 1, :]], axis=1)
 
             D11 = _sat(D00 + scores)
             if w == 0:
@@ -243,8 +244,10 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 # src/scan_block.rs:1130); only at global column 0, where
                 # off == 0 so the relative zero is exactly ZERO
                 origin = in_pro & (s_idx == 0)
-                row0 = jnp.where(origin, jnp.full((1, P), ZERO, jnp.int32), D11[0:1])
-                D11 = jnp.concatenate([row0, D11[1:]], axis=0)
+                row0 = jnp.where(
+                    origin, jnp.full((K, 1, P), ZERO, jnp.int32), D11[:, 0:1, :]
+                )
+                D11 = jnp.concatenate([row0, D11[:, 1:, :]], axis=1)
 
             C11 = jnp.maximum(_sat(C10 + e), _sat(D10 + open_))
             D11 = jnp.maximum(D11, C11)
@@ -256,35 +259,29 @@ def build_lane_engine(cfg: LaneKernelConfig):
             while k < S:
                 t = jnp.maximum(t, _sat(shift_up_rows(t, k, NEG32) + e * k))
                 k *= 2
-            R11 = jnp.maximum(t, ZC[...])
+            R11 = jnp.maximum(t, zc)
             D11 = jnp.maximum(D11, R11)
 
-            DMAX[...] = jnp.maximum(
-                DMAX[...], jnp.where(done == 0, D11, NEG32)
-            )
+            DMAX[...] = jnp.maximum(DMAX[...], jnp.where(done == 0, D11, NEG32))
 
             ACT_D[...] = D11
             ACT_C[...] = C11
 
             # stage the column's bottom cell; the prologue rect writes
             # straight into the passive border (reference: src/scan_block.rs:289)
-            bot_d = D11[S - 1 : S]
-            bot_r = R11[S - 1 : S]
-            if S == STEP:
-                tgt_steady = w
-            else:
-                tgt_steady = S - STEP + w
+            bot_d = D11[:, S - 1 : S, :]
+            bot_r = R11[:, S - 1 : S, :]
 
             @pl.when(in_pro)
             def _():
                 tgt = s_idx * STEP + w
-                PAS_D[pl.ds(tgt, 1)] = bot_d
-                PAS_R[pl.ds(tgt, 1)] = bot_r
+                PAS_D[:, pl.ds(tgt, 1), :] = bot_d
+                PAS_R[:, pl.ds(tgt, 1), :] = bot_r
 
             @pl.when(jnp.logical_not(in_pro))
             def _():
-                tempD[tgt_steady : tgt_steady + 1] = bot_d
-                tempR[tgt_steady : tgt_steady + 1] = bot_r
+                tempD[:, S - STEP + w : S - STEP + w + 1, :] = bot_d
+                tempR[:, S - STEP + w : S - STEP + w + 1, :] = bot_r
 
             # freeze + immediate score extraction once this rect passed both
             # sequence ends (see module docstring; reference early exit:
@@ -294,10 +291,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
             base_j = jnp.where(right, j_, i_)
             lane_len = jnp.where(right, qlen, rlen)
             col_len = jnp.where(right, rlen, qlen)
-            if S == STEP:
-                colpos0 = base_j
-            else:
-                colpos0 = base_j + jnp.where(in_pro, 0, S - STEP)
+            colpos0 = base_j + jnp.where(in_pro, 0, S - STEP)
             wloc = jnp.where(in_pro, s_idx * STEP + w, w)
             fr_new = (
                 (starti + S > lane_len)
@@ -310,7 +304,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 idx = jnp.clip(lane_len - starti, 0, S - 1)
                 val = jnp.max(
                     jnp.where(rows_iota == idx, D11, jnp.iinfo(jnp.int32).min),
-                    axis=0, keepdims=True,
+                    axis=1, keepdims=True,
                 )
                 fscore = off + val - ZERO
                 OUT[...] = jnp.where(fr_new, fscore, OUT[...])
@@ -323,7 +317,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
             @pl.when(in_pro_end)
             def _():
-                ST_DIR[...] = jnp.full((1, P), 2, jnp.int32)
+                ST_DIR[...] = jnp.full((K, 1, P), 2, jnp.int32)
 
             @pl.when(jnp.logical_not(in_pro_end))
             def _():
@@ -334,30 +328,34 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 oa = ST_OA[...]
                 pd = _sat(PAS_D[...] + oa)
                 pr = _sat(PAS_R[...] + oa)
-                CORN[...] = jnp.where(active, pd[STEP - 1 : STEP], CORN[...])
+                CORN[...] = jnp.where(
+                    active, pd[:, STEP - 1 : STEP, :], CORN[...]
+                )
                 PAS_D[...] = jnp.concatenate(
-                    [pd[STEP:], tempD[S - STEP :]], axis=0
+                    [pd[:, STEP:, :], tempD[:, S - STEP :, :]], axis=1
                 )
                 PAS_R[...] = jnp.concatenate(
-                    [pr[STEP:], tempR[S - STEP :]], axis=0
+                    [pr[:, STEP:, :], tempR[:, S - STEP :, :]], axis=1
                 )
 
             # off_max update (reference: src/scan_block.rs:333-345)
-            cur_max = jnp.max(DMAX[...], axis=0, keepdims=True)
+            cur_max = jnp.max(DMAX[...], axis=1, keepdims=True)
             ST_OFFMAX[...] = jnp.where(
                 active, ST_OFF[...] + cur_max - ZERO, ST_OFFMAX[...]
             )
-            DMAX[...] = jnp.full((S, P), NEG32, jnp.int32)
+            DMAX[...] = jnp.full((K, S, P), NEG32, jnp.int32)
 
             # direction choice (reference: src/scan_block.rs:447-462,551-558)
             i_ = ST_I[...]
             j_ = ST_J[...]
             dirn = ST_DIR[...]
             right_now = dirn != 1
-            dcol8 = jnp.where(right_now, ACT_D[...][:STEP], PAS_D[...][:STEP])
-            drow8 = jnp.where(right_now, PAS_D[...][:STEP], ACT_D[...][:STEP])
-            right_max = jnp.max(dcol8, axis=0, keepdims=True)
-            down_max = jnp.max(drow8, axis=0, keepdims=True)
+            act8 = ACT_D[...][:, :STEP, :]
+            pas8 = PAS_D[...][:, :STEP, :]
+            dcol8 = jnp.where(right_now, act8, pas8)
+            drow8 = jnp.where(right_now, pas8, act8)
+            right_max = jnp.max(dcol8, axis=1, keepdims=True)
+            down_max = jnp.max(drow8, axis=1, keepdims=True)
             cont = ST_DONE[...] == 0
             forced_down = cont & ((j_ + S) > rlen)
             forced_right = cont & ~forced_down & ((i_ + S) > qlen)
@@ -407,16 +405,18 @@ def build_lane_engine(cfg: LaneKernelConfig):
     def engine(qlen, rlen, scq0, scr0, M, codes, gaps):
         n_progs = cfg.n_programs
         in_specs = [
-            pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, S, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, S, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        out_specs = pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((n_progs, 1, P), jnp.int32)
+        out_specs = pl.BlockSpec(
+            (1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((n_progs, K, 1, P), jnp.int32)
         return pl.pallas_call(
             kernel,
             grid=(n_progs,),
@@ -424,22 +424,21 @@ def build_lane_engine(cfg: LaneKernelConfig):
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((2 * NCH, 128, P), jnp.int8),  # CODES
-                pltpu.VMEM((A, S, P), jnp.int8),  # SCQ
-                pltpu.VMEM((A, S, P), jnp.int8),  # SCR
-                pltpu.VMEM((A, S, P), jnp.int8),  # SCACT
-                pltpu.VMEM((A, STEP, P), jnp.int8),  # NR
-                pltpu.VMEM((STEP, P), jnp.int32),  # EC8
-                pltpu.VMEM((S, P), jnp.int32),  # ACT_D
-                pltpu.VMEM((S, P), jnp.int32),  # ACT_C
-                pltpu.VMEM((S, P), jnp.int32),  # PAS_D
-                pltpu.VMEM((S, P), jnp.int32),  # PAS_R
-                pltpu.VMEM((S, P), jnp.int32),  # tempD
-                pltpu.VMEM((S, P), jnp.int32),  # tempR
-                pltpu.VMEM((S, P), jnp.int32),  # DMAX
-                pltpu.VMEM((S, P), jnp.int32),  # ZC
+                pltpu.VMEM((K, 2 * NCH, 128, P), jnp.int8),  # CODES
+                pltpu.VMEM((A, K, S, P), jnp.int32),  # SCQ
+                pltpu.VMEM((A, K, S, P), jnp.int32),  # SCR
+                pltpu.VMEM((A, K, S, P), jnp.int32),  # SCACT
+                pltpu.VMEM((A, K, STEP, P), jnp.int32),  # NR
+                pltpu.VMEM((K, STEP, P), jnp.int32),  # EC8
+                pltpu.VMEM((K, S, P), jnp.int32),  # ACT_D
+                pltpu.VMEM((K, S, P), jnp.int32),  # ACT_C
+                pltpu.VMEM((K, S, P), jnp.int32),  # PAS_D
+                pltpu.VMEM((K, S, P), jnp.int32),  # PAS_R
+                pltpu.VMEM((K, S, P), jnp.int32),  # tempD
+                pltpu.VMEM((K, S, P), jnp.int32),  # tempR
+                pltpu.VMEM((K, S, P), jnp.int32),  # DMAX
             ]
-            + [pltpu.VMEM((1, P), jnp.int32) for _ in range(11)]
+            + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(11)]
             + [pltpu.SemaphoreType.DMA],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -456,7 +455,7 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None):
     Builds the transposed int8 code block (position-major, pair-in-lane),
     the initial per-side score-plane stacks, and the unified score table
     (same table conventions as pack_fixed)."""
-    B, S, A, NCH = cfg.batch, cfg.block, cfg.alpha, cfg.n_chunks
+    B, S, A, NCH, K = cfg.batch, cfg.block, cfg.alpha, cfg.n_chunks, cfg.banks
     n_progs = cfg.n_programs
     assert len(pairs) <= B
     pairs = list(pairs) + [(b"", b"")] * (B - len(pairs))
@@ -490,19 +489,19 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None):
         codes[b, 0, 1 : 1 + len(qc)] = qc
         codes[b, 1, 1 : 1 + len(rc)] = rc
 
-    # (B, 2, NCH*128) -> (n_progs, 2*NCH, 128, P): position-major, pair-lane
-    ct = codes.reshape(n_progs, P, 2 * NCH, 128)
-    codes_t = np.ascontiguousarray(ct.transpose(0, 2, 3, 1))
+    # (B, 2, NCH*128) -> (n_progs, K, 2*NCH, 128, P): position-major layout
+    ct = codes.reshape(n_progs, K, P, 2 * NCH, 128)
+    codes_t = np.ascontiguousarray(ct.transpose(0, 1, 3, 4, 2))
 
     # initial lane-window score stacks: rows = positions 0..S-1
     Mi8 = M.astype(np.int8)
-    first = codes.reshape(n_progs, P, 2, NCH * 128)[:, :, :, :S].astype(np.int64)
-    # scq0[t, a, s, p] = M[a, qcode[t, p, s]]
+    first = codes.reshape(n_progs, K, P, 2, NCH * 128)[..., :S].astype(np.int64)
+    # scq0[t, a, k, s, p] = M[a, qcode[t, k, p, s]]
     scq0 = np.ascontiguousarray(
-        Mi8[:, first[:, :, 0, :]].transpose(1, 0, 3, 2)
+        Mi8[:, first[:, :, :, 0, :]].transpose(1, 0, 2, 4, 3)
     )
     scr0 = np.ascontiguousarray(
-        Mi8[:, first[:, :, 1, :]].transpose(1, 0, 3, 2)
+        Mi8[:, first[:, :, :, 1, :]].transpose(1, 0, 2, 4, 3)
     )
 
     g = np.zeros((1, 2), dtype=np.int32)
@@ -510,8 +509,8 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None):
         g[0, 0] = gaps.open
         g[0, 1] = gaps.extend
     return (
-        np.ascontiguousarray(qlen.reshape(n_progs, 1, P)),
-        np.ascontiguousarray(rlen.reshape(n_progs, 1, P)),
+        np.ascontiguousarray(qlen.reshape(n_progs, K, 1, P)),
+        np.ascontiguousarray(rlen.reshape(n_progs, K, 1, P)),
         scq0,
         scr0,
         M,

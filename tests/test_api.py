@@ -1,0 +1,88 @@
+"""High-level BatchAligner / ProfileAligner API behavior."""
+
+import numpy as np
+
+from block_aligner_tpu import (
+    AAProfile,
+    BatchAligner,
+    BLOSUM62,
+    BlockOracle,
+    Gaps,
+    NW1,
+    PaddedBytes,
+    ProfileAligner,
+)
+
+
+def oracle(q, r, matrix, gaps, size, trace=False, x_drop=None):
+    a = BlockOracle(trace=trace, x_drop=x_drop is not None)
+    pq = PaddedBytes.from_bytes(q, size[1], matrix)
+    pr = PaddedBytes.from_bytes(r, size[1], matrix)
+    a.align(pq, pr, matrix, gaps, size, x_drop or 0)
+    return a
+
+
+def test_batch_aligner_trace_cigars():
+    gaps = Gaps(open=-11, extend=-1)
+    al = BatchAligner(BLOSUM62, gaps, size=(16, 32), batch=4, seq_cap=128, trace=True)
+    pairs = [
+        (b"CAGGATTAGCGGATCACG", b"CTGGAGTCTTTTAGCGGATCACGC"),
+        (b"MKVLAT", b"MKVIATQ"),
+    ]
+    res = al.align_batch(pairs)
+    for k, (q, r) in enumerate(pairs):
+        o = oracle(q, r, BLOSUM62, gaps, (16, 32), trace=True)
+        assert res[k].score == o.res().score
+        want = str(o.cigar(o.res().query_idx, o.res().reference_idx))
+        got = str(al.cigar(k, res[k].query_idx, res[k].reference_idx))
+        assert got == want
+        want_eq = str(o.cigar_eq(
+            PaddedBytes.from_bytes(q, 32, BLOSUM62),
+            PaddedBytes.from_bytes(r, 32, BLOSUM62),
+            o.res().query_idx, o.res().reference_idx,
+        ))
+        got_eq = str(al.cigar_eq(k, q, r, res[k].query_idx, res[k].reference_idx))
+        assert got_eq == want_eq
+
+
+def test_batch_aligner_lane_routing():
+    gaps = Gaps(open=-2, extend=-1)
+    al = BatchAligner(NW1, gaps, size=(16, 16), batch=128, seq_cap=100)
+    assert al._lane  # fixed-size global no-trace -> lane kernel
+    rng = np.random.default_rng(3)
+    pairs = []
+    for _ in range(5):
+        n = int(rng.integers(10, 90))
+        pairs.append((
+            bytes(rng.choice(list(b"ACGT"), size=n).tolist()),
+            bytes(rng.choice(list(b"ACGT"), size=n).tolist()),
+        ))
+    res = al.align_batch(pairs)
+    for k, (q, r) in enumerate(pairs):
+        o = oracle(q, r, NW1, gaps, (16, 16))
+        assert res[k].score == o.res().score, k
+
+
+def test_batch_aligner_x_drop_engine():
+    gaps = Gaps(open=-11, extend=-1)
+    al = BatchAligner(BLOSUM62, gaps, size=(16, 32), batch=2, seq_cap=128, x_drop=50)
+    assert not al._lane
+    q, r = b"MKVLATGQHEWVKL", b"MKVLATGQHEWVKL"
+    res = al.align_batch([(q, r)])
+    o = oracle(q, r, BLOSUM62, gaps, (16, 32), x_drop=50)
+    assert res[0].score == o.res().score
+    assert (res[0].query_idx, res[0].reference_idx) == (
+        o.res().query_idx, o.res().reference_idx)
+
+
+def test_profile_aligner():
+    prof = AAProfile.from_bytes(b"AAAA", 32, 1, -1, -1, 0, -1, -1)
+    pa = ProfileAligner(size=(16, 32), batch=2, seq_cap=128, trace=True)
+    res = pa.align_batch([(b"AARA", prof)])
+    a = BlockOracle(trace=True)
+    pq = PaddedBytes.from_bytes(b"AARA", 32, prof)
+    a.align_profile(pq, prof, (16, 32), 0)
+    assert res[0].score == a.res().score
+    want = str(a.cigar(a.res().query_idx, a.res().reference_idx))
+    got = str(pa.cigar(0, res[0].query_idx, res[0].reference_idx))
+    assert got == want

@@ -35,13 +35,13 @@ def mutate(rng, s, k, alpha):
 def run_kernel(pairs, matrix, gaps, S, interpret=True):
     maxlen = max(max(len(q), len(r)) for q, r in pairs)
     cap = max(256, -(-(1 + maxlen + S + 16) // 128) * 128)
-    cfg = LaneKernelConfig(batch=128, block=S, seq_cap=cap,
+    cfg = LaneKernelConfig(batch=256, block=S, seq_cap=cap,
                            alpha=32 if matrix.kind != "nuc" else 16,
-                           interpret=interpret)
+                           banks=2, interpret=interpret)
     fn = build_lane_engine(cfg)
     args = pack_lane(pairs, matrix, cfg, gaps)
-    out = np.asarray(fn(*args))
-    return [int(out[b // 128, 0, b % 128]) for b in range(len(pairs))]
+    out = np.asarray(fn(*args)).reshape(cfg.batch)
+    return [int(out[b]) for b in range(len(pairs))]
 
 
 def oracle_scores(pairs, matrix, gaps, S):
