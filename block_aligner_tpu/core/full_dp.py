@@ -33,8 +33,38 @@ def _score_matrix_rows(matrix, q_codes: np.ndarray, r_codes: np.ndarray) -> np.n
     return tab[rows[None, :], cols[:, None]].astype(np.int64)
 
 
+def _native_exact():
+    from ..native import load_exact
+
+    return load_exact()
+
+
 def global_align_score(q, r, matrix, gaps) -> int:
-    """Global (Needleman-Wunsch-Gotoh) alignment score."""
+    """Global (Needleman-Wunsch-Gotoh) alignment score.
+
+    Dispatches to the native C++ oracle (native/exact.cpp) when available;
+    the NumPy path below is the readable fallback."""
+    from .scores import ByteMatrix
+
+    lib = _native_exact()
+    if lib is not None and not isinstance(matrix, ByteMatrix):
+        import ctypes
+
+        qc = np.ascontiguousarray(
+            matrix.col_index(matrix.convert(q)), dtype=np.int32
+        )
+        rc = np.ascontiguousarray(
+            matrix.row_index(matrix.convert(r)), dtype=np.int32
+        )
+        tab = np.ascontiguousarray(matrix.dense(), dtype=np.int32)
+        return int(
+            lib.ba_global_score(
+                qc.ctypes.data_as(ctypes.c_void_p), len(qc),
+                rc.ctypes.data_as(ctypes.c_void_p), len(rc),
+                tab.ctypes.data_as(ctypes.c_void_p), tab.shape[1],
+                gaps.open, gaps.extend,
+            )
+        )
     q_codes = matrix.convert(q)
     r_codes = matrix.convert(r)
     n, m = len(q_codes), len(r_codes)
@@ -69,6 +99,26 @@ def global_align_score(q, r, matrix, gaps) -> int:
 def global_align_profile_score(q, profile) -> int:
     """Global alignment of sequence q against an AAProfile with
     position-specific scores and gap open/close costs."""
+    lib = _native_exact()
+    if lib is not None:
+        import ctypes
+
+        qc = np.ascontiguousarray(profile.convert(q), dtype=np.int32)
+        m = profile.len()
+        ps = np.ascontiguousarray(profile.pos_scores[: m + 1], dtype=np.int32)
+        goc = np.ascontiguousarray(profile.gap_open_C[: m + 1], dtype=np.int32)
+        gcc = np.ascontiguousarray(profile.gap_close_C[: m + 1], dtype=np.int32)
+        gor = np.ascontiguousarray(profile.gap_open_R[: m + 1], dtype=np.int32)
+        return int(
+            lib.ba_global_profile_score(
+                qc.ctypes.data_as(ctypes.c_void_p), len(qc),
+                ps.ctypes.data_as(ctypes.c_void_p), m,
+                goc.ctypes.data_as(ctypes.c_void_p),
+                gcc.ctypes.data_as(ctypes.c_void_p),
+                gor.ctypes.data_as(ctypes.c_void_p),
+                profile.get_gap_extend(),
+            )
+        )
     q_codes = profile.convert(q)
     n = len(q_codes)
     m = profile.len()
@@ -99,6 +149,30 @@ def x_drop_score(q, r, matrix, gaps, x: int) -> Tuple[int, int, int]:
 
     Ties on score prefer smaller query index then smaller reference index.
     """
+    from .scores import ByteMatrix
+
+    lib = _native_exact()
+    if lib is not None and not isinstance(matrix, ByteMatrix):
+        import ctypes
+
+        qc = np.ascontiguousarray(
+            matrix.col_index(matrix.convert(q)), dtype=np.int32
+        )
+        rc = np.ascontiguousarray(
+            matrix.row_index(matrix.convert(r)), dtype=np.int32
+        )
+        tab = np.ascontiguousarray(matrix.dense(), dtype=np.int32)
+        s = ctypes.c_int64()
+        bi = ctypes.c_int64()
+        bj = ctypes.c_int64()
+        lib.ba_xdrop_score(
+            qc.ctypes.data_as(ctypes.c_void_p), len(qc),
+            rc.ctypes.data_as(ctypes.c_void_p), len(rc),
+            tab.ctypes.data_as(ctypes.c_void_p), tab.shape[1],
+            gaps.open, gaps.extend, x,
+            ctypes.byref(s), ctypes.byref(bi), ctypes.byref(bj),
+        )
+        return int(s.value), int(bi.value), int(bj.value)
     q_codes = matrix.convert(q)
     r_codes = matrix.convert(r)
     n, m = len(q_codes), len(r_codes)

@@ -296,6 +296,24 @@ class EngineTrace:
         self._rect_cache[b] = rects
         return rects
 
+    def blocks(self, b: int):
+        """Computed-rect telemetry for pair ``b`` (the engine analogue of
+        ``Trace::blocks``, reference: src/scan_block.rs:1676-1691); used for
+        the DP-fraction statistic (reference: examples/uc_accuracy.rs:88-89).
+        """
+        from .oracle import Rectangle
+
+        out = []
+        for r in self.rects_for(b):
+            n = len(r.rows)
+            if r.right:
+                height = int(self.meta[r.rows[0], b, 1]) >> 17
+                out.append(Rectangle(row=r.row, col=r.col, width=n, height=height))
+            else:
+                width = int(self.meta[r.rows[0], b, 1]) >> 17
+                out.append(Rectangle(row=r.row, col=r.col, width=width, height=n))
+        return out
+
     def cigar(self, b: int, i: int, j: int, cigar: Optional[Cigar] = None) -> Cigar:
         got = self._native_cigar(b, i, j, cigar=cigar)
         if got is not None:

@@ -19,11 +19,15 @@ _DIR = Path(__file__).resolve().parent
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_EXACT: Optional[ctypes.CDLL] = None
+_EXACT_TRIED = False
 
 
-def _build() -> Optional[Path]:
-    so = _DIR / "libbawalker.so"
-    src = _DIR / "walker.cpp"
+def _build(stem: str) -> Optional[Path]:
+    so = _DIR / f"lib{stem}.so"
+    src = _DIR / f"{stem.replace('ba', '', 1) if stem.startswith('ba') else stem}.cpp"
+    if not src.exists():
+        src = _DIR / f"{stem}.cpp"
     if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
         return so
     try:
@@ -37,6 +41,32 @@ def _build() -> Optional[Path]:
         return None
 
 
+def load_exact() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native exact-DP oracle library."""
+    global _EXACT, _EXACT_TRIED
+    with _LOCK:
+        if _EXACT is not None or _EXACT_TRIED:
+            return _EXACT
+        _EXACT_TRIED = True
+        so = _build("baexact")
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            return None
+        i64, i32, p = ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p
+        lib.ba_global_score.restype = i64
+        lib.ba_global_score.argtypes = [p, i64, p, i64, p, i64, i32, i32]
+        lib.ba_xdrop_score.restype = None
+        lib.ba_xdrop_score.argtypes = [p, i64, p, i64, p, i64, i32, i32, i32,
+                                       p, p, p]
+        lib.ba_global_profile_score.restype = i64
+        lib.ba_global_profile_score.argtypes = [p, i64, p, i64, p, p, p, i32]
+        _EXACT = lib
+        return _EXACT
+
+
 def load() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native walker; None if unavailable."""
     global _LIB, _TRIED
@@ -44,7 +74,7 @@ def load() -> Optional[ctypes.CDLL]:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        so = _build()
+        so = _build("bawalker")
         if so is None:
             return None
         try:

@@ -15,7 +15,7 @@
 #include <vector>
 
 namespace {
-constexpr int64_t NEG = -(int64_t)1 << 40;
+constexpr int64_t NEG = -(((int64_t)1) << 40);
 }
 
 extern "C" {

@@ -881,8 +881,11 @@ def pack_profiles(pairs, cfg: EngineConfig):
         qc = prof.convert(q).astype(np.int64)
         qlen[b] = len(qc)
         rlen[b] = prof.str_len
-        cl = prof.curr_len
-        assert cl <= Lmax and 1 + len(qc) + cfg.max_size + 16 <= Lmax
+        # the engine only reads positions < seq_cap; profiles padded with a
+        # larger block_size than max_size just truncate harmlessly
+        cl = min(prof.curr_len, prof.str_len + cfg.max_size + 1, Lmax)
+        assert prof.str_len + cfg.max_size + 1 <= Lmax, "profile too long"
+        assert 1 + len(qc) + cfg.max_size + 16 <= Lmax, "query too long"
         qp = np.full(Lmax, 26, dtype=np.int64)  # NULL code
         qp[1 : 1 + len(qc)] = qc
         CRow[b, 0] = qp

@@ -1,0 +1,143 @@
+"""Shared helpers for the example/benchmark harness programs.
+
+Mirrors the reference harness utilities: fixed-seed random sequence
+generation and simulate-seqs-style mutation (reference:
+examples/accuracy.rs:17-34), plus dataset loaders that read the reference's
+data files when present under ``data/`` (see data/README.md in the
+reference) and fall back to simulated datasets with the same shape when the
+files are absent (this environment has no network egress).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+DATA_DIR = Path(__file__).resolve().parent.parent / "data"
+
+AA = b"ACDEFGHIKLMNPQRSTVWY"
+DNA = b"ACGT"
+
+
+def rand_seq(rng, alpha, n):
+    return bytes(rng.choice(list(alpha), size=n).tolist())
+
+
+def rand_mutate(rng, s, k, alpha, insert_only=False):
+    """k point edits (sub/del/ins), reference rand_mutate semantics."""
+    s = bytearray(s)
+    for _ in range(k):
+        op = 2 if insert_only else int(rng.integers(0, 3))
+        pos = int(rng.integers(0, max(len(s), 1)))
+        if op == 0 and len(s) > 0:
+            s[pos % len(s)] = int(rng.choice(list(alpha)))
+        elif op == 1 and len(s) > 1:
+            del s[pos % len(s)]
+        else:
+            s.insert(pos, int(rng.choice(list(alpha))))
+    return bytes(s)
+
+
+def load_uc_pairs(name="uc30", per_bucket=1000, seed=1234, max_len=256):
+    """Uniclust30-style homolog pairs bucketed by sequence identity.
+
+    Reads ``data/{name}.m8`` tab-separated (qseq, tseq, ..., pident) pairs if
+    present; otherwise simulates ``per_bucket`` protein pairs per identity
+    decile 0.3..0.9 (7 buckets, the reference's layout; reference:
+    examples/uc_accuracy.rs + data/uc30_pairwise_aln.sh).
+
+    Returns list of (query, reference, seq_id_bucket).
+    """
+    path = DATA_DIR / f"{name}.m8"
+    out = []
+    if path.exists():
+        with open(path) as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 3:
+                    continue
+                q, t = parts[0].encode(), parts[1].encode()
+                ident = float(parts[2])
+                out.append((q, t, round(ident, 1)))
+        return out
+    rng = np.random.default_rng(seed)
+    for bucket in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
+        for _ in range(per_bucket):
+            n = int(rng.integers(50, max_len))
+            q = rand_seq(rng, AA, n)
+            k = max(1, int(n * (1.0 - bucket)))
+            r = rand_mutate(rng, q, k, AA)
+            out.append((q, r, bucket))
+    return out
+
+
+def load_nanopore_pairs(name="seq_pairs.10kbps.5000", n_pairs=5000,
+                        max_len=10000, seed=1234):
+    """Long-read pairs: reads ``data/{name}.txt`` ('>'-prefixed alternating
+    lines, BiWFA set format) when present, else simulates ONT-like pairs
+    (~10% edit distance)."""
+    path = DATA_DIR / f"{name}.txt"
+    out = []
+    if path.exists():
+        with open(path) as f:
+            lines = [ln.strip().lstrip("<>").upper() for ln in f if ln.strip()]
+        for k in range(0, len(lines) - 1, 2):
+            out.append((lines[k].encode(), lines[k + 1].encode()))
+        return out[:n_pairs]
+    rng = np.random.default_rng(seed)
+    for _ in range(n_pairs):
+        n = int(rng.integers(max_len // 2, max_len))
+        q = rand_seq(rng, DNA, n)
+        r = rand_mutate(rng, q, n // 10, DNA)
+        out.append((q, r))
+    return out
+
+
+def load_scop_profiles(n_pairs=1000, seed=1234, max_len=200):
+    """SCOP-style (sequence, PSSM) pairs: reads ``data/scop/pairs.pssm``
+    when present (reference: scripts/scop_seq_profile_pairs.py format),
+    else simulates profiles from mutated consensus sequences."""
+    from block_aligner_tpu import AAProfile
+
+    path = DATA_DIR / "scop" / "pairs.pssm"
+    out = []
+    if path.exists():
+        with open(path) as f:
+            lines = f.read().splitlines()
+        k = 0
+        while k < len(lines):
+            seq = lines[k].encode()
+            plen = int(lines[k + 1])
+            prof = AAProfile(plen, 2048, -1)
+            for i in range(1, plen + 1):
+                row = [int(v) for v in lines[k + 1 + i].split()]
+                for a, sc in zip(range(ord("A"), ord("Z") + 1), row):
+                    prof.set(i, a, sc)
+            prof.set_all_gap_open_C(-11)
+            prof.set_all_gap_close_C(0)
+            prof.set_all_gap_open_R(-11)
+            k += plen + 2
+            out.append((seq, prof))
+        return out[:n_pairs]
+    rng = np.random.default_rng(seed)
+    for _ in range(n_pairs):
+        n = int(rng.integers(30, max_len))
+        cons = rand_seq(rng, AA, n)
+        prof = AAProfile(n, 2048, -1)
+        for i, ch in enumerate(cons):
+            base = rng.integers(-4, 3, size=26)
+            for a in range(26):
+                prof.set(i + 1, 65 + a, int(base[a]))
+            prof.set(i + 1, ch, int(rng.integers(4, 12)))
+        for i in range(n + 1):
+            prof.set_gap_open_C(i, int(rng.integers(-13, -8)))
+            prof.set_gap_close_C(i, 0)
+            prof.set_gap_open_R(i, int(rng.integers(-13, -8)))
+        q = rand_mutate(rng, cons, n // 5, AA)
+        out.append((q, prof))
+    return out

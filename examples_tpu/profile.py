@@ -1,0 +1,60 @@
+"""Tight alignment loop for profilers (reference: examples/profile.rs).
+
+Runs repeated batched alignments of one packed input so device profilers
+(e.g. JAX profiler / xprof) see a steady kernel stream.
+
+Usage: python examples_tpu/profile.py [--iters 20] [--batch 2048] [--trace-dir DIR]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+from common import AA, rand_mutate, rand_seq
+
+from block_aligner_tpu import BLOSUM62, Gaps
+from block_aligner_tpu.ops.lane_kernel import (
+    LaneKernelConfig,
+    build_lane_engine,
+    pack_lane,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--len", type=int, dest="length", default=1000)
+    ap.add_argument("--trace-dir", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    rng = np.random.default_rng(1234)
+    pairs = []
+    for _ in range(args.batch):
+        q = rand_seq(rng, AA, args.length)
+        pairs.append((q, rand_mutate(rng, q, args.length // 10, AA)))
+
+    cap = max(256, -(-(1 + args.length + args.length // 4 + 48) // 128) * 128)
+    cfg = LaneKernelConfig(batch=args.batch, block=32, seq_cap=cap,
+                           banks=min(16, args.batch // 128))
+    fn = build_lane_engine(cfg)
+    fargs = jax.device_put(pack_lane(pairs, BLOSUM62, cfg, Gaps(-11, -1)))
+    np.asarray(fn(*fargs))  # compile
+
+    if args.trace_dir:
+        jax.profiler.start_trace(args.trace_dir)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = np.asarray(fn(*fargs))
+    dt = time.perf_counter() - t0
+    if args.trace_dir:
+        jax.profiler.stop_trace()
+    print(f"{args.iters} x {args.batch} pairs: {dt:.3f}s "
+          f"({dt / args.iters / args.batch * 1e6:.2f} us/pair)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""Sequence-to-PSSM accuracy vs the largest-block self-oracle.
+
+TPU port of the reference program (reference: examples/pssm_accuracy.rs):
+correctness = agreement with a (2048, 2048) full-block run (here the exact
+profile full-DP, which the engine profile tests show is equivalent),
+position-specific gap open costs, gap close 0.
+
+Usage: python examples_tpu/pssm_accuracy.py [--pairs 200]
+"""
+
+import argparse
+
+import numpy as np
+
+from common import load_scop_profiles
+
+from block_aligner_tpu import ProfileAligner
+from block_aligner_tpu.core.full_dp import global_align_profile_score
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=200)
+    args = ap.parse_args()
+
+    data = load_scop_profiles(n_pairs=args.pairs)
+    max_q = max(len(q) for q, _ in data)
+    max_p = max(p.len() for _, p in data)
+    cap = max(max_q, max_p)
+
+    print("size,total,correct")
+    for (mn, mx) in ((32, 32), (32, 64), (64, 64), (64, 128), (128, 128)):
+        pa = ProfileAligner(size=(mn, mx), batch=64, seq_cap=cap + 32)
+        correct = 0
+        for k in range(0, len(data), pa.batch_size):
+            chunk = data[k : k + pa.batch_size]
+            res = pa.align_batch(chunk)
+            for (q, prof), got in zip(chunk, res):
+                want = global_align_profile_score(q, prof)
+                if got.score == want:
+                    correct += 1
+        print(f"{mn}-{mx},{len(data)},{correct}")
+
+
+if __name__ == "__main__":
+    main()
