@@ -1,0 +1,101 @@
+/* C consumer example (reference: c/example.c).
+ *
+ * Build: make && ./example (see Makefile)
+ */
+
+#include <stdio.h>
+#include <string.h>
+
+#include "block_aligner_tpu.h"
+
+void example1(void) {
+  /* global seq-seq alignment */
+  const char* a_str = "AAAAAAAA";
+  const char* b_str = "AARAAAA";
+  size_t a_len = strlen(a_str);
+  size_t b_len = strlen(b_str);
+  SizeRange range = {.min = 32, .max = 32};
+  Gaps gaps = {.open = -11, .extend = -1};
+
+  PaddedBytesHandle a = block_new_padded_aa(a_len, range.max);
+  PaddedBytesHandle b = block_new_padded_aa(b_len, range.max);
+  block_set_bytes_padded_aa(a, (const uint8_t*)a_str, a_len, range.max);
+  block_set_bytes_padded_aa(b, (const uint8_t*)b_str, b_len, range.max);
+  AAMatrixHandle blosum62 = block_new_named_aamatrix("BLOSUM62");
+
+  BlockHandle block = block_new_aa(a_len, b_len, range.max);
+  block_align_aa(block, a, b, blosum62, gaps, range, 0);
+  AlignResult res = block_res_aa(block);
+
+  printf("a: %s\nb: %s\nscore: %d\nidx: (%zu, %zu)\n", a_str, b_str,
+         res.score, res.query_idx, res.reference_idx);
+
+  block_free_aa(block);
+  block_free_padded_aa(a);
+  block_free_padded_aa(b);
+  block_free_aamatrix(blosum62);
+}
+
+void example2(void) {
+  /* global seq-seq alignment with traceback */
+  const char* a_str = "AAAAAAAA";
+  const char* b_str = "AARAAAA";
+  size_t a_len = strlen(a_str);
+  size_t b_len = strlen(b_str);
+  SizeRange range = {.min = 32, .max = 32};
+  Gaps gaps = {.open = -11, .extend = -1};
+
+  PaddedBytesHandle a = block_new_padded_aa(a_len, range.max);
+  PaddedBytesHandle b = block_new_padded_aa(b_len, range.max);
+  block_set_bytes_padded_aa(a, (const uint8_t*)a_str, a_len, range.max);
+  block_set_bytes_padded_aa(b, (const uint8_t*)b_str, b_len, range.max);
+  AAMatrixHandle blosum62 = block_new_named_aamatrix("BLOSUM62");
+
+  BlockHandle block = block_new_aa_trace(a_len, b_len, range.max);
+  block_align_aa_trace(block, a, b, blosum62, gaps, range, 0);
+  AlignResult res = block_res_aa_trace(block);
+
+  printf("a: %s\nb: %s\nscore: %d\nidx: (%zu, %zu)\n", a_str, b_str,
+         res.score, res.query_idx, res.reference_idx);
+
+  CigarHandle cigar = block_new_cigar(res.query_idx, res.reference_idx);
+  block_cigar_aa_trace(block, res.query_idx, res.reference_idx, cigar);
+  size_t cigar_len = block_len_cigar(cigar);
+  char ops_char[] = {' ', 'M', 'I', 'D'};
+  for (size_t i = 0; i < cigar_len; i++) {
+    OpLen o = block_get_cigar(cigar, i);
+    printf("%zu%c", o.len, ops_char[o.op]);
+  }
+  printf("\n");
+
+  block_free_cigar(cigar);
+  block_free_aa_trace(block);
+  block_free_padded_aa(a);
+  block_free_padded_aa(b);
+  block_free_aamatrix(blosum62);
+}
+
+void example3(void) {
+  /* batched TPU dispatch */
+  const char* qs[3] = {"CAGGATTAGCGGATCACG", "MKVLAT", "AAAA"};
+  const char* rs[3] = {"CTGGAGTCTTTTAGCGGATCACGC", "MKVIAT", "RRRR"};
+  int32_t scores[3];
+  Gaps gaps = {.open = -11, .extend = -1};
+  SizeRange range = {.min = 32, .max = 32};
+  AAMatrixHandle blosum62 = block_new_named_aamatrix("BLOSUM62");
+  if (block_align_batch_aa(qs, rs, 3, blosum62, gaps, range, scores) == 0) {
+    printf("batch scores: %d %d %d\n", scores[0], scores[1], scores[2]);
+  }
+  block_free_aamatrix(blosum62);
+}
+
+int main(void) {
+  if (block_tpu_init() != 0) {
+    fprintf(stderr, "init failed\n");
+    return 1;
+  }
+  example1();
+  example2();
+  example3();
+  return 0;
+}

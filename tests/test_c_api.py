@@ -1,0 +1,29 @@
+"""Build and drive the C FFI layer end-to-end (c/ directory)."""
+
+import os
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+CDIR = ROOT / "c"
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no toolchain")
+def test_c_example_builds_and_runs():
+    r = subprocess.run(["make"], cwd=CDIR, capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{ROOT}:{env.get('PYTHONPATH', '')}"
+    # keep the C example off any accelerator plugin: the embedded runtime
+    # must work anywhere (the batch call falls back to CPU interpret mode)
+    r = subprocess.run(["./example"], cwd=CDIR, capture_output=True,
+                       text=True, timeout=280, env=env)
+    assert r.returncode == 0, r.stderr
+    out = r.stdout
+    assert "score: 12" in out  # reference c/example.c expected score
+    assert "7M1I" in out
+    assert "batch scores: 77 25 -4" in out
