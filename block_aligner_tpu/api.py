@@ -294,3 +294,52 @@ class ProfileAligner:
 
     def cigar(self, k: int, i: int, j: int, cigar: Optional[Cigar] = None) -> Cigar:
         return self.trace().cigar(k, i, j, cigar)
+
+
+def align_exp_all(
+    matrix,
+    gaps: Gaps,
+    pairs,
+    target_scores,
+    size: Tuple[int, int] = (32, 256),
+    *,
+    x_drop: Optional[int] = None,
+    batch: int = 256,
+    seq_cap: int = 1024,
+):
+    """Batched exponential search on the min block size (reference:
+    Block::align_exp, src/scan_block.rs:884-902).
+
+    For each pair, retries with doubled ``min_size`` until the score reaches
+    its target (or ``min_size`` exceeds ``max_size``).  Returns
+    ``(results, min_sizes)`` where ``min_sizes[k]`` is the successful min
+    block size or ``None``.
+
+    Under-target pairs are re-batched together per retry level, so the
+    device work per level shrinks with the number of stragglers.
+    """
+    min_size, max_size = size
+    results: List[Optional[AlignResult]] = [None] * len(pairs)
+    min_sizes: List[Optional[int]] = [None] * len(pairs)
+    pending = list(range(len(pairs)))
+    cur = max(min_size, 16)
+    aligners = {}
+    while pending and cur <= max_size:
+        if cur not in aligners:
+            aligners[cur] = BatchAligner(
+                matrix, gaps, (cur, max_size), batch=batch, seq_cap=seq_cap,
+                x_drop=x_drop,
+            )
+        al = aligners[cur]
+        sub = [pairs[k] for k in pending]
+        res = al.align_all(sub)
+        still = []
+        for k, got in zip(pending, res):
+            results[k] = got
+            if got.score >= target_scores[k]:
+                min_sizes[k] = cur
+            else:
+                still.append(k)
+        pending = still
+        cur *= 2
+    return results, min_sizes

@@ -50,3 +50,47 @@ def data_parallel_engine(cfg, mesh: Mesh, axis: str = "data"):
         return fn(Sprof, CRow, qlen, rlen, go, ge, xd, **kw)
 
     return run
+
+
+def data_parallel_lane(cfg, mesh: Mesh, axis: str = "data"):
+    """Shard the lane kernel's program grid over a device mesh.
+
+    Each device runs ``cfg.n_programs / n_devices`` independent pallas
+    programs on its local batch shard; scoring tables and gap parameters
+    replicate.  There is no cross-chip communication at all (per-pair
+    outputs stay sharded), so scaling is embarrassingly parallel over ICI
+    -- the TPU analogue of running the reference's serial loop on N cores.
+    """
+    import dataclasses
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.lane_kernel import build_lane_engine
+
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert cfg.n_programs % ndev == 0, (
+        "batch must split evenly across devices"
+    )
+    local_cfg = dataclasses.replace(cfg, batch=cfg.batch // ndev)
+    fn = build_lane_engine(local_cfg)
+
+    P_ = P(axis)
+    shard0 = P(axis, None, None, None)
+    specs_in = (
+        shard0,  # qlen (n_progs, K, 1, 128)
+        shard0,  # rlen
+        P(axis, None, None, None, None),  # scq0
+        P(axis, None, None, None, None),  # scr0
+        P(),  # M
+        P(axis, None, None, None, None),  # codes
+        P(),  # gaps
+    )
+    wrapped = shard_map(
+        fn, mesh=mesh, in_specs=specs_in, out_specs=shard0,
+        check_rep=False,
+    )
+
+    def run(qlen, rlen, scq0, scr0, M, codes, gaps):
+        return wrapped(qlen, rlen, scq0, scr0, M, codes, gaps)
+
+    return run

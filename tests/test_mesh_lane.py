@@ -1,0 +1,35 @@
+"""Lane kernel sharded over a virtual 8-device mesh (CPU, interpret mode)."""
+
+import numpy as np
+
+from block_aligner_tpu import BLOSUM62, BlockOracle, Gaps, PaddedBytes
+from block_aligner_tpu.ops.lane_kernel import LaneKernelConfig, pack_lane
+from block_aligner_tpu.parallel.mesh import data_parallel_lane, make_mesh
+
+AA = b"ACDEFGHIKLMNPQRSTVWY"
+
+
+def test_lane_kernel_on_mesh():
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(55)
+    S = 16
+    cfg = LaneKernelConfig(batch=8 * 256, block=S, seq_cap=256, alpha=32,
+                           banks=2, interpret=True)
+    run = data_parallel_lane(cfg, mesh)
+
+    pairs = []
+    for _ in range(24):
+        n = int(rng.integers(10, 80))
+        q = bytes(rng.choice(list(AA), size=n).tolist())
+        r = bytes(rng.choice(list(AA), size=int(rng.integers(10, 80))).tolist())
+        pairs.append((q, r))
+    gaps = Gaps(open=-11, extend=-1)
+    args = pack_lane(pairs, BLOSUM62, cfg, gaps)
+    out = np.asarray(run(*args)).reshape(cfg.batch)
+
+    a = BlockOracle()
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, S, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, S, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (S, S), 0)
+        assert int(out[k]) == a.res().score, k
