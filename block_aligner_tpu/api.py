@@ -86,7 +86,6 @@ class BatchAligner:
         self._last_trace: Optional[EngineTrace] = None
         plain = not (
             trace
-            or x_drop is not None
             or local_start
             or free_query_start_gaps
             or free_query_end_gaps
@@ -113,6 +112,7 @@ class BatchAligner:
                 seq_cap=cap,
                 alpha=32 if matrix.kind != "nuc" else 16,
                 banks=banks,
+                x_drop=x_drop is not None,
                 # Mosaic compiles only on TPU; elsewhere run interpreted
                 interpret=jax.default_backend() != "tpu",
             )
@@ -178,8 +178,16 @@ class BatchAligner:
         if self._lane:
             from .ops.lane_kernel import pack_lane
 
-            args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps)
-            out = np.asarray(self._lane_fn(*args)).reshape(self._lane_cfg.batch)
+            args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps,
+                             x_drop=self.x_drop or 0)
+            out = np.asarray(self._lane_fn(*args))
+            if self._lane_cfg.x_drop:
+                out = out.transpose(0, 1, 3, 2).reshape(self._lane_cfg.batch, 3)
+                return [
+                    AlignResult(int(out[b, 0]), int(out[b, 1]), int(out[b, 2]))
+                    for b in range(len(pairs))
+                ]
+            out = out.reshape(self._lane_cfg.batch)
             return [
                 AlignResult(int(out[b]), len(q), len(r))
                 for b, (q, r) in enumerate(pairs)

@@ -62,6 +62,7 @@ class LaneKernelConfig:
     seq_cap: int  # padded sequence capacity, multiple of 128
     alpha: int = 32  # score-table rows (32 for AA, 16 for Nuc)
     banks: int = 4  # independent 128-pair banks per program (ILP)
+    x_drop: bool = False  # x-drop termination + best-position tracking
     interpret: bool = False
 
     def __post_init__(self):
@@ -92,6 +93,7 @@ def _sat(x):
 def build_lane_engine(cfg: LaneKernelConfig):
     S = cfg.block
     A = cfg.alpha
+    NG = A // 4  # packed score-plane groups (4 int8 scores per int32)
     K = cfg.banks
     NCH = cfg.n_chunks
     PRO_STEPS = S // STEP
@@ -107,24 +109,29 @@ def build_lane_engine(cfg: LaneKernelConfig):
                gap_ref, score_ref, *scr):
         (CODES, SCQ, SCR, SCACT, NR, EC8, ACT_D, ACT_C, PAS_D, PAS_R,
          tempD, tempR, DMAX, ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_OA,
-         ST_DIR, ST_PDIR, ST_DONE, CORN, CVEC, OUT, sem) = scr
+         ST_DIR, ST_PDIR, ST_DONE, CORN, CVEC, OUT, FRA, FRT, FRIDX,
+         XVM, XAI, XAJ, XBEST, XBI, XBJ, XITER, sem) = scr
         prog = pl.program_id(0)
 
         open_ = gap_ref[0, 0]
         e = gap_ref[0, 1]
+        xdrop_x = gap_ref[0, 2]
         qlen = qlen_ref[0]  # (K, 1, P)
         rlen = rlen_ref[0]
 
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (S, P), 0)
         oh_iota = jax.lax.broadcasted_iota(jnp.int32, (A, K, P), 0)
         zc = e * ((rows_iota % STEP) + 1)  # scan zero-correction constants
+        NCHK = S // 16  # 16-lane residue chunks (reference AVX2 L = 16)
+        r16_iota = jax.lax.broadcasted_iota(jnp.int32, (K, 16, P), 1)
+        ch_iota = jax.lax.broadcasted_iota(jnp.int32, (K, NCHK, 16, P), 1)
 
         # ---------------- init ----------------
         dma = pltpu.make_async_copy(codes_hbm.at[prog], CODES, sem)
         dma.start()
-        SCQ[...] = scq0_ref[0].astype(jnp.int32)
-        SCR[...] = scr0_ref[0].astype(jnp.int32)
-        SCACT[...] = scq0_ref[0].astype(jnp.int32)  # prologue lane axis is q
+        SCQ[...] = scq0_ref[0]
+        SCR[...] = scr0_ref[0]
+        SCACT[...] = scq0_ref[0]  # the prologue rect's lane axis is q
         zS = jnp.zeros((K, S, P), jnp.int32)
         for ref in (ACT_D, ACT_C, PAS_D, PAS_R, tempD, tempR):
             ref[...] = zS
@@ -136,6 +143,19 @@ def build_lane_engine(cfg: LaneKernelConfig):
         ST_PDIR[...] = z1 + 2
         CORN[...] = z1 + NEG32
         CVEC[...] = z1 + NEG32
+        # hoisted freeze predicates for the prologue rect (lanes = q, cols = r)
+        FRA[...] = (S > qlen).astype(jnp.int32)
+        FRT[...] = rlen
+        FRIDX[...] = jnp.clip(qlen, 0, S - 1)
+        if cfg.x_drop:
+            XVM[...] = jnp.full((K, 16, P), NEG32, jnp.int32)
+            XAI[...] = jnp.zeros((K, 16, P), jnp.int32)
+            XAJ[...] = jnp.zeros((K, 16, P), jnp.int32)
+            for ref in (XBEST, XBI, XBJ, XITER):
+                ref[...] = z1
+            # FRA/FRT double as the rect's absolute lane/column origin
+            FRA[...] = z1
+            FRT[...] = z1
         dma.wait()
 
         Mb = M_ref[...].astype(jnp.bfloat16)
@@ -155,16 +175,25 @@ def build_lane_engine(cfg: LaneKernelConfig):
             EC8[...] = out
 
         def score_new_rows():
-            """NR[a, k, r, b] = M[a, EC8[k, r, b]]: one one-hot matmul per
-            entering row (exact: one-hot x small-int table, bf16 -> f32)."""
+            """NR[g, k, r, b] = packed scores M[4g..4g+3, EC8[k, r, b]] + 128
+            per byte: one one-hot matmul per entering row (exact: one-hot x
+            small-int table, bf16 -> f32).  The host pre-biases (+128) and
+            byte-plane-orders the table rows so packing is 4 contiguous row
+            slices + shifts."""
             ec = EC8[...]
             for r in range(STEP):
                 oh = (oh_iota == ec[:, r, :][None]).astype(jnp.bfloat16)
                 planes = lax.dot_general(
                     Mb, oh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (A, K, P)
-                NR[:, :, r, :] = planes.astype(jnp.int32)
+                )  # (A, K, P): row b*NG+g = M[4g+b] + 128
+                p = planes.astype(jnp.int32)
+                NR[:, :, r, :] = (
+                    p[0:NG]
+                    | (p[NG : 2 * NG] << 8)
+                    | (p[2 * NG : 3 * NG] << 16)
+                    | (p[3 * NG : 4 * NG] << 24)
+                )
 
         def pre_step(s_idx, in_pro):
             dirn = ST_DIR[...]
@@ -198,6 +227,25 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
             @pl.when(jnp.logical_not(in_pro))
             def _():
+                # hoisted per-step rect geometry: freeze predicates (global
+                # mode) or absolute rect origins (x-drop argmax tracking)
+                right = dirn != 1
+                i_ = ST_I[...]
+                j_ = ST_J[...]
+                starti = jnp.where(right, i_, j_)
+                colpos0 = jnp.where(right, j_, i_) + (S - STEP)
+                if cfg.x_drop:
+                    FRA[...] = starti
+                    FRT[...] = colpos0
+                else:
+                    lane_len = jnp.where(right, qlen, rlen)
+                    col_len = jnp.where(right, rlen, qlen)
+                    FRA[...] = (starti + S > lane_len).astype(jnp.int32)
+                    FRT[...] = col_len - colpos0
+                    FRIDX[...] = jnp.clip(lane_len - starti, 0, S - 1)
+
+            @pl.when(jnp.logical_not(in_pro))
+            def _():
                 # advance the moved side's lane-window score stack by 8 rows
                 score_new_rows()
                 qmoved = (dirn == 1)[None]  # (1, K, 1, P)
@@ -217,18 +265,24 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
         def column(w, s_idx, in_pro):
             """One DP column for all K*P pairs (reference place_block inner
-            loop, src/scan_block.rs:1119-1209; lanes = sublane rows here)."""
-            i_ = ST_I[...]
-            j_ = ST_J[...]
-            dirn = ST_DIR[...]
+            loop, src/scan_block.rs:1119-1209; lanes = sublane rows here).
+
+            Saturation notes: only the adds that can underflow i16 carry an
+            explicit clamp.  The scan's log-step adds and D11_open cannot
+            produce a candidate above the zero-correction floor once they
+            pass -32768, so their clamps are provably no-ops and omitted
+            (bit-exactness is still enforced by the oracle-parity tests)."""
             done = ST_DONE[...]
-            off = ST_OFF[...]
 
             c_w = EC8[:, w, :][:, None, :]  # (K, 1, P) column codes
-            # score column: A-way masked select over the active plane stack
-            scores = SCACT[0]
-            for a in range(1, A):
-                scores = jnp.where(c_w == a, SCACT[a], scores)
+            # score column: NG-way select over the packed plane stack, then
+            # per-lane byte extraction ((v+128) biased little-endian)
+            grp = c_w >> 2
+            sub = (c_w & 3) << 3
+            acc = SCACT[0]
+            for g in range(1, NG):
+                acc = jnp.where(grp == g, SCACT[g], acc)
+            scores = ((acc >> sub) & 255) - 128
 
             D10 = ACT_D[...]
             C10 = ACT_C[...]
@@ -249,20 +303,20 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 )
                 D11 = jnp.concatenate([row0, D11[:, 1:, :]], axis=1)
 
-            C11 = jnp.maximum(_sat(C10 + e), _sat(D10 + open_))
+            C11 = jnp.maximum(jnp.maximum(C10 + e, D10 + open_), NEG32)
             D11 = jnp.maximum(D11, C11)
-            D11_open = _sat(D11 + (open_ - e))
+            D11_open = D11 + (open_ - e)
 
             # chunked-AVX2-exact prefix scan: log-steps + zero correction
             t = D11_open
             k = 1
             while k < S:
-                t = jnp.maximum(t, _sat(shift_up_rows(t, k, NEG32) + e * k))
+                t = jnp.maximum(t, shift_up_rows(t, k, NEG32) + e * k)
                 k *= 2
             R11 = jnp.maximum(t, zc)
             D11 = jnp.maximum(D11, R11)
 
-            DMAX[...] = jnp.maximum(DMAX[...], jnp.where(done == 0, D11, NEG32))
+            DMAX[...] = jnp.maximum(DMAX[...], D11)
 
             ACT_D[...] = D11
             ACT_C[...] = C11
@@ -283,32 +337,38 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 tempD[:, S - STEP + w : S - STEP + w + 1, :] = bot_d
                 tempR[:, S - STEP + w : S - STEP + w + 1, :] = bot_r
 
-            # freeze + immediate score extraction once this rect passed both
-            # sequence ends (see module docstring; reference early exit:
-            # src/scan_block.rs:1216-1224 + extraction :567-592)
-            right = dirn != 1  # prologue (2) acts right
-            starti = jnp.where(right, i_, j_)
-            base_j = jnp.where(right, j_, i_)
-            lane_len = jnp.where(right, qlen, rlen)
-            col_len = jnp.where(right, rlen, qlen)
-            colpos0 = base_j + jnp.where(in_pro, 0, S - STEP)
             wloc = jnp.where(in_pro, s_idx * STEP + w, w)
-            fr_new = (
-                (starti + S > lane_len)
-                & (colpos0 + wloc >= col_len)
-                & (done == 0)
-            )
+            if cfg.x_drop:
+                # 16-lane-residue max tracker with chunk-granular argmax,
+                # replicating the reference SIMD bookkeeping exactly
+                # (reference: src/scan_block.rs:1192-1201; ties: highest
+                # chunk this column, latest column overall)
+                Dr = D11.reshape(K, NCHK, 16, P)
+                vm_new = jnp.maximum(XVM[...], Dr.max(axis=1))
+                hit = jnp.max(
+                    jnp.where(Dr == vm_new[:, None], ch_iota, -1), axis=1
+                )  # (K, 16, P): highest chunk matching the running max
+                upd = hit >= 0
+                XAI[...] = jnp.where(upd, FRA[...] + hit * 16, XAI[...])
+                XAJ[...] = jnp.where(upd, FRT[...] + wloc, XAJ[...])
+                XVM[...] = vm_new
+            else:
+                # freeze + immediate score extraction once this rect passed
+                # both sequence ends (see module docstring; reference early
+                # exit: src/scan_block.rs:1216-1224 + extraction :567-592);
+                # the rect geometry predicates are hoisted to pre_step
+                fr_new = (FRA[...] == 1) & (wloc >= FRT[...]) & (done == 0)
 
-            @pl.when(jnp.any(fr_new))
-            def _():
-                idx = jnp.clip(lane_len - starti, 0, S - 1)
-                val = jnp.max(
-                    jnp.where(rows_iota == idx, D11, jnp.iinfo(jnp.int32).min),
-                    axis=1, keepdims=True,
-                )
-                fscore = off + val - ZERO
-                OUT[...] = jnp.where(fr_new, fscore, OUT[...])
-                ST_DONE[...] = jnp.where(fr_new, 1, ST_DONE[...])
+                @pl.when(jnp.any(fr_new))
+                def _():
+                    val = jnp.max(
+                        jnp.where(rows_iota == FRIDX[...], D11,
+                                  jnp.iinfo(jnp.int32).min),
+                        axis=1, keepdims=True,
+                    )
+                    fscore = ST_OFF[...] + val - ZERO
+                    OUT[...] = jnp.where(fr_new, fscore, OUT[...])
+                    ST_DONE[...] = jnp.where(fr_new, 1, ST_DONE[...])
 
         def post_step(s_idx):
             in_pro_end = s_idx == PRO_STEPS - 1
@@ -340,10 +400,46 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
             # off_max update (reference: src/scan_block.rs:333-345)
             cur_max = jnp.max(DMAX[...], axis=1, keepdims=True)
-            ST_OFFMAX[...] = jnp.where(
-                active, ST_OFF[...] + cur_max - ZERO, ST_OFFMAX[...]
-            )
+            off_max = ST_OFF[...] + cur_max - ZERO
+            ST_OFFMAX[...] = jnp.where(active, off_max, ST_OFFMAX[...])
             DMAX[...] = jnp.full((K, S, P), NEG32, jnp.int32)
+
+            if cfg.x_drop:
+                # new-best bookkeeping + x-drop termination with
+                # X_DROP_ITER=2 hysteresis (reference: src/scan_block.rs:
+                # 353-404, 434-445); argmax = lowest 16-residue then the
+                # tracker's chunk/column (reference: src/avx2.rs:269-274)
+                improved = active & (off_max > XBEST[...])
+                vm = XVM[...]
+                ridx = jnp.min(
+                    jnp.where(vm == cur_max, r16_iota, 16), axis=1,
+                    keepdims=True,
+                )
+                sel = r16_iota == ridx
+                neg = jnp.iinfo(jnp.int32).min
+                ai = jnp.max(
+                    jnp.where(sel, XAI[...] + r16_iota, neg), axis=1,
+                    keepdims=True,
+                )
+                aj = jnp.max(jnp.where(sel, XAJ[...], neg), axis=1,
+                             keepdims=True)
+                right_x = ST_DIR[...] != 1
+                bi = jnp.where(right_x, ai, aj)
+                bj = jnp.where(right_x, aj, ai)
+                XBEST[...] = jnp.where(improved, off_max, XBEST[...])
+                XBI[...] = jnp.where(improved, bi, XBI[...])
+                XBJ[...] = jnp.where(improved, bj, XBJ[...])
+                XVM[...] = jnp.full((K, 16, P), NEG32, jnp.int32)
+
+                xfail = active & (off_max < XBEST[...] - xdrop_x)
+                terminate = xfail & (XITER[...] >= 1)  # X_DROP_ITER = 2
+                XITER[...] = jnp.where(
+                    xfail, XITER[...] + 1, jnp.where(active, 0, XITER[...])
+                )
+                reached = active & ((ST_I[...] + S) > qlen) & (
+                    (ST_J[...] + S) > rlen
+                )
+                ST_DONE[...] = jnp.where(terminate | reached, 1, ST_DONE[...])
 
             # direction choice (reference: src/scan_block.rs:447-462,551-558)
             i_ = ST_I[...]
@@ -399,7 +495,12 @@ def build_lane_engine(cfg: LaneKernelConfig):
             return (s_idx < MAX_STEPS) & (alldone == 0)
 
         lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
-        score_ref[0] = OUT[...]
+        if cfg.x_drop:
+            score_ref[0] = jnp.concatenate(
+                [XBEST[...], XBI[...], XBJ[...]], axis=1
+            )
+        else:
+            score_ref[0] = OUT[...]
 
     # ------------------------------------------------------------------
     def engine(qlen, rlen, scq0, scr0, M, codes, gaps):
@@ -407,16 +508,17 @@ def build_lane_engine(cfg: LaneKernelConfig):
         in_specs = [
             pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
+        OW = 3 if cfg.x_drop else 1  # score (+ best query/reference idx)
         out_specs = pl.BlockSpec(
-            (1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, K, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
-        out_shape = jax.ShapeDtypeStruct((n_progs, K, 1, P), jnp.int32)
+        out_shape = jax.ShapeDtypeStruct((n_progs, K, OW, P), jnp.int32)
         return pl.pallas_call(
             kernel,
             grid=(n_progs,),
@@ -425,10 +527,10 @@ def build_lane_engine(cfg: LaneKernelConfig):
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((K, 2 * NCH, 128, P), jnp.int8),  # CODES
-                pltpu.VMEM((A, K, S, P), jnp.int32),  # SCQ
-                pltpu.VMEM((A, K, S, P), jnp.int32),  # SCR
-                pltpu.VMEM((A, K, S, P), jnp.int32),  # SCACT
-                pltpu.VMEM((A, K, STEP, P), jnp.int32),  # NR
+                pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCQ (packed)
+                pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCR (packed)
+                pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCACT (packed)
+                pltpu.VMEM((NG, K, STEP, P), jnp.int32),  # NR (packed)
                 pltpu.VMEM((K, STEP, P), jnp.int32),  # EC8
                 pltpu.VMEM((K, S, P), jnp.int32),  # ACT_D
                 pltpu.VMEM((K, S, P), jnp.int32),  # ACT_C
@@ -438,7 +540,13 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 pltpu.VMEM((K, S, P), jnp.int32),  # tempR
                 pltpu.VMEM((K, S, P), jnp.int32),  # DMAX
             ]
-            + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(11)]
+            + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(14)]
+            + [
+                pltpu.VMEM((K, 16, P), jnp.int32),  # XVM
+                pltpu.VMEM((K, 16, P), jnp.int32),  # XAI
+                pltpu.VMEM((K, 16, P), jnp.int32),  # XAJ
+            ]
+            + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(4)]
             + [pltpu.SemaphoreType.DMA],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -449,7 +557,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
     return jax.jit(engine)
 
 
-def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None):
+def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
     """Host-side packing for the lane kernel.
 
     Builds the transposed int8 code block (position-major, pair-in-lane),
@@ -493,27 +601,43 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None):
     ct = codes.reshape(n_progs, K, P, 2 * NCH, 128)
     codes_t = np.ascontiguousarray(ct.transpose(0, 1, 3, 4, 2))
 
+    # packed score planes: group g packs amino acids 4g..4g+3, one byte
+    # each, biased +128 so all bytes are non-negative; the device table is
+    # byte-plane-major (row b*NG+g = M[4g+b] + 128) so the kernel packs new
+    # rows with contiguous slices
+    NG = A // 4
+    Mp = np.zeros((A, A), dtype=np.int32)
+    for b in range(4):
+        for gr in range(NG):
+            Mp[b * NG + gr] = M[4 * gr + b] + 128
+    packed_tab = (
+        (M[0::4].astype(np.int64) + 128)
+        | ((M[1::4].astype(np.int64) + 128) << 8)
+        | ((M[2::4].astype(np.int64) + 128) << 16)
+        | ((M[3::4].astype(np.int64) + 128) << 24)
+    ).astype(np.uint32).astype(np.int32)  # (NG, A): packed_tab[g, c]
+
     # initial lane-window score stacks: rows = positions 0..S-1
-    Mi8 = M.astype(np.int8)
     first = codes.reshape(n_progs, K, P, 2, NCH * 128)[..., :S].astype(np.int64)
-    # scq0[t, a, k, s, p] = M[a, qcode[t, k, p, s]]
+    # scq0[t, g, k, s, p] = packed_tab[g, qcode[t, k, p, s]]
     scq0 = np.ascontiguousarray(
-        Mi8[:, first[:, :, :, 0, :]].transpose(1, 0, 2, 4, 3)
+        packed_tab[:, first[:, :, :, 0, :]].transpose(1, 0, 2, 4, 3)
     )
     scr0 = np.ascontiguousarray(
-        Mi8[:, first[:, :, :, 1, :]].transpose(1, 0, 2, 4, 3)
+        packed_tab[:, first[:, :, :, 1, :]].transpose(1, 0, 2, 4, 3)
     )
 
-    g = np.zeros((1, 2), dtype=np.int32)
+    g = np.zeros((1, 4), dtype=np.int32)
     if gaps is not None:
         g[0, 0] = gaps.open
         g[0, 1] = gaps.extend
+    g[0, 2] = x_drop
     return (
         np.ascontiguousarray(qlen.reshape(n_progs, K, 1, P)),
         np.ascontiguousarray(rlen.reshape(n_progs, K, 1, P)),
         scq0,
         scr0,
-        M,
+        Mp,
         codes_t,
         g,
     )

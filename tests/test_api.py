@@ -86,3 +86,28 @@ def test_profile_aligner():
     want = str(a.cigar(a.res().query_idx, a.res().reference_idx))
     got = str(pa.cigar(0, res[0].query_idx, res[0].reference_idx))
     assert got == want
+
+
+def test_batch_aligner_x_drop_lane():
+    gaps = Gaps(open=-11, extend=-1)
+    al = BatchAligner(BLOSUM62, gaps, size=(32, 32), batch=128, seq_cap=200,
+                      x_drop=50)
+    assert al._lane  # fixed-size x-drop routes to the lane kernel
+    rng = np.random.default_rng(41)
+    pairs = []
+    for _ in range(6):
+        n = int(rng.integers(20, 150))
+        q = bytes(rng.choice(list(b"ACDEFGHIKLMNPQRSTVWY"), size=n).tolist())
+        r = bytearray(q)
+        for _ in range(n // 5):
+            r[int(rng.integers(0, len(r)))] = int(
+                rng.choice(list(b"ACDEFGHIKLMNPQRSTVWY")))
+        pairs.append((q, bytes(r)))
+    res = al.align_batch(pairs)
+    o = BlockOracle(x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 32, BLOSUM62)
+        o.align(pq, pr, BLOSUM62, gaps, (32, 32), 50)
+        assert (res[k].score, res[k].query_idx, res[k].reference_idx) == (
+            o.res().score, o.res().query_idx, o.res().reference_idx), k

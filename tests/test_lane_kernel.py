@@ -106,3 +106,65 @@ def test_lane_random_dna_s64():
         q = rand_seq(rng, DNA, n)
         pairs.append((q, mutate(rng, q, n // 4, DNA)))
     check(pairs, NW1, gaps, 64)
+
+
+def run_kernel_xdrop(pairs, matrix, gaps, S, x, interpret=True):
+    maxlen = max(max(len(q), len(r)) for q, r in pairs)
+    cap = max(256, -(-(1 + maxlen + S + 16) // 128) * 128)
+    cfg = LaneKernelConfig(batch=256, block=S, seq_cap=cap,
+                           alpha=32 if matrix.kind != "nuc" else 16,
+                           banks=2, x_drop=True, interpret=interpret)
+    fn = build_lane_engine(cfg)
+    args = pack_lane(pairs, matrix, cfg, gaps, x_drop=x)
+    out = np.asarray(fn(*args))  # (n_progs, K, 3, P)
+    res = []
+    for b in range(len(pairs)):
+        pk, kk, lane = b // 256, (b % 256) // 128, b % 128
+        res.append(tuple(int(out[pk, kk, t, lane]) for t in range(3)))
+    return res
+
+
+def test_lane_x_drop():
+    rng = np.random.default_rng(23)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = [
+        (b"AAAA", b"AARA"),
+        (b"MKVLATGQHEWVKL", b"MKVLATGQHEWVKL"),
+    ]
+    for _ in range(20):
+        n = int(rng.integers(10, 150))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 5, AA)))
+    got = run_kernel_xdrop(pairs, BLOSUM62, gaps, 32, 50)
+    a = BlockOracle(x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 32, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (32, 32), 50)
+        res = a.res()
+        assert got[k] == (res.score, res.query_idx, res.reference_idx), (
+            k, got[k], (res.score, res.query_idx, res.reference_idx), q, r)
+
+
+def test_lane_x_drop_dna_divergent():
+    rng = np.random.default_rng(29)
+    gaps = Gaps(open=-6, extend=-2)
+    matrix = __import__("block_aligner_tpu").NucMatrix.new_simple(2, -4)
+    pairs = []
+    for _ in range(16):
+        n = int(rng.integers(30, 200))
+        q = rand_seq(rng, DNA, n)
+        # half related, half unrelated (x-drop terminates early on these)
+        if rng.integers(0, 2):
+            pairs.append((q, mutate(rng, q, n // 6, DNA)))
+        else:
+            pairs.append((q, rand_seq(rng, DNA, n)))
+    got = run_kernel_xdrop(pairs, matrix, gaps, 16, 100)
+    a = BlockOracle(x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 16, matrix)
+        pr = PaddedBytes.from_bytes(r, 16, matrix)
+        a.align(pq, pr, matrix, gaps, (16, 16), 100)
+        res = a.res()
+        assert got[k] == (res.score, res.query_idx, res.reference_idx), (
+            k, got[k], (res.score, res.query_idx, res.reference_idx), q, r)
