@@ -106,6 +106,9 @@ class BatchAligner:
             banks = max(1, min(16, round_up(max(batch, 128), 128) // 128))
             while banks & (banks - 1):
                 banks -= 1
+            # VMEM-resident codes: shrink banks for long sequences (~16 MiB)
+            while banks > 2 and banks * 2 * cap * 128 > 11 * 2**20:
+                banks //= 2
             self._lane_cfg = LaneKernelConfig(
                 batch=round_up(max(batch, 128), 128 * banks),
                 block=min_size,

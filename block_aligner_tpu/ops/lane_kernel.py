@@ -69,11 +69,25 @@ class LaneKernelConfig:
         S = self.block
         assert S & (S - 1) == 0 and 16 <= S <= 512
         assert self.seq_cap % 128 == 0 and self.seq_cap >= 256
-        assert self.seq_cap <= 4096, "lane kernel keeps codes VMEM-resident"
+        assert self.seq_cap <= 16384, "lane kernel keeps codes VMEM-resident"
         assert self.banks in (1, 2, 4, 8, 16, 32)
         # K == 1 leaves a unit leading dim that pessimizes Mosaic layouts
         # ~5x (measured); prefer K >= 2 whenever the batch allows it
         assert self.batch % (P * self.banks) == 0
+        assert self.vmem_bytes <= 14 * 2**20, (
+            f"~{self.vmem_bytes >> 20} MiB of VMEM scratch exceeds the "
+            "~16 MiB core budget; lower banks or seq_cap"
+        )
+
+    @property
+    def vmem_bytes(self) -> int:
+        """Approximate VMEM scratch footprint (codes + score stacks +
+        borders); must fit the ~16 MiB core budget."""
+        K, S, A = self.banks, self.block, self.alpha
+        codes = K * 2 * self.seq_cap * P
+        stacks = 4 * (A // 4) * K * S * P * 4
+        borders = 10 * K * S * P * 4
+        return codes + stacks + borders + (K * 128 * P * 4)
 
     @property
     def n_chunks(self) -> int:
