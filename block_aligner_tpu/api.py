@@ -84,12 +84,13 @@ class BatchAligner:
         self.data_axis = data_axis
         self._trace_mode = trace
         self._last_trace: Optional[EngineTrace] = None
+        self._trace_prep = None
         plain = not (
-            trace
-            or local_start
+            local_start
             or free_query_start_gaps
             or free_query_end_gaps
             or isinstance(matrix, ByteMatrix)
+            or (trace and x_drop is not None)
         )
         if use_lane_kernel is None:
             use_lane_kernel = (
@@ -106,8 +107,20 @@ class BatchAligner:
             banks = max(1, min(16, round_up(max(batch, 128), 128) // 128))
             while banks & (banks - 1):
                 banks -= 1
-            # VMEM-resident codes: shrink banks for long sequences (~16 MiB)
-            while banks > 2 and banks * 2 * cap * 128 > 11 * 2**20:
+            # VMEM-resident codes/stacks: shrink banks to fit the ~16 MiB
+            # core budget (long sequences, trace staging)
+            def _vmem(k):
+                a_ = 32 if matrix.kind != "nuc" else 16
+                per_bank = (
+                    2 * cap * 128
+                    + 4 * (a_ // 4) * min_size * 128 * 4
+                    + 10 * min_size * 128 * 4
+                    + (8 * min_size * 128 if trace else 0)
+                    + 128 * 128 * 4
+                )
+                return k * per_bank
+
+            while banks > 2 and _vmem(banks) > 13 * 2**20:
                 banks //= 2
             self._lane_cfg = LaneKernelConfig(
                 batch=round_up(max(batch, 128), 128 * banks),
@@ -116,6 +129,7 @@ class BatchAligner:
                 alpha=32 if matrix.kind != "nuc" else 16,
                 banks=banks,
                 x_drop=x_drop is not None,
+                trace=trace,
                 # Mosaic compiles only on TPU; elsewhere run interpreted
                 interpret=jax.default_backend() != "tpu",
             )
@@ -183,7 +197,38 @@ class BatchAligner:
 
             args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps,
                              x_drop=self.x_drop or 0)
-            out = np.asarray(self._lane_fn(*args))
+            res = self._lane_fn(*args)
+            if self._lane_cfg.trace:
+                from .core.traceback import lane_trace
+
+                out, thbm, mhbm = res
+                out = np.asarray(out)
+                steps = out[:, 0, 1, 0]  # per-program executed step counts
+                # transpose + nibble-pack on device: halves the host
+                # transfer and kills the host-side transpose
+                if self._trace_prep is None:
+                    import jax
+
+                    @jax.jit
+                    def _prep(t):
+                        # nibble-pack adjacent columns (elementwise; the
+                        # lane/sublane transpose is cheaper on the host)
+                        return t[:, 0::2] | (t[:, 1::2] << 4)
+
+                    self._trace_prep = _prep
+                nsteps = int(steps.max())
+                half = (nsteps * 8 + 1) // 2
+                packed = np.asarray(self._trace_prep(thbm)[:, :half])
+                self._last_trace = lane_trace(
+                    packed, np.asarray(mhbm[:, :nsteps]), steps,
+                    self._lane_cfg.block,
+                )
+                out = out[:, :, 0, :].reshape(self._lane_cfg.batch)
+                return [
+                    AlignResult(int(out[b]), len(q), len(r))
+                    for b, (q, r) in enumerate(pairs)
+                ]
+            out = np.asarray(res)
             if self._lane_cfg.x_drop:
                 out = out.transpose(0, 1, 3, 2).reshape(self._lane_cfg.batch, 3)
                 return [

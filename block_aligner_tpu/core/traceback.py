@@ -28,6 +28,8 @@ import numpy as np
 
 from .cigar import Cigar, Operation
 
+STEP_ = 8  # reference STEP (src/scan_block.rs:785)
+
 __all__ = ["cigar_walk", "op_lut", "TraceRect", "EngineTrace"]
 
 _OP_LUT_CACHE = None
@@ -336,3 +338,70 @@ class EngineTrace:
             free_query_start_gaps=self.free_query_start_gaps,
             eq=True, q=q, r=r, cigar=cigar,
         )
+
+
+def lane_trace(thbm, mhbm, steps, block: int) -> "EngineTrace":
+    """Decode the lane kernel's trace stream into an ``EngineTrace``.
+
+    The lane kernel (fixed block size) has no grow/shrink, so its stream is
+    simpler than the engine's: per step one rect descriptor
+    (right, lane origin, column origin, done-at-start) plus 8 columns of
+    packed bits.  This reshapes the device buffers into the engine's
+    (T, B, H) trace / (T, B, 2) meta format and reuses the shared decoder
+    (including the native C++ walker).
+
+    thbm: (n_progs, T//2, K, S, P) int8, adjacent columns nibble-packed on
+    device (even column in the low nibble); mhbm: (n_progs, steps_cap, K, 4, P);
+    steps: per-program executed step counts (n_progs,).
+    """
+    packed = np.asarray(thbm)  # (n_progs, T//2, K, S, P), columns packed
+    mhbm = np.asarray(mhbm)
+    steps = np.asarray(steps).reshape(-1)
+    n_progs, T2, K, S, P_ = packed.shape
+    assert S == block
+    B = n_progs * K * P_
+    nsteps = int(steps.max())
+    ncols = nsteps * STEP_
+    pro_steps = S // STEP_
+
+    # unpack the device-side nibble packing (even cols low, odd cols high)
+    # and bring into the walker's (T, B, H) layout
+    half = (ncols + 1) // 2
+    pk = packed[:, :half].transpose(1, 0, 2, 4, 3).reshape(half, B, S)
+    trace_arr = np.empty((ncols, B, S), dtype=np.int8)
+    trace_arr[0::2] = pk[: (ncols + 1) // 2] & 15
+    trace_arr[1::2] = (pk[: ncols // 2] >> 4) & 15
+
+    m = mhbm[:, :nsteps].transpose(1, 0, 2, 4, 3)  # (nsteps, n_progs, K, P, 4)
+    right = m[..., 0].astype(np.int32)
+    starti = m[..., 1].astype(np.int32)
+    colpos0 = m[..., 2].astype(np.int32)
+    doneat = m[..., 3].astype(np.int32)
+
+    s_idx = np.arange(nsteps)[:, None, None, None]  # (nsteps, 1, 1, 1)
+    ran = (s_idx < steps[None, :, None, None]).astype(np.int32)
+    valid = (1 - doneat) * ran  # (nsteps, n_progs, K, P)
+    in_pro = (s_idx < pro_steps).astype(np.int32)
+
+    # expand each step to its 8 columns
+    w = np.arange(STEP_)[None, :, None, None, None]  # (1, 8, ...)
+    valid8 = valid[:, None]
+    rectstart = np.where(
+        in_pro[:, None] == 1,
+        ((s_idx[:, None] == 0) & (w == 0)).astype(np.int32),
+        (w == 0).astype(np.int32),
+    ) * valid8
+    meta1 = (
+        starti[:, None]
+        | (right[:, None] << 25)
+        | (valid8 << 26)
+        | (rectstart << 29)
+    )
+    cp = colpos0[:, None] + np.where(
+        in_pro[:, None] == 1, s_idx[:, None] * STEP_ + w, w
+    )
+    meta2 = cp | (S << 17)
+    meta = np.stack(
+        [meta1.reshape(ncols, B), meta2.reshape(ncols, B)], axis=-1
+    ).astype(np.int32)
+    return EngineTrace(trace_arr, np.ascontiguousarray(meta), ncols)

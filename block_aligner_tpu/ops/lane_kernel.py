@@ -63,6 +63,7 @@ class LaneKernelConfig:
     alpha: int = 32  # score-table rows (32 for AA, 16 for Nuc)
     banks: int = 4  # independent 128-pair banks per program (ILP)
     x_drop: bool = False  # x-drop termination + best-position tracking
+    trace: bool = False  # stream packed traceback bits to HBM (global mode)
     interpret: bool = False
 
     def __post_init__(self):
@@ -78,6 +79,17 @@ class LaneKernelConfig:
             f"~{self.vmem_bytes >> 20} MiB of VMEM scratch exceeds the "
             "~16 MiB core budget; lower banks or seq_cap"
         )
+        assert not (self.trace and self.x_drop), (
+            "trace+x_drop routes to the general engine"
+        )
+
+    @property
+    def max_steps(self) -> int:
+        return (2 * self.seq_cap) // STEP + self.block // STEP + 2
+
+    @property
+    def trace_cols(self) -> int:
+        return self.max_steps * STEP
 
     @property
     def vmem_bytes(self) -> int:
@@ -87,7 +99,8 @@ class LaneKernelConfig:
         codes = K * 2 * self.seq_cap * P
         stacks = 4 * (A // 4) * K * S * P * 4
         borders = 10 * K * S * P * 4
-        return codes + stacks + borders + (K * 128 * P * 4)
+        tstage = 8 * K * S * P if self.trace else 0
+        return codes + stacks + borders + tstage + (K * 128 * P * 4)
 
     @property
     def n_chunks(self) -> int:
@@ -111,7 +124,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
     K = cfg.banks
     NCH = cfg.n_chunks
     PRO_STEPS = S // STEP
-    MAX_STEPS = (2 * cfg.seq_cap) // STEP + PRO_STEPS + 2
+    MAX_STEPS = cfg.max_steps
 
     def shift_up_rows(x, k, fill):
         """position p <- p - k along axis 1; first k rows filled."""
@@ -120,11 +133,17 @@ def build_lane_engine(cfg: LaneKernelConfig):
         )
 
     def kernel(qlen_ref, rlen_ref, scq0_ref, scr0_ref, M_ref, codes_hbm,
-               gap_ref, score_ref, *scr):
+               gap_ref, score_ref, *rest):
+        if cfg.trace:
+            thbm, mhbm = rest[0], rest[1]
+            scr = rest[2:]
+        else:
+            scr = rest
         (CODES, SCQ, SCR, SCACT, NR, EC8, ACT_D, ACT_C, PAS_D, PAS_R,
          tempD, tempR, DMAX, ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_OA,
          ST_DIR, ST_PDIR, ST_DONE, CORN, CVEC, OUT, FRA, FRT, FRIDX,
-         XVM, XAI, XAJ, XBEST, XBI, XBJ, XITER, sem) = scr
+         XVM, XAI, XAJ, XBEST, XBI, XBJ, XITER, TST, MST, sem,
+         tsem) = scr
         prog = pl.program_id(0)
 
         open_ = gap_ref[0, 0]
@@ -170,6 +189,11 @@ def build_lane_engine(cfg: LaneKernelConfig):
             # FRA/FRT double as the rect's absolute lane/column origin
             FRA[...] = z1
             FRT[...] = z1
+        if cfg.trace:
+            # the prologue rect descriptor: right, origin (0, 0), not done
+            MST[...] = jnp.concatenate(
+                [z1 + 1, z1, z1, z1], axis=1
+            )
         dma.wait()
 
         Mb = M_ref[...].astype(jnp.bfloat16)
@@ -257,6 +281,12 @@ def build_lane_engine(cfg: LaneKernelConfig):
                     FRA[...] = (starti + S > lane_len).astype(jnp.int32)
                     FRT[...] = col_len - colpos0
                     FRIDX[...] = jnp.clip(lane_len - starti, 0, S - 1)
+                if cfg.trace:
+                    # this step's rect descriptor for the host-side decoder
+                    MST[...] = jnp.concatenate(
+                        [right.astype(jnp.int32), starti, colpos0, done],
+                        axis=1,
+                    )
 
             @pl.when(jnp.logical_not(in_pro))
             def _():
@@ -317,7 +347,8 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 )
                 D11 = jnp.concatenate([row0, D11[:, 1:, :]], axis=1)
 
-            C11 = jnp.maximum(jnp.maximum(C10 + e, D10 + open_), NEG32)
+            C11_open = jnp.maximum(D10 + open_, NEG32)
+            C11 = jnp.maximum(jnp.maximum(C10 + e, NEG32), C11_open)
             D11 = jnp.maximum(D11, C11)
             D11_open = D11 + (open_ - e)
 
@@ -329,6 +360,21 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 k *= 2
             R11 = jnp.maximum(t, zc)
             D11 = jnp.maximum(D11, R11)
+
+            if cfg.trace:
+                # packed 2+2-bit trace emission (reference:
+                # src/scan_block.rs:1166-1190), staged per step then DMA'd
+                # to the HBM trace stream
+                tb = (D11 == C11).astype(jnp.int32) | (
+                    (D11 == R11).astype(jnp.int32) << 1
+                )
+                temp_tr = (R11 == D11_open).astype(jnp.int32)
+                tr_R = jnp.concatenate(
+                    [jnp.zeros((K, 1, P), jnp.int32), temp_tr[:, : S - 1, :]],
+                    axis=1,
+                )
+                t2b = (C11 == C11_open).astype(jnp.int32) | (tr_R << 1)
+                TST[w] = (tb | (t2b << 2)).astype(jnp.int8)
 
             DMAX[...] = jnp.maximum(DMAX[...], D11)
 
@@ -498,6 +544,18 @@ def build_lane_engine(cfg: LaneKernelConfig):
             for w in range(STEP):
                 column(w, s_idx, in_pro)
 
+            if cfg.trace:
+                # stream this step's trace bits + rect descriptor to HBM;
+                # the blocking wait costs ~1 us/step (future: double-buffer)
+                td = pltpu.make_async_copy(
+                    TST, thbm.at[prog, pl.ds(s_idx * STEP, STEP)], tsem
+                )
+                td.start()
+                md = pltpu.make_async_copy(MST, mhbm.at[prog, s_idx], sem)
+                md.start()
+                td.wait()
+                md.wait()
+
             @pl.when(s_idx >= PRO_STEPS - 1)
             def _():
                 post_step(s_idx)
@@ -508,11 +566,14 @@ def build_lane_engine(cfg: LaneKernelConfig):
             s_idx, alldone = carry
             return (s_idx < MAX_STEPS) & (alldone == 0)
 
-        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        final = lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
         if cfg.x_drop:
             score_ref[0] = jnp.concatenate(
                 [XBEST[...], XBI[...], XBJ[...]], axis=1
             )
+        elif cfg.trace:
+            steps = jnp.full((K, 1, P), final[0], jnp.int32)
+            score_ref[0] = jnp.concatenate([OUT[...], steps], axis=1)
         else:
             score_ref[0] = OUT[...]
 
@@ -528,11 +589,27 @@ def build_lane_engine(cfg: LaneKernelConfig):
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        OW = 3 if cfg.x_drop else 1  # score (+ best query/reference idx)
+        # output rows: score (+ best idx for x-drop / step count for trace)
+        OW = 3 if cfg.x_drop else (2 if cfg.trace else 1)
         out_specs = pl.BlockSpec(
             (1, K, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((n_progs, K, OW, P), jnp.int32)
+        if cfg.trace:
+            out_specs = (
+                out_specs,
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            )
+            out_shape = (
+                out_shape,
+                jax.ShapeDtypeStruct(
+                    (n_progs, cfg.trace_cols, K, S, P), jnp.int8
+                ),
+                jax.ShapeDtypeStruct(
+                    (n_progs, cfg.max_steps, K, 4, P), jnp.int32
+                ),
+            )
         return pl.pallas_call(
             kernel,
             grid=(n_progs,),
@@ -561,7 +638,12 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 pltpu.VMEM((K, 16, P), jnp.int32),  # XAJ
             ]
             + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(4)]
-            + [pltpu.SemaphoreType.DMA],
+            + [
+                pltpu.VMEM((STEP, K, S, P), jnp.int8),  # TST
+                pltpu.VMEM((K, 4, P), jnp.int32),  # MST
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,  # tsem
+            ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),

@@ -168,3 +168,32 @@ def test_lane_x_drop_dna_divergent():
         res = a.res()
         assert got[k] == (res.score, res.query_idx, res.reference_idx), (
             k, got[k], (res.score, res.query_idx, res.reference_idx), q, r)
+
+
+def test_lane_trace_cigars():
+    from block_aligner_tpu import BatchAligner
+
+    rng = np.random.default_rng(61)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = [
+        (b"CAGGATTAGCGGATCACG", b"CTGGAGTCTTTTAGCGGATCACGC"),
+        (b"AAAA", b"AARA"),
+        (b"A", b"A"),
+    ]
+    for _ in range(12):
+        n = int(rng.integers(10, 120))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 4, AA)))
+    al = BatchAligner(BLOSUM62, gaps, size=(32, 32), batch=256, seq_cap=160,
+                      trace=True)
+    assert al._lane
+    res = al.align_batch(pairs)
+    a = BlockOracle(trace=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 32, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (32, 32), 0)
+        assert res[k].score == a.res().score, k
+        want = str(a.cigar(a.res().query_idx, a.res().reference_idx))
+        got = str(al.cigar(k, res[k].query_idx, res[k].reference_idx))
+        assert got == want, (k, got, want, q, r)
