@@ -33,7 +33,7 @@ from .core.scores import ByteMatrix, Gaps
 from .core.traceback import EngineTrace
 from .ops.engine import EngineConfig, build_engine, pack_pairs, pack_profiles
 
-__all__ = ["BatchAligner", "ProfileAligner", "round_up"]
+__all__ = ["BatchAligner", "ProfileAligner", "AdaptiveBatchAligner", "align_exp_all", "round_up"]
 
 
 def round_up(x: int, m: int) -> int:
@@ -399,3 +399,85 @@ def align_exp_all(
         pending = still
         cur *= 2
     return results, min_sizes
+
+
+class AdaptiveBatchAligner:
+    """Adaptive accuracy at fixed-kernel speed via exponential rescue.
+
+    The reference adapts its block size *within* one alignment (grow on
+    y-drop, shrink on suffix-max; reference: src/scan_block.rs:470-549) --
+    inherently divergent control flow that a lockstep TPU batch pays for
+    even when most pairs don't need it.  This class re-derives the same
+    goal batch-wise: align everything with the fast fixed-block lane kernel
+    at ``min_size``, then re-align only the pairs whose score still changes
+    when the block doubles, until scores stabilize or ``max_size`` is
+    reached.  Stable-score pairs exit early, so the expected cost is close
+    to one fixed-``min_size`` pass; hard pairs get up to fixed-``max_size``
+    accuracy (which upper-bounds the reference's adaptive accuracy at the
+    same max).
+
+    Note: scores can differ from the reference's adaptive-path scores on
+    pairs where both heuristics are wrong in different ways; use
+    ``BatchAligner`` (the engine) for reference-exact adaptive semantics.
+    """
+
+    def __init__(
+        self,
+        matrix,
+        gaps: Gaps,
+        size: Tuple[int, int] = (32, 256),
+        *,
+        batch: int = 2048,
+        seq_cap: int = 1024,
+        x_drop: Optional[int] = None,
+        stable_rounds: int = 1,
+    ):
+        self.matrix = matrix
+        self.gaps = gaps
+        self.sizes = []
+        s = max(size[0], 16)
+        while s <= size[1]:
+            self.sizes.append(s)
+            s *= 2
+        self.batch = batch
+        self.seq_cap = seq_cap
+        self.x_drop = x_drop
+        self.stable_rounds = stable_rounds
+        self._aligners = {}
+
+    def _aligner(self, s: int, n: int) -> BatchAligner:
+        # one jit specialization per block size (a varying batch size would
+        # recompile every rescue round)
+        if s not in self._aligners:
+            self._aligners[s] = BatchAligner(
+                self.matrix, self.gaps, (s, s), batch=self.batch,
+                seq_cap=self.seq_cap, x_drop=self.x_drop,
+            )
+        return self._aligners[s]
+
+    def align_all(self, pairs) -> List[AlignResult]:
+        results: List[Optional[AlignResult]] = [None] * len(pairs)
+        pending = list(range(len(pairs)))
+        stable = [0] * len(pairs)
+        for round_idx, s in enumerate(self.sizes):
+            if not pending:
+                break
+            al = self._aligner(s, len(pending))
+            sub = [pairs[k] for k in pending]
+            out = []
+            for off in range(0, len(sub), al.batch_size):
+                out.extend(al.align_batch(sub[off : off + al.batch_size]))
+            nxt = []
+            for k, got in zip(pending, out):
+                prev = results[k]
+                results[k] = got
+                if prev is not None and prev.score == got.score:
+                    stable[k] += 1
+                    if stable[k] >= self.stable_rounds:
+                        continue
+                else:
+                    stable[k] = 0
+                if round_idx + 1 < len(self.sizes):
+                    nxt.append(k)
+            pending = nxt
+        return results

@@ -211,6 +211,10 @@ class EngineTrace:
         self.free_query_start_gaps = free_query_start_gaps
         self._rect_cache = {}
         self._native = None
+        self._meta_t = None
+        self._trace_t = None
+        self._out_buf = None
+        self._ptrs = None
         if native:
             from ..native import load
 
@@ -224,8 +228,25 @@ class EngineTrace:
         import ctypes
 
         T, B, H = self.trace.shape
-        cap = 2 * (int(i) + int(j) + 4)
-        out = np.empty(cap, dtype=np.int32)
+        if self._ptrs is None:
+            # pair-major copies so the C replay and walk read local memory
+            # (the (T, B, .) device layout makes per-pair access miss-bound);
+            # one bulk transpose amortized over the batch's cigar calls
+            self._meta_t = np.ascontiguousarray(self.meta.transpose(1, 0, 2))
+            self._trace_t = np.ascontiguousarray(self.trace.transpose(1, 0, 2))
+            self._out_buf = np.empty(4 * (T * 8 + 64), dtype=np.int32)
+            self._ptrs = (
+                self._trace_t.ctypes.data_as(ctypes.c_void_p),
+                self._meta_t.ctypes.data_as(ctypes.c_void_p),
+                self._out_buf.ctypes.data_as(ctypes.c_void_p),
+            )
+        tp, mp, op = self._ptrs
+        out = self._out_buf
+        cap = out.shape[0]
+        if 2 * (int(i) + int(j) + 4) > cap:
+            out = np.empty(2 * (int(i) + int(j) + 4), dtype=np.int32)
+            op = out.ctypes.data_as(ctypes.c_void_p)
+            cap = out.shape[0]
         if eq:
             qc = np.ascontiguousarray(q.codes, dtype=np.uint8)
             rc = np.ascontiguousarray(r.codes, dtype=np.uint8)
@@ -234,14 +255,13 @@ class EngineTrace:
         else:
             qp = rp = None
         n = lib.ba_trace_cigar(
-            self.trace.ctypes.data_as(ctypes.c_void_p),
-            self.meta.ctypes.data_as(ctypes.c_void_p),
+            tp, mp,
             T, B, H, self.iters, b, int(i), int(j),
             1 if self.local_start else 0,
             1 if self.free_query_start_gaps else 0,
             1 if eq else 0,
             qp, rp,
-            out.ctypes.data_as(ctypes.c_void_p), cap,
+            op, cap,
         )
         if n < 0:
             return None  # fall back to the python walker

@@ -91,17 +91,20 @@ struct Rect {
 extern "C" {
 
 // Decode the event stream for pair `b` and walk the traceback from (i, j).
-// trace: (T, B, H) int8; meta: (T, B, 2) int32; iters <= T.
+// trace_t: (B, T, H) int8 and meta_t: (B, T, 2) int32 -- both pair-major so
+// the replay and the walk read local memory; iters <= T.
 // qcodes/rcodes (nullable): padded code arrays (1-based positions) for =/X
 // resolution. out_ops receives (op, len) pairs in forward order; returns the
 // number of pairs written, or -1 if out_cap is too small, -2 on bad input.
-int64_t ba_trace_cigar(const int8_t* trace, const int32_t* meta, int64_t T,
-                       int64_t B, int64_t H, int64_t iters, int64_t b,
-                       int64_t i, int64_t j, int32_t local_start,
+int64_t ba_trace_cigar(const int8_t* trace_t, const int32_t* meta_t,
+                       int64_t T, int64_t B, int64_t H, int64_t iters,
+                       int64_t b, int64_t i, int64_t j, int32_t local_start,
                        int32_t free_query_start_gaps, int32_t eq,
                        const uint8_t* qcodes, const uint8_t* rcodes,
                        int32_t* out_ops, int64_t out_cap) {
   if (iters > T || b >= B) return -2;
+  const int32_t* mrow = meta_t + (size_t)b * (size_t)T * 2;
+  const int8_t* trow = trace_t + (size_t)b * (size_t)T * (size_t)H;
 
   // ---- replay the event stream into the final rect list ----
   std::vector<Rect> rects;
@@ -110,8 +113,8 @@ int64_t ba_trace_cigar(const int8_t* trace, const int32_t* meta, int64_t T,
   rows.reserve((size_t)iters);
   size_t saved_len = 0, saved_rows = 0;
   for (int64_t it = 0; it < iters; it++) {
-    const int32_t m1 = meta[(it * B + b) * 2];
-    const int32_t m2 = meta[(it * B + b) * 2 + 1];
+    const int32_t m1 = mrow[it * 2];
+    const int32_t m2 = mrow[it * 2 + 1];
     const bool valid = (m1 >> 26) & 1;
     if ((m1 >> 27) & 1) {  // save mark (before restore; see traceback.py)
       saved_len = rects.size();
@@ -170,7 +173,7 @@ int64_t ba_trace_cigar(const int8_t* trace, const int32_t* meta, int64_t T,
       }
       if (pc >= rect->n || lane >= H) return -2;
       const int64_t it = rows[(size_t)(rect->first + pc)];
-      const int8_t cell = trace[(it * B + b) * H + lane];
+      const int8_t cell = trow[it * H + lane];
       const int t = cell & 3;
       const int t2 = (cell >> 2) & 3;
       if (local_start && table == 0 && ((cell >> 4) & 1)) {

@@ -681,17 +681,24 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
         conv = matrix.convert
         null_code = int(matrix.convert(bytes([matrix.NULL]))[0])
 
+    # vectorized packing: one conversion pass over the concatenation, then
+    # per-pair memcpy slices (the per-pair python work must stay tiny --
+    # short-sequence batches are host-bound otherwise)
     codes = np.full((B, 2, NCH * 128), null_code, dtype=np.int8)
-    qlen = np.zeros((B,), dtype=np.int32)
-    rlen = np.zeros((B,), dtype=np.int32)
-    for b, (q, r) in enumerate(pairs):
-        qc = conv(q)
-        rc = conv(r)
-        assert 1 + max(len(qc), len(rc)) + S + 8 <= NCH * 128, "sequence too long"
-        qlen[b] = len(qc)
-        rlen[b] = len(rc)
-        codes[b, 0, 1 : 1 + len(qc)] = qc
-        codes[b, 1, 1 : 1 + len(rc)] = rc
+    qlen = np.fromiter((len(q) for q, _ in pairs), np.int32, B)
+    rlen = np.fromiter((len(r) for _, r in pairs), np.int32, B)
+    assert 1 + max(int(qlen.max()), int(rlen.max())) + S + 8 <= NCH * 128, (
+        "sequence too long"
+    )
+    qcat = conv(b"".join(q for q, _ in pairs)) if qlen.sum() else None
+    rcat = conv(b"".join(r for _, r in pairs)) if rlen.sum() else None
+    qoff = np.concatenate([[0], np.cumsum(qlen)])
+    roff = np.concatenate([[0], np.cumsum(rlen)])
+    for b in range(B):
+        if qlen[b]:
+            codes[b, 0, 1 : 1 + qlen[b]] = qcat[qoff[b] : qoff[b + 1]]
+        if rlen[b]:
+            codes[b, 1, 1 : 1 + rlen[b]] = rcat[roff[b] : roff[b + 1]]
 
     # (B, 2, NCH*128) -> (n_progs, K, 2*NCH, 128, P): position-major layout
     ct = codes.reshape(n_progs, K, P, 2 * NCH, 128)

@@ -1,0 +1,67 @@
+"""Prefix-scan micro-benchmark (reference: benches/prefix_scan.rs).
+
+Times the log-step max-plus prefix scan used in the DP column (the lane
+kernel's sublane-shift form) against a naive sequential scan, both as
+jitted device functions over a batch of columns.  The reference's AVX2
+numbers: 17 ns (opt) vs 25 ns (naive) per 16-lane scan.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+S, B = 32, 16384
+E = -1
+
+
+@jax.jit
+def log_scan(v):
+    # (B, S): log-step max-plus scan + MIN=0 zero correction
+    t = v
+    k = 1
+    while k < S:
+        sh = jnp.concatenate(
+            [jnp.full((v.shape[0], k), -32768, v.dtype), t[:, :-k]], axis=1
+        )
+        t = jnp.maximum(t, sh + E * k)
+        k *= 2
+    zc = E * ((jnp.arange(S) % 8) + 1)
+    return jnp.maximum(t, zc[None, :])
+
+
+@jax.jit
+def naive_scan(v):
+    def body(carry, x):
+        c = jnp.maximum(carry + E, x)
+        return c, c
+    _, out = jax.lax.scan(body, jnp.full((v.shape[0],), -32768, v.dtype),
+                          v.T)
+    zc = E * ((jnp.arange(S) % 8) + 1)
+    return jnp.maximum(out.T, zc[None, :])
+
+
+def bench(fn, v, name):
+    fn(v).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(50):
+        fn(v).block_until_ready()
+    dt = (time.perf_counter() - t0) / 50
+    print(f"{name}: {dt / B * 1e9:.2f} ns per {S}-lane scan "
+          f"({B} scans in {dt * 1e6:.0f} us)")
+
+
+def main():
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.integers(-100, 100, size=(B, S)), dtype=jnp.int32)
+    bench(log_scan, v, "log-step scan")
+    bench(naive_scan, v, "naive sequential scan")
+
+
+if __name__ == "__main__":
+    main()

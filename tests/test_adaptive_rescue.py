@@ -1,0 +1,43 @@
+"""AdaptiveBatchAligner: exponential rescue accuracy vs the exact oracle."""
+
+import numpy as np
+
+from block_aligner_tpu import BLOSUM62, Gaps
+from block_aligner_tpu.api import AdaptiveBatchAligner, BatchAligner
+from block_aligner_tpu.core.full_dp import global_align_score
+
+AA = b"ACDEFGHIKLMNPQRSTVWY"
+
+
+def test_rescue_beats_fixed_min():
+    rng = np.random.default_rng(91)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(40):
+        n = int(rng.integers(60, 250))
+        q = bytes(rng.choice(list(AA), size=n).tolist())
+        r = bytearray(q)
+        # heavy indels to force off-diagonal paths (small blocks miss them)
+        for _ in range(n // 3):
+            op = int(rng.integers(0, 3))
+            pos = int(rng.integers(0, max(len(r), 1)))
+            if op == 0 and len(r):
+                r[pos % len(r)] = int(rng.choice(list(AA)))
+            elif op == 1 and len(r) > 1:
+                del r[pos % len(r)]
+            else:
+                r.insert(pos, int(rng.choice(list(AA))))
+        pairs.append((q, bytes(r)))
+
+    want = [global_align_score(q, r, BLOSUM62, gaps) for q, r in pairs]
+
+    fixed32 = BatchAligner(BLOSUM62, gaps, (16, 16), batch=128, seq_cap=384)
+    res32 = fixed32.align_all(pairs)
+    wrong32 = sum(1 for w, g in zip(want, res32) if g.score != w)
+
+    ad = AdaptiveBatchAligner(BLOSUM62, gaps, (16, 128), batch=128,
+                              seq_cap=384)
+    res = ad.align_all(pairs)
+    wrong = sum(1 for w, g in zip(want, res) if g.score != w)
+    assert wrong <= wrong32
+    assert wrong <= len(pairs) // 10, (wrong, wrong32)
