@@ -29,14 +29,16 @@ from .core.scores import (
     percent_len,
 )
 from .core.seqs import PaddedBytes
-from .api import BatchAligner, ProfileAligner
+from .api import AdaptiveBatchAligner, BatchAligner, ProfileAligner, align_exp_all
 
 __version__ = "0.1.0"
 
 __all__ = [
     "AlignResult",
+    "AdaptiveBatchAligner",
     "BatchAligner",
     "ProfileAligner",
+    "align_exp_all",
     "BlockOracle",
     "Cigar",
     "Operation",

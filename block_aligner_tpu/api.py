@@ -273,6 +273,54 @@ class BatchAligner:
             out.extend(self.align_batch(pairs[k : k + self.batch_size]))
         return out
 
+    # --- staged execution: pack/transfer once, run many ------------------
+    def stage(self, pairs):
+        """Pack a batch and place it on device (the analogue of the
+        reference benchmarks' up-front ``PaddedBytes`` preparation,
+        reference: examples/uc_bench.rs:84-101).  Use with ``align_staged``
+        to measure or re-run device work without host packing/transfer."""
+        import jax
+
+        assert len(pairs) <= self.batch_size
+        if self._lane:
+            from .ops.lane_kernel import pack_lane
+
+            args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps,
+                             x_drop=self.x_drop or 0)
+            return (len(pairs), jax.device_put(args))
+        padded = list(pairs) + [(b"", b"")] * (self.cfg.batch - len(pairs))
+        args = pack_pairs(padded, self.matrix, self.cfg)
+        return (len(pairs), jax.device_put(args))
+
+    def align_staged(self, staged) -> List[AlignResult]:
+        """Run a batch previously prepared with ``stage``."""
+        n, args = staged
+        if self._lane:
+            out = np.asarray(self._lane_fn(*args))
+            if self._lane_cfg.x_drop:
+                out = out.transpose(0, 1, 3, 2).reshape(self._lane_cfg.batch, 3)
+                return [
+                    AlignResult(int(out[b, 0]), int(out[b, 1]), int(out[b, 2]))
+                    for b in range(n)
+                ]
+            out = out[:, :, 0, :].reshape(self._lane_cfg.batch)
+            ql = np.asarray(args[0]).reshape(self._lane_cfg.batch)
+            rl = np.asarray(args[1]).reshape(self._lane_cfg.batch)
+            return [
+                AlignResult(int(out[b]), int(ql[b]), int(rl[b]))
+                for b in range(n)
+            ]
+        Sprof, CRow, qlen, rlen = args
+        kw = {}
+        if self.cfg.is_byte:
+            kw = dict(byte_match=self.matrix.match_score,
+                      byte_mismatch=self.matrix.mismatch_score)
+        out = self._fn(Sprof, CRow, qlen, rlen, self.gaps.open,
+                       self.gaps.extend, self.x_drop or 0, **kw)
+        score, qi, rj = np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[2])
+        return [AlignResult(int(score[k]), int(qi[k]), int(rj[k]))
+                for k in range(n)]
+
     # --- trace accessors (reference: Block::trace, src/scan_block.rs:1241) --
     def trace(self) -> EngineTrace:
         assert self._trace_mode and self._last_trace is not None
@@ -434,18 +482,21 @@ class AdaptiveBatchAligner:
     ):
         self.matrix = matrix
         self.gaps = gaps
+        assert size[0] <= size[1], "min block size must not exceed max"
+        assert size[1] & (size[1] - 1) == 0, "max block size must be a power of 2"
         self.sizes = []
         s = max(size[0], 16)
         while s <= size[1]:
             self.sizes.append(s)
             s *= 2
+        assert self.sizes, "empty block-size ladder"
         self.batch = batch
         self.seq_cap = seq_cap
         self.x_drop = x_drop
         self.stable_rounds = stable_rounds
         self._aligners = {}
 
-    def _aligner(self, s: int, n: int) -> BatchAligner:
+    def _aligner(self, s: int) -> BatchAligner:
         # one jit specialization per block size (a varying batch size would
         # recompile every rescue round)
         if s not in self._aligners:
@@ -462,11 +513,9 @@ class AdaptiveBatchAligner:
         for round_idx, s in enumerate(self.sizes):
             if not pending:
                 break
-            al = self._aligner(s, len(pending))
+            al = self._aligner(s)
             sub = [pairs[k] for k in pending]
-            out = []
-            for off in range(0, len(sub), al.batch_size):
-                out.extend(al.align_batch(sub[off : off + al.batch_size]))
+            out = al.align_all(sub)
             nxt = []
             for k, got in zip(pending, out):
                 prev = results[k]

@@ -213,7 +213,6 @@ class EngineTrace:
         self._native = None
         self._meta_t = None
         self._trace_t = None
-        self._out_buf = None
         self._ptrs = None
         if native:
             from ..native import load
@@ -229,24 +228,29 @@ class EngineTrace:
 
         T, B, H = self.trace.shape
         if self._ptrs is None:
-            # pair-major copies so the C replay and walk read local memory
-            # (the (T, B, .) device layout makes per-pair access miss-bound);
-            # one bulk transpose amortized over the batch's cigar calls
-            self._meta_t = np.ascontiguousarray(self.meta.transpose(1, 0, 2))
-            self._trace_t = np.ascontiguousarray(self.trace.transpose(1, 0, 2))
-            self._out_buf = np.empty(4 * (T * 8 + 64), dtype=np.int32)
+            # pair-major copies of the USED prefix so the C replay and walk
+            # read local memory (the (T, B, .) device layout makes per-pair
+            # access miss-bound); one bulk transpose amortized over the
+            # batch's cigar calls
+            T = self.iters
+            self._meta_t = np.ascontiguousarray(
+                self.meta[: self.iters].transpose(1, 0, 2)
+            )
+            self._trace_t = np.ascontiguousarray(
+                self.trace[: self.iters].transpose(1, 0, 2)
+            )
             self._ptrs = (
                 self._trace_t.ctypes.data_as(ctypes.c_void_p),
                 self._meta_t.ctypes.data_as(ctypes.c_void_p),
-                self._out_buf.ctypes.data_as(ctypes.c_void_p),
             )
-        tp, mp, op = self._ptrs
-        out = self._out_buf
+        else:
+            T = self.iters
+        tp, mp = self._ptrs
+        # fresh output buffer per call: ctypes releases the GIL, so a shared
+        # buffer would race under concurrent cigar calls
+        out = np.empty(2 * (int(i) + int(j) + 4), dtype=np.int32)
+        op = out.ctypes.data_as(ctypes.c_void_p)
         cap = out.shape[0]
-        if 2 * (int(i) + int(j) + 4) > cap:
-            out = np.empty(2 * (int(i) + int(j) + 4), dtype=np.int32)
-            op = out.ctypes.data_as(ctypes.c_void_p)
-            cap = out.shape[0]
         if eq:
             qc = np.ascontiguousarray(q.codes, dtype=np.uint8)
             rc = np.ascontiguousarray(r.codes, dtype=np.uint8)

@@ -83,8 +83,8 @@ def load() -> Optional[ctypes.CDLL]:
             return None
         lib.ba_trace_cigar.restype = ctypes.c_int64
         lib.ba_trace_cigar.argtypes = [
-            ctypes.c_void_p,  # trace (T,B,H) int8
-            ctypes.c_void_p,  # meta (T,B,2) int32
+            ctypes.c_void_p,  # trace_t (B,T,H) int8, pair-major
+            ctypes.c_void_p,  # meta_t (B,T,2) int32, pair-major
             ctypes.c_int64,  # T
             ctypes.c_int64,  # B
             ctypes.c_int64,  # H

@@ -685,13 +685,18 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
     # per-pair memcpy slices (the per-pair python work must stay tiny --
     # short-sequence batches are host-bound otherwise)
     codes = np.full((B, 2, NCH * 128), null_code, dtype=np.int8)
-    qlen = np.fromiter((len(q) for q, _ in pairs), np.int32, B)
-    rlen = np.fromiter((len(r) for _, r in pairs), np.int32, B)
+    def as_bytes(s):
+        return s.encode("ascii") if isinstance(s, str) else bytes(s)
+
+    qs = [as_bytes(q) for q, _ in pairs]
+    rs = [as_bytes(r) for _, r in pairs]
+    qlen = np.fromiter((len(q) for q in qs), np.int32, B)
+    rlen = np.fromiter((len(r) for r in rs), np.int32, B)
     assert 1 + max(int(qlen.max()), int(rlen.max())) + S + 8 <= NCH * 128, (
         "sequence too long"
     )
-    qcat = conv(b"".join(q for q, _ in pairs)) if qlen.sum() else None
-    rcat = conv(b"".join(r for _, r in pairs)) if rlen.sum() else None
+    qcat = conv(b"".join(qs)) if qlen.sum() else None
+    rcat = conv(b"".join(rs)) if rlen.sum() else None
     qoff = np.concatenate([[0], np.cumsum(qlen)])
     roff = np.concatenate([[0], np.cumsum(rlen)])
     for b in range(B):

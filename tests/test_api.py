@@ -111,3 +111,31 @@ def test_batch_aligner_x_drop_lane():
         o.align(pq, pr, BLOSUM62, gaps, (32, 32), 50)
         assert (res[k].score, res[k].query_idx, res[k].reference_idx) == (
             o.res().score, o.res().query_idx, o.res().reference_idx), k
+
+
+def test_staged_execution_matches_align_batch():
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = [(b"CAGGATTAGCGGATCACG", b"CTGGAGTCTTTTAGCGGATCACGC"),
+             (b"MKVLAT", b"MKVIATQ")]
+    # lane path
+    al = BatchAligner(BLOSUM62, gaps, size=(32, 32), batch=128, seq_cap=128)
+    st = al.stage(pairs)
+    a = al.align_staged(st)
+    b = al.align_batch(pairs)
+    assert [(r.score, r.query_idx, r.reference_idx) for r in a] == [
+        (r.score, r.query_idx, r.reference_idx) for r in b]
+    # engine path
+    al2 = BatchAligner(BLOSUM62, gaps, size=(16, 32), batch=4, seq_cap=128)
+    st2 = al2.stage(pairs)
+    a2 = al2.align_staged(st2)
+    b2 = al2.align_batch(pairs)
+    assert [(r.score, r.query_idx, r.reference_idx) for r in a2] == [
+        (r.score, r.query_idx, r.reference_idx) for r in b2]
+    # lane x-drop path
+    al3 = BatchAligner(BLOSUM62, gaps, size=(32, 32), batch=128, seq_cap=128,
+                       x_drop=50)
+    st3 = al3.stage(pairs)
+    a3 = al3.align_staged(st3)
+    b3 = al3.align_batch(pairs)
+    assert [(r.score, r.query_idx, r.reference_idx) for r in a3] == [
+        (r.score, r.query_idx, r.reference_idx) for r in b3]
