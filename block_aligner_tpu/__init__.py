@@ -29,7 +29,8 @@ from .core.scores import (
     percent_len,
 )
 from .core.seqs import PaddedBytes
-from .api import AdaptiveBatchAligner, BatchAligner, ProfileAligner, align_exp_all
+from .api import (AdaptiveBatchAligner, BatchAligner, LongBatchAligner,
+                  ProfileAligner, align_exp_all)
 
 __version__ = "0.1.0"
 
@@ -37,6 +38,7 @@ __all__ = [
     "AlignResult",
     "AdaptiveBatchAligner",
     "BatchAligner",
+    "LongBatchAligner",
     "ProfileAligner",
     "align_exp_all",
     "BlockOracle",

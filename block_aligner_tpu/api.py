@@ -33,7 +33,10 @@ from .core.scores import ByteMatrix, Gaps
 from .core.traceback import EngineTrace
 from .ops.engine import EngineConfig, build_engine, pack_pairs, pack_profiles
 
-__all__ = ["BatchAligner", "ProfileAligner", "AdaptiveBatchAligner", "align_exp_all", "round_up"]
+P_LANES = 128  # lane-kernel pairs per bank
+STEP_ = 8
+
+__all__ = ["BatchAligner", "ProfileAligner", "AdaptiveBatchAligner", "LongBatchAligner", "align_exp_all", "round_up"]
 
 
 def round_up(x: int, m: int) -> int:
@@ -530,3 +533,117 @@ class AdaptiveBatchAligner:
                     nxt.append(k)
             pending = nxt
         return results
+
+
+class LongBatchAligner:
+    """Fixed-block alignment of long sequences via host-assisted segments.
+
+    The lane kernel keeps both sequences' codes VMEM-resident, which caps
+    its reach at ~16 kbp.  This driver streams longer pairs through it in
+    segments: each launch runs ``cfg.seg_steps`` block steps against a
+    per-pair code *window*; DP state persists on device between launches
+    (HBM round-trip inside the kernel), and the host only fetches the tiny
+    per-pair (i, j, done) vector to slide the windows.  Results remain
+    bit-exact with the fixed-block reference semantics.
+
+    Global and x-drop modes; block sizes up to 256 (the reference's 1%
+    band for 25 kbp reads).
+    """
+
+    def __init__(
+        self,
+        matrix,
+        gaps: Gaps,
+        block: int = 128,
+        *,
+        window: int = 4096,
+        batch: int = 256,
+        x_drop: Optional[int] = None,
+    ):
+        import jax
+
+        from .ops.lane_kernel import LaneKernelConfig, build_lane_engine
+
+        self.matrix = matrix
+        self.gaps = gaps
+        self.x_drop = x_drop
+        banks = max(2, min(8, round_up(max(batch, 256), 256) // 128))
+        while banks & (banks - 1):
+            banks -= 1
+        a_ = 32 if matrix.kind != "nuc" else 16
+        while banks > 2 and (
+            banks * (2 * window * 128 + 4 * (a_ // 4) * block * 128 * 4
+                     + 10 * block * 128 * 4)
+        ) > 12 * 2**20:
+            banks //= 2
+        self.cfg = LaneKernelConfig(
+            batch=round_up(max(batch, 256), 128 * banks),
+            block=block,
+            seq_cap=window,
+            alpha=a_,
+            banks=banks,
+            x_drop=x_drop is not None,
+            segmented=True,
+            interpret=jax.default_backend() != "tpu",
+        )
+        self._fn = build_lane_engine(self.cfg)
+
+    @property
+    def batch_size(self) -> int:
+        return self.cfg.batch
+
+    def align_batch(self, pairs) -> List[AlignResult]:
+        import jax.numpy as jnp
+
+        from .ops.lane_kernel import pack_lane_full, window_codes
+
+        cfg = self.cfg
+        assert len(pairs) <= cfg.batch
+        qlen, rlen, scq0, scr0, M, codes_full, g = pack_lane_full(
+            pairs, self.matrix, cfg, self.gaps, x_drop=self.x_drop or 0
+        )
+        n_progs, K = cfg.n_programs, cfg.banks
+        shp = (n_progs, K, 1, P_LANES)
+        baseq = np.zeros(shp, np.int32)
+        baser = np.zeros(shp, np.int32)
+        sb = jnp.zeros((n_progs, 2 * (cfg.alpha // 4), K, cfg.block, P_LANES),
+                       jnp.int32)
+        bb = jnp.zeros((n_progs, 4, K, cfg.block, P_LANES), jnp.int32)
+        vb = jnp.zeros((n_progs, cfg.n_scalar_rows, K, 1, P_LANES), jnp.int32)
+        g = g.copy()
+        g[0, 3] = 1  # first segment
+
+        max_len = max(int(np.max(qlen)), int(np.max(rlen)))
+        max_segs = (2 * (max_len + cfg.block) // STEP_) // cfg.seg_steps + 3
+        vb_np = None
+        for _ in range(max_segs):
+            codes_t = window_codes(codes_full, baseq, baser, cfg)
+            score, sb, bb, vb = self._fn(
+                qlen, rlen, scq0, scr0, M, codes_t, g, baseq, baser,
+                sb, bb, vb,
+            )
+            vb_np = np.asarray(vb)
+            done = vb_np[:, 6]
+            if int(done.min()) == 1:
+                break
+            g = g.copy()
+            g[0, 3] = 0
+            # slide each pair's window to its current position
+            baseq = np.ascontiguousarray(vb_np[:, 0])
+            baser = np.ascontiguousarray(vb_np[:, 1])
+
+        B = cfg.batch
+        if cfg.x_drop:
+            sc = vb_np[:, 9].reshape(B)
+            bi = vb_np[:, 10].reshape(B)
+            bj = vb_np[:, 11].reshape(B)
+            return [
+                AlignResult(int(sc[b]), int(bi[b]), int(bj[b]))
+                for b in range(len(pairs))
+            ]
+        out = vb_np[:, 8].reshape(B)
+        return [
+            AlignResult(int(out[b]), len(q), len(r))
+            for b, (q, r) in enumerate(pairs)
+        ]
+

@@ -32,8 +32,12 @@ reference's end-of-step border extraction (src/scan_block.rs:567-592) -- and
 it lets all border writes run unmasked (done pairs compute garbage until the
 whole batch drains, which costs nothing).
 
-Scope: global, sequence-sequence, table matrices, no trace.  Other modes
-route to the general lockstep engine (ops/engine.py).
+Modes: global and x-drop (16-residue argmax tracker with reference
+tie-breaking), packed trace streaming to HBM (global), and host-assisted
+*segmented* execution for sequences beyond the VMEM-resident code budget
+(state persists on device between segment launches; see
+api.LongBatchAligner).  Adaptive block sizes, PSSM profiles, and the
+remaining mode flags route to the general lockstep engine (ops/engine.py).
 """
 
 from __future__ import annotations
@@ -64,6 +68,9 @@ class LaneKernelConfig:
     banks: int = 4  # independent 128-pair banks per program (ILP)
     x_drop: bool = False  # x-drop termination + best-position tracking
     trace: bool = False  # stream packed traceback bits to HBM (global mode)
+    segmented: bool = False  # host-assisted streaming for long sequences:
+    # seq_cap becomes a per-segment code *window*; DP state round-trips
+    # through HBM between segment launches (see LongBatchAligner)
     interpret: bool = False
 
     def __post_init__(self):
@@ -82,6 +89,23 @@ class LaneKernelConfig:
         assert not (self.trace and self.x_drop), (
             "trace+x_drop routes to the general engine"
         )
+        if self.segmented:
+            assert not self.trace, "segmented trace not supported yet"
+            assert self.seg_steps > self.block // STEP, (
+                "window too small for the prologue"
+            )
+
+    @property
+    def seg_steps(self) -> int:
+        """Steps per segment launch: the code window must cover every
+        position a pair can consume during the segment."""
+        return (self.seq_cap - self.block - 16) // STEP
+
+    @property
+    def n_scalar_rows(self) -> int:
+        # ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DIR, ST_PDIR, ST_DONE, CORN,
+        # OUT, XBEST, XBI, XBJ, XITER
+        return 13
 
     @property
     def max_steps(self) -> int:
@@ -133,7 +157,14 @@ def build_lane_engine(cfg: LaneKernelConfig):
         )
 
     def kernel(qlen_ref, rlen_ref, scq0_ref, scr0_ref, M_ref, codes_hbm,
-               gap_ref, score_ref, *rest):
+               gap_ref, *rest):
+        if cfg.segmented:
+            (baseq_ref, baser_ref, sb_in, bb_in, vb_in,
+             score_ref, sb_out, bb_out, vb_out) = rest[:9]
+            rest = rest[9:]
+        else:
+            score_ref = rest[0]
+            rest = rest[1:]
         if cfg.trace:
             thbm, mhbm = rest[0], rest[1]
             scr = rest[2:]
@@ -162,33 +193,67 @@ def build_lane_engine(cfg: LaneKernelConfig):
         # ---------------- init ----------------
         dma = pltpu.make_async_copy(codes_hbm.at[prog], CODES, sem)
         dma.start()
-        SCQ[...] = scq0_ref[0]
-        SCR[...] = scr0_ref[0]
-        SCACT[...] = scq0_ref[0]  # the prologue rect's lane axis is q
         zS = jnp.zeros((K, S, P), jnp.int32)
-        for ref in (ACT_D, ACT_C, PAS_D, PAS_R, tempD, tempR):
+        z1 = jnp.zeros((K, 1, P), jnp.int32)
+        seg_first = gap_ref[0, 3] if cfg.segmented else 1
+
+        SCALARS = (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DIR, ST_PDIR, ST_DONE,
+                   CORN, OUT, XBEST, XBI, XBJ, XITER)
+
+        @pl.when(seg_first == 1)
+        def _():
+            SCQ[...] = scq0_ref[0]
+            SCR[...] = scr0_ref[0]
+            SCACT[...] = scq0_ref[0]  # the prologue rect's lane axis is q
+            for ref in (ACT_D, ACT_C, PAS_D, PAS_R):
+                ref[...] = zS
+            for ref in (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DONE, OUT,
+                        XBEST, XBI, XBJ, XITER):
+                ref[...] = z1
+            ST_DIR[...] = z1 + 2  # prologue = the reference's initial Grow
+            ST_PDIR[...] = z1 + 2
+            CORN[...] = z1 + NEG32
+            # hoisted freeze predicates for the prologue rect (lanes=q)
+            FRA[...] = (S > qlen).astype(jnp.int32)
+            FRT[...] = rlen
+            FRIDX[...] = jnp.clip(qlen, 0, S - 1)
+            if cfg.x_drop:
+                # FRA/FRT double as the rect's absolute lane/column origin
+                FRA[...] = z1
+                FRT[...] = z1
+
+        if cfg.segmented:
+            @pl.when(seg_first == 0)
+            def _():
+                # restore device state from the previous segment launch
+                d1 = pltpu.make_async_copy(
+                    sb_in.at[prog, pl.ds(0, NG)], SCQ, tsem)
+                d1.start()
+                d1.wait()
+                d2 = pltpu.make_async_copy(
+                    sb_in.at[prog, pl.ds(NG, NG)], SCR, tsem)
+                d2.start()
+                d2.wait()
+                for k2, ref in enumerate((ACT_D, ACT_C, PAS_D, PAS_R)):
+                    d3 = pltpu.make_async_copy(bb_in.at[prog, k2], ref, tsem)
+                    d3.start()
+                    d3.wait()
+                for k2, ref in enumerate(SCALARS):
+                    d4 = pltpu.make_async_copy(vb_in.at[prog, k2], ref, tsem)
+                    d4.start()
+                    d4.wait()
+                right0 = (ST_DIR[...] != 1)[None]
+                SCACT[...] = jnp.where(right0, SCQ[...], SCR[...])
+
+        for ref in (tempD, tempR):
             ref[...] = zS
         DMAX[...] = jnp.full((K, S, P), NEG32, jnp.int32)
-        z1 = jnp.zeros((K, 1, P), jnp.int32)
-        for ref in (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_OA, ST_DONE, OUT):
-            ref[...] = z1
-        ST_DIR[...] = z1 + 2  # prologue is the reference's initial Grow step
-        ST_PDIR[...] = z1 + 2
-        CORN[...] = z1 + NEG32
+        ST_OA[...] = z1
         CVEC[...] = z1 + NEG32
-        # hoisted freeze predicates for the prologue rect (lanes = q, cols = r)
-        FRA[...] = (S > qlen).astype(jnp.int32)
-        FRT[...] = rlen
-        FRIDX[...] = jnp.clip(qlen, 0, S - 1)
         if cfg.x_drop:
             XVM[...] = jnp.full((K, 16, P), NEG32, jnp.int32)
             XAI[...] = jnp.zeros((K, 16, P), jnp.int32)
             XAJ[...] = jnp.zeros((K, 16, P), jnp.int32)
-            for ref in (XBEST, XBI, XBJ, XITER):
-                ref[...] = z1
-            # FRA/FRT double as the rect's absolute lane/column origin
-            FRA[...] = z1
-            FRT[...] = z1
         if cfg.trace:
             # the prologue rect descriptor: right, origin (0, 0), not done
             MST[...] = jnp.concatenate(
@@ -261,6 +326,12 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 jnp.broadcast_to(s_idx * STEP, (K, 1, P)),
                 jnp.where(dirn == 0, ST_J[...], ST_I[...]) + (S - STEP),
             )
+            if cfg.segmented:
+                # positions are window-relative in segmented mode
+                pos8 = pos8 - jnp.where(
+                    in_pro, 0,
+                    jnp.where(dirn == 0, baser_ref[0], baseq_ref[0]),
+                )
             extract8(pos8, side)
 
             @pl.when(jnp.logical_not(in_pro))
@@ -562,11 +633,18 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
             return (s_idx + 1, jnp.min(ST_DONE[...]))
 
+        if cfg.segmented:
+            s_start = jnp.where(seg_first == 1, 0, PRO_STEPS)
+            s_end = s_start + cfg.seg_steps
+        else:
+            s_start = jnp.int32(0)
+            s_end = jnp.int32(MAX_STEPS)
+
         def cond(carry):
             s_idx, alldone = carry
-            return (s_idx < MAX_STEPS) & (alldone == 0)
+            return (s_idx < s_end) & (alldone == 0)
 
-        final = lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        final = lax.while_loop(cond, body, (s_start, jnp.int32(0)))
         if cfg.x_drop:
             score_ref[0] = jnp.concatenate(
                 [XBEST[...], XBI[...], XBJ[...]], axis=1
@@ -577,8 +655,25 @@ def build_lane_engine(cfg: LaneKernelConfig):
         else:
             score_ref[0] = OUT[...]
 
+        if cfg.segmented:
+            # persist device state for the next segment launch
+            d1 = pltpu.make_async_copy(SCQ, sb_out.at[prog, pl.ds(0, NG)], tsem)
+            d1.start()
+            d1.wait()
+            d2 = pltpu.make_async_copy(SCR, sb_out.at[prog, pl.ds(NG, NG)], tsem)
+            d2.start()
+            d2.wait()
+            for k2, ref in enumerate((ACT_D, ACT_C, PAS_D, PAS_R)):
+                d3 = pltpu.make_async_copy(ref, bb_out.at[prog, k2], tsem)
+                d3.start()
+                d3.wait()
+            for k2, ref in enumerate(SCALARS):
+                d4 = pltpu.make_async_copy(ref, vb_out.at[prog, k2], tsem)
+                d4.start()
+                d4.wait()
+
     # ------------------------------------------------------------------
-    def engine(qlen, rlen, scq0, scr0, M, codes, gaps):
+    def engine(qlen, rlen, scq0, scr0, M, codes, gaps, *seg_args):
         n_progs = cfg.n_programs
         in_specs = [
             pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -589,13 +684,38 @@ def build_lane_engine(cfg: LaneKernelConfig):
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
+        if cfg.segmented:
+            in_specs += [
+                pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),  # baseq
+                pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),  # baser
+                pl.BlockSpec(memory_space=pltpu.HBM),  # sb_in
+                pl.BlockSpec(memory_space=pltpu.HBM),  # bb_in
+                pl.BlockSpec(memory_space=pltpu.HBM),  # vb_in
+            ]
         # output rows: score (+ best idx for x-drop / step count for trace)
         OW = 3 if cfg.x_drop else (2 if cfg.trace else 1)
         out_specs = pl.BlockSpec(
             (1, K, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((n_progs, K, OW, P), jnp.int32)
-        if cfg.trace:
+        if cfg.segmented:
+            out_specs = (
+                out_specs,
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            )
+            out_shape = (
+                out_shape,
+                jax.ShapeDtypeStruct((n_progs, 2 * NG, K, S, P), jnp.int32),
+                jax.ShapeDtypeStruct((n_progs, 4, K, S, P), jnp.int32),
+                jax.ShapeDtypeStruct(
+                    (n_progs, cfg.n_scalar_rows, K, 1, P), jnp.int32
+                ),
+            )
+        elif cfg.trace:
             out_specs = (
                 out_specs,
                 pl.BlockSpec(memory_space=pltpu.HBM),
@@ -648,7 +768,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=cfg.interpret,
-        )(qlen, rlen, scq0, scr0, M, codes, gaps)
+        )(qlen, rlen, scq0, scr0, M, codes, gaps, *seg_args)
 
     return jax.jit(engine)
 
@@ -749,3 +869,101 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
         codes_t,
         g,
     )
+
+
+def pack_lane_full(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
+    """Segmented-mode packing: like ``pack_lane`` but keeps the full padded
+    code arrays host-side (windows are cut per segment) and builds the
+    window-0 inputs."""
+    B, S, A = cfg.batch, cfg.block, cfg.alpha
+    W = cfg.seq_cap
+    assert len(pairs) <= B
+    pairs = list(pairs) + [(b"", b"")] * (B - len(pairs))
+
+    tab = matrix.dense()
+    M = np.full((A, A), -128, dtype=np.int32)
+    if matrix.kind == "nuc":
+        for x in range(16):
+            for y in range(16):
+                M[x, y] = tab[x & 7, y]
+
+        def conv(c):
+            return matrix.convert(c) & 15
+
+        null_code = matrix.NULL & 15
+    else:
+        M[: tab.shape[0], : tab.shape[1]] = tab
+        conv = matrix.convert
+        null_code = int(matrix.convert(bytes([matrix.NULL]))[0])
+
+    def as_bytes(s):
+        return s.encode("ascii") if isinstance(s, str) else bytes(s)
+
+    qs = [as_bytes(q) for q, _ in pairs]
+    rs = [as_bytes(r) for _, r in pairs]
+    qlen = np.fromiter((len(q) for q in qs), np.int32, B)
+    rlen = np.fromiter((len(r) for r in rs), np.int32, B)
+    max_len = max(int(qlen.max()), int(rlen.max()))
+    full_cap = -(-(1 + max_len + S + 16) // 128) * 128 + W
+    codes = np.full((B, 2, full_cap), null_code, dtype=np.int8)
+    qcat = conv(b"".join(qs)) if qlen.sum() else None
+    rcat = conv(b"".join(rs)) if rlen.sum() else None
+    qoff = np.concatenate([[0], np.cumsum(qlen)])
+    roff = np.concatenate([[0], np.cumsum(rlen)])
+    for b in range(B):
+        if qlen[b]:
+            codes[b, 0, 1 : 1 + qlen[b]] = qcat[qoff[b] : qoff[b + 1]]
+        if rlen[b]:
+            codes[b, 1, 1 : 1 + rlen[b]] = rcat[roff[b] : roff[b + 1]]
+
+    # window-0 initial score stacks + packed table (shared with pack_lane)
+    NG = A // 4
+    Mp = np.zeros((A, A), dtype=np.int32)
+    for b2 in range(4):
+        for gr in range(NG):
+            Mp[b2 * NG + gr] = M[4 * gr + b2] + 128
+    packed_tab = (
+        (M[0::4].astype(np.int64) + 128)
+        | ((M[1::4].astype(np.int64) + 128) << 8)
+        | ((M[2::4].astype(np.int64) + 128) << 16)
+        | ((M[3::4].astype(np.int64) + 128) << 24)
+    ).astype(np.uint32).astype(np.int32)
+
+    n_progs, K = cfg.n_programs, cfg.banks
+    first = codes[:, :, :S].reshape(n_progs, K, P, 2, S).astype(np.int64)
+    scq0 = np.ascontiguousarray(
+        packed_tab[:, first[:, :, :, 0, :]].transpose(1, 0, 2, 4, 3)
+    )
+    scr0 = np.ascontiguousarray(
+        packed_tab[:, first[:, :, :, 1, :]].transpose(1, 0, 2, 4, 3)
+    )
+
+    g = np.zeros((1, 4), dtype=np.int32)
+    if gaps is not None:
+        g[0, 0] = gaps.open
+        g[0, 1] = gaps.extend
+    g[0, 2] = x_drop
+    return (
+        np.ascontiguousarray(qlen.reshape(n_progs, K, 1, P)),
+        np.ascontiguousarray(rlen.reshape(n_progs, K, 1, P)),
+        scq0,
+        scr0,
+        Mp,
+        codes,
+        g,
+    )
+
+
+def window_codes(codes_full, baseq, baser, cfg: LaneKernelConfig):
+    """Cut per-pair code windows [base, base+W) and lay them out
+    position-major for the kernel: (n_progs, K, 2*NCH, 128, P) int8."""
+    B, W = cfg.batch, cfg.seq_cap
+    n_progs, K, NCH = cfg.n_programs, cfg.banks, cfg.n_chunks
+    bq = baseq.reshape(B)
+    br = baser.reshape(B)
+    win = np.empty((B, 2, W), dtype=np.int8)
+    for b in range(B):
+        win[b, 0] = codes_full[b, 0, bq[b] : bq[b] + W]
+        win[b, 1] = codes_full[b, 1, br[b] : br[b] + W]
+    ct = win.reshape(n_progs, K, P, 2 * NCH, 128)
+    return np.ascontiguousarray(ct.transpose(0, 1, 3, 4, 2))

@@ -1,0 +1,74 @@
+"""Segmented long-sequence aligner vs the oracle (interpret mode, CPU)."""
+
+import numpy as np
+
+from block_aligner_tpu import (BLOSUM62, BlockOracle, Gaps, LongBatchAligner,
+                               NucMatrix, PaddedBytes)
+
+AA = b"ACDEFGHIKLMNPQRSTVWY"
+DNA = b"ACGT"
+
+
+def rand_seq(rng, alpha, n):
+    return bytes(rng.choice(list(alpha), size=n).tolist())
+
+
+def mutate(rng, s, k, alpha):
+    s = bytearray(s)
+    for _ in range(k):
+        op = int(rng.integers(0, 3))
+        pos = int(rng.integers(0, max(len(s), 1)))
+        if op == 0 and len(s) > 0:
+            s[pos % len(s)] = int(rng.choice(list(alpha)))
+        elif op == 1 and len(s) > 1:
+            del s[pos % len(s)]
+        else:
+            s.insert(pos, int(rng.choice(list(alpha))))
+    return bytes(s)
+
+
+def test_long_segmented_global():
+    rng = np.random.default_rng(71)
+    gaps = Gaps(open=-6, extend=-2)
+    matrix = NucMatrix.new_simple(2, -4)
+    # sequences longer than the window force multiple segments
+    pairs = []
+    for _ in range(6):
+        n = int(rng.integers(600, 1200))
+        q = rand_seq(rng, DNA, n)
+        pairs.append((q, mutate(rng, q, n // 8, DNA)))
+    pairs.append((b"ACGT" * 10, b"ACGT" * 10))
+    pairs.append((rand_seq(rng, DNA, 900), rand_seq(rng, DNA, 700)))
+
+    al = LongBatchAligner(matrix, gaps, block=32, window=256, batch=256)
+    assert al.cfg.seg_steps * 8 < 1200  # really multi-segment
+    res = al.align_batch(pairs)
+
+    a = BlockOracle()
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, matrix)
+        pr = PaddedBytes.from_bytes(r, 32, matrix)
+        a.align(pq, pr, matrix, gaps, (32, 32), 0)
+        assert res[k].score == a.res().score, (k, res[k].score, a.res().score)
+
+
+def test_long_segmented_x_drop():
+    rng = np.random.default_rng(72)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(5):
+        n = int(rng.integers(500, 1000))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 10, AA)))
+
+    al = LongBatchAligner(BLOSUM62, gaps, block=32, window=256, batch=256,
+                          x_drop=100)
+    res = al.align_batch(pairs)
+    a = BlockOracle(x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 32, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (32, 32), 100)
+        got = (res[k].score, res[k].query_idx, res[k].reference_idx)
+        want = (a.res().score, a.res().query_idx, a.res().reference_idx)
+        assert got == want, (k, got, want)
