@@ -33,11 +33,20 @@ def main():
     for lo_pct, hi_pct, label in ((0.01, 0.01, "1%-1%"), (0.01, 0.10, "1%-10%")):
         mn = percent_len(max_len, lo_pct)
         mx = percent_len(max_len, hi_pct)
-        al = BatchAligner(matrix, gaps, size=(mn, mx), batch=64,
-                          seq_cap=max_len + max_len // 8 + 64)
+        cap = max_len + max_len // 8 + 64
+        if mn == mx and mn <= 256:
+            # fixed band: segmented lane kernel (state stays on device)
+            from block_aligner_tpu import LongBatchAligner
+
+            al = LongBatchAligner(matrix, gaps, block=mn, window=4096,
+                                  batch=256)
+        else:
+            al = BatchAligner(matrix, gaps, size=(mn, mx), batch=64,
+                              seq_cap=cap)
         al.align_batch(pairs[: min(len(pairs), al.batch_size)])  # compile
         t0 = time.perf_counter()
-        al.align_all(pairs)
+        for k in range(0, len(pairs), al.batch_size):
+            al.align_batch(pairs[k : k + al.batch_size])
         dt = time.perf_counter() - t0
         print(f"{label} (sizes {mn}-{mx}): {dt:.3f}s "
               f"({dt / len(pairs) * 1e3:.2f} ms/pair)")
