@@ -137,6 +137,12 @@ def build_engine(cfg: EngineConfig):
 
         zeros_b = jnp.zeros((B,), jnp.int32)
         min_border = jnp.full((B, H), MIN_VAL, jnp.int32)
+        # hoisted bf16 score table for the one-hot MXU fetch (int8-ranged
+        # values are exact in bf16)
+        nr0 = 1 if cfg.is_byte else cfg.n_rows
+        Sbf = Sprof.reshape(
+            B, 2 * nr0, cfg.seq_cap // STEP, STEP
+        ).astype(jnp.bfloat16)
 
         state = dict(
             iters=jnp.int32(0),
@@ -211,15 +217,14 @@ def build_engine(cfg: EngineConfig):
             to_mid = m_done_rect & (s["dirn"] == DIR_G) & (s["sub"] == 0)
             s["phase"] = jnp.where(to_mid, P_MIDGROW, jnp.where(m_done_rect, P_END, s["phase"]))
 
-            # ---------------- (d) END bookkeeping (gated: runs only when
-            # some pair is at a step boundary) ------------------------------
-            s = lax.cond(jnp.any(s["phase"] == P_END), end_phase, lambda t: t, s)
+            # ---------------- (d) END bookkeeping ----------------
+            s = end_phase(s)
 
             # ---------------- (b) MIDGROW: set up grow-right rect ---------
-            s = lax.cond(jnp.any(s["phase"] == P_MIDGROW), midgrow_phase, lambda t: t, s)
+            s = midgrow_phase(s)
 
             # ---------------- (c) START: set up the step's first rect -----
-            s = lax.cond(jnp.any(s["phase"] == P_START), start_phase, lambda t: t, s)
+            s = start_phase(s)
 
             # ---------------- (e) one DP column ---------------------------
             s = column_phase(s)
@@ -326,32 +331,56 @@ def build_engine(cfg: EngineConfig):
 
             c_row = jax.vmap(lambda cr, d, p: cr[d, p])(CRow, d_idx, cp_c)
             nr = 1 if cfg.is_byte else cfg.n_rows
-            # two-stage fetch: contiguous row gather, then a window slice at
-            # 8-element-chunk granularity (rect origins are always multiples
-            # of STEP, and coarse chunks cut the gather's index count 8x)
+            # two-stage fetch as one-hot MXU contractions (TPU gathers of
+            # per-pair rows are an order of magnitude slower): stage 1
+            # selects the table row by column char, stage 2 selects the
+            # H-window chunks (rect origins are multiples of STEP)
             Sflat = Sprof.reshape(B, 2 * nr, cfg.seq_cap // STEP, STEP)
+            NCHW = cfg.seq_cap // STEP
+            NW = H // STEP
+            ch_iota = jnp.arange(NCHW, dtype=jnp.int32)
 
             def window(rows, st):
-                return (
-                    jax.vmap(lambda r, sb: lax.dynamic_slice(r, (sb, 0), (H // STEP, STEP)))(
-                        rows, st // STEP
-                    ).reshape(B, H)
+                # rows: (B, NCHW, STEP) -> (B, H) window at chunk st//STEP
+                sb = (st // STEP)[:, None, None]
+                ohw = (
+                    (ch_iota[None, None, :] - sb) == jnp.arange(NW)[None, :, None]
+                ).astype(jnp.bfloat16)
+                out = jnp.einsum(
+                    "bwc,bcs->bws", ohw, rows.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                return out.reshape(B, H).astype(jnp.int32)
+
+            def row_select(row_idx):
+                # (B, NCHW, STEP) = Sflat[b, row_idx[b]]
+                ohr = (
+                    jnp.arange(2 * nr, dtype=jnp.int32)[None, :] == row_idx[:, None]
+                ).astype(jnp.bfloat16)
+                return jnp.einsum(
+                    "bn,bncs->bcs", ohr, Sbf,
+                    preferred_element_type=jnp.float32,
                 )
 
             if cfg.is_byte:
-                rows = jax.vmap(lambda Sb, i: Sb[i])(Sflat, d_idx * nr)
-                lane_codes = window(rows, starti).astype(jnp.int32)
+                lane_codes = window(row_select(d_idx * nr), starti).astype(jnp.int32)
                 scores = jnp.where(lane_codes == c_row[:, None], byte_match, byte_mismatch)
             elif cfg.profile:
                 # seq-to-PSSM is asymmetric (reference: src/scan_block.rs:597-783):
                 # right rects score per-position rows against the query lane
                 # window; down rects score one amino acid along positions.
                 rightb = right
-                # right: row32 = profile scores at position cp, one-hot-
-                # contracted with the query-code lane window
-                row32 = jax.vmap(lambda s, p: lax.dynamic_slice(s, (0, p), (nr, 1)))(
-                    Sprof[:, 1], cp_c
-                )[..., 0].astype(jnp.int32)  # (B, nr)
+                # right: row32 = profile scores at position cp via a one-hot
+                # MXU contraction (gather-free, exact for int8-range values)
+                ohc = (
+                    jnp.arange(cfg.seq_cap, dtype=jnp.int32)[None, :]
+                    == cp_c[:, None]
+                )
+                row32 = jnp.einsum(
+                    "bc,bnc->bn", ohc.astype(jnp.bfloat16),
+                    Sbf[:, nr:].reshape(B, nr, cfg.seq_cap),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)  # (B, nr)
                 qwin = window(
                     CRow[:, 0, :].reshape(B, cfg.seq_cap // STEP, STEP), starti
                 )  # (B, H) query codes
@@ -359,18 +388,18 @@ def build_engine(cfg: EngineConfig):
                 for a in range(nr):
                     scores_r = jnp.where(qwin == a, row32[:, a : a + 1], scores_r)
                 # down: contiguous per-aa score row along positions
-                rows = jax.vmap(lambda Sb, i: Sb[i])(Sflat, nr + c_row)
-                scores_d = window(rows, starti).astype(jnp.int32)
+                scores_d = window(row_select(nr + c_row), starti).astype(jnp.int32)
                 scores = jnp.where(rightb[:, None], scores_r, scores_d)
             else:
-                rows = jax.vmap(lambda Sb, i: Sb[i])(Sflat, d_idx * nr + c_row)
-                scores = window(rows, starti).astype(jnp.int32)
+                scores = window(row_select(d_idx * nr + c_row), starti).astype(jnp.int32)
 
             if cfg.profile:
                 # per-position gap costs (reference: src/scores.rs:341-447;
                 # down rects swap C<->R roles, src/scan_block.rs:651-705)
                 def gword(v):
-                    return jax.vmap(lambda a, p: a[p])(v, cp_c)
+                    # per-pair scalar at position cp (reuses the column
+                    # one-hot; int32 gap costs are i8-ranged)
+                    return jnp.sum(jnp.where(ohc, v, 0), axis=1)
 
                 def gwin(v):
                     return window(v.reshape(B, cfg.seq_cap // STEP, STEP), starti)
