@@ -58,7 +58,7 @@ def main():
         pack_lane,
     )
 
-    B = int(os.environ.get("BENCH_BATCH", "16384"))
+    B = int(os.environ.get("BENCH_BATCH", "32768"))
     LEN = int(os.environ.get("BENCH_LEN", "1000"))
     K = int(os.environ.get("BENCH_K", "100"))
     S = int(os.environ.get("BENCH_BLOCK", "32"))

@@ -30,7 +30,7 @@ def main():
 
     print("size,total,correct")
     for (mn, mx) in ((32, 32), (32, 64), (64, 64), (64, 128), (128, 128)):
-        pa = ProfileAligner(size=(mn, mx), batch=64, seq_cap=cap + 32)
+        pa = ProfileAligner(size=(mn, mx), batch=256, seq_cap=cap + 32)
         correct = 0
         for k in range(0, len(data), pa.batch_size):
             chunk = data[k : k + pa.batch_size]

@@ -22,7 +22,7 @@ def main():
     cap = max(max_q, max_p)
 
     for (mn, mx) in ((32, 32), (32, 64), (64, 64), (64, 128), (128, 128)):
-        pa = ProfileAligner(size=(mn, mx), batch=64, seq_cap=cap + 32)
+        pa = ProfileAligner(size=(mn, mx), batch=256, seq_cap=cap + 32)
         pa.align_batch(data[: min(len(data), pa.batch_size)])  # compile
         t0 = time.perf_counter()
         for k in range(0, len(data), pa.batch_size):

@@ -127,7 +127,7 @@ def bench_xdrop():
 def bench_pssm():
     data = load_scop_profiles(n_pairs=512)
     cap = max(max(len(q) for q, _ in data), max(p.len() for _, p in data))
-    pa = ProfileAligner(size=(32, 32), batch=128, seq_cap=cap + 32)
+    pa = ProfileAligner(size=(32, 32), batch=512, seq_cap=cap + 32)
     pa.align_batch(data[: pa.batch_size])
     t0 = time.perf_counter()
     for k in range(0, len(data), pa.batch_size):
