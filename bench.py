@@ -51,6 +51,13 @@ def rand_protein_pairs(rng, n_pairs, length, k):
 def main():
     import jax
 
+    # persistent compile cache: repeated driver runs skip the Mosaic compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ba_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from block_aligner_tpu import BLOSUM62, Gaps
     from block_aligner_tpu.ops.lane_kernel import (
         LaneKernelConfig,
