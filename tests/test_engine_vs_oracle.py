@@ -139,3 +139,26 @@ def test_engine_x_drop():
         r = mutate(rng, q, int(rng.integers(3, 30)), AA)
         pairs.append((q, r))
     check(pairs, BLOSUM62, gaps, 16, 64, x_drop=50, xd=True)
+
+
+def test_engine_offset_saturation_long():
+    # the reference's 2048-long saturation case (src/scan_block.rs:2030-2049):
+    # the final score (8192) far exceeds the i16 per-block range, so this
+    # exercises the 32-bit offset rebasing chain end to end
+    from block_aligner_tpu.ops.engine import EngineConfig, build_engine, pack_pairs
+
+    long_str = b"A" * 2048
+    gaps = Gaps(open=-11, extend=-1)
+    cfg = EngineConfig(batch=2, min_size=32, max_size=64, seq_cap=2176,
+                       n_rows=27)
+    fn = build_engine(cfg)
+    args = pack_pairs([(long_str, long_str)] * 2, BLOSUM62, cfg)
+    score, qi, rj, _ = fn(*args, gaps.open, gaps.extend, 0)
+    assert int(np.asarray(score)[0]) == 8192
+
+    cfg_x = EngineConfig(batch=2, min_size=32, max_size=64, seq_cap=2176,
+                         n_rows=27, x_drop=True)
+    fn_x = build_engine(cfg_x)
+    score, qi, rj, _ = fn_x(*args, gaps.open, gaps.extend, 100)
+    assert (int(np.asarray(score)[0]), int(np.asarray(qi)[0]),
+            int(np.asarray(rj)[0])) == (8192, 2048, 2048)
