@@ -65,7 +65,7 @@ def main():
         pack_lane,
     )
 
-    B = int(os.environ.get("BENCH_BATCH", "32768"))
+    B = int(os.environ.get("BENCH_BATCH", "65536"))
     LEN = int(os.environ.get("BENCH_LEN", "1000"))
     K = int(os.environ.get("BENCH_K", "100"))
     S = int(os.environ.get("BENCH_BLOCK", "32"))

@@ -93,7 +93,6 @@ class BatchAligner:
             or free_query_start_gaps
             or free_query_end_gaps
             or isinstance(matrix, ByteMatrix)
-            or (trace and x_drop is not None)
         )
         if use_lane_kernel is None:
             use_lane_kernel = (
@@ -206,7 +205,7 @@ class BatchAligner:
 
                 out, thbm, mhbm = res
                 out = np.asarray(out)
-                steps = out[:, 0, 1, 0]  # per-program executed step counts
+                steps = out[:, 0, -1, 0]  # per-program executed step counts
                 # transpose + nibble-pack on device: halves the host
                 # transfer and kills the host-side transpose
                 if self._trace_prep is None:
@@ -226,6 +225,13 @@ class BatchAligner:
                     packed, np.asarray(mhbm[:, :nsteps]), steps,
                     self._lane_cfg.block,
                 )
+                if self._lane_cfg.x_drop:
+                    o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
+                        self._lane_cfg.batch, 3)
+                    return [
+                        AlignResult(int(o2[b, 0]), int(o2[b, 1]), int(o2[b, 2]))
+                        for b in range(len(pairs))
+                    ]
                 out = out[:, :, 0, :].reshape(self._lane_cfg.batch)
                 return [
                     AlignResult(int(out[b]), len(q), len(r))

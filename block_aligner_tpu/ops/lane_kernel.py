@@ -86,9 +86,6 @@ class LaneKernelConfig:
             f"~{self.vmem_bytes >> 20} MiB of VMEM scratch exceeds the "
             "~16 MiB core budget; lower banks or seq_cap"
         )
-        assert not (self.trace and self.x_drop), (
-            "trace+x_drop routes to the general engine"
-        )
         if self.segmented:
             assert not self.trace, "segmented trace not supported yet"
             assert self.seg_steps > self.block // STEP, (
@@ -656,7 +653,12 @@ def build_lane_engine(cfg: LaneKernelConfig):
             return (s_idx < s_end) & (alldone == 0)
 
         final = lax.while_loop(cond, body, (s_start, jnp.int32(0)))
-        if cfg.x_drop:
+        if cfg.x_drop and cfg.trace:
+            steps = jnp.full((K, 1, P), final[0], jnp.int32)
+            score_ref[0] = jnp.concatenate(
+                [XBEST[...], XBI[...], XBJ[...], steps], axis=1
+            )
+        elif cfg.x_drop:
             score_ref[0] = jnp.concatenate(
                 [XBEST[...], XBI[...], XBJ[...]], axis=1
             )
@@ -706,7 +708,10 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 pl.BlockSpec(memory_space=pltpu.HBM),  # vb_in
             ]
         # output rows: score (+ best idx for x-drop / step count for trace)
-        OW = 3 if cfg.x_drop else (2 if cfg.trace else 1)
+        if cfg.x_drop:
+            OW = 4 if cfg.trace else 3
+        else:
+            OW = 2 if cfg.trace else 1
         out_specs = pl.BlockSpec(
             (1, K, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )

@@ -197,3 +197,33 @@ def test_lane_trace_cigars():
         want = str(a.cigar(a.res().query_idx, a.res().reference_idx))
         got = str(al.cigar(k, res[k].query_idx, res[k].reference_idx))
         assert got == want, (k, got, want, q, r)
+
+
+def test_lane_trace_xdrop_cigars():
+    from block_aligner_tpu import BatchAligner
+
+    rng = np.random.default_rng(67)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(10):
+        n = int(rng.integers(15, 120))
+        q = rand_seq(rng, AA, n)
+        if rng.integers(0, 2):
+            pairs.append((q, mutate(rng, q, n // 5, AA)))
+        else:
+            pairs.append((q, rand_seq(rng, AA, n)))  # early termination
+    al = BatchAligner(BLOSUM62, gaps, size=(32, 32), batch=256, seq_cap=160,
+                      trace=True, x_drop=50)
+    assert al._lane
+    res = al.align_batch(pairs)
+    a = BlockOracle(trace=True, x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 32, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (32, 32), 50)
+        got = (res[k].score, res[k].query_idx, res[k].reference_idx)
+        want = (a.res().score, a.res().query_idx, a.res().reference_idx)
+        assert got == want, (k, got, want, q, r)
+        wc = str(a.cigar(a.res().query_idx, a.res().reference_idx))
+        gc = str(al.cigar(k, res[k].query_idx, res[k].reference_idx))
+        assert gc == wc, (k, gc, wc, q, r)
