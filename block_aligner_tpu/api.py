@@ -22,7 +22,6 @@ For single pairs / CPU-exact work use ``BlockOracle``.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np

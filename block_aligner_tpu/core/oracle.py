@@ -28,7 +28,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .cigar import Cigar, Operation
+from .cigar import Cigar
 from .scores import AAProfile, ByteMatrix, Gaps
 from .seqs import PaddedBytes
 

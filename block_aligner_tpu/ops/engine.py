@@ -26,7 +26,6 @@ arranged so a pair never idles more than the boundary bookkeeping itself.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

@@ -10,7 +10,7 @@ is the only cross-chip reduction, one scalar ``any`` per column).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -10,7 +10,6 @@ files are absent (this environment has no network egress).
 
 from __future__ import annotations
 
-import os
 import sys
 from pathlib import Path
 
@@ -72,6 +71,17 @@ def load_uc_pairs(name="uc30", per_bucket=1000, seed=1234, max_len=256):
             q = rand_seq(rng, AA, n)
             k = max(1, int(n * (1.0 - bucket)))
             r = rand_mutate(rng, q, k, AA)
+            # low-identity homologs carry structural (block) indels that
+            # push the optimal path off-diagonal -- the case block
+            # adaptivity exists for
+            if bucket < 0.8:
+                for _ in range(int(rng.integers(1, 4))):
+                    ln = int(rng.integers(8, max(9, n // 6)))
+                    pos = int(rng.integers(0, max(len(r) - ln, 1)))
+                    if rng.integers(0, 2) and len(r) > ln + 8:
+                        r = r[:pos] + r[pos + ln :]
+                    else:
+                        r = r[:pos] + rand_seq(rng, AA, ln) + r[pos:]
             out.append((q, r, bucket))
     return out
 

@@ -80,6 +80,35 @@ def bench_uc():
         "incl. dev->host trace transfer (tunnel-limited here)")
 
 
+def bench_accuracy_hard():
+    """Adaptivity accuracy on the harder set (structural indels; the
+    reference's uc30 numbers: 1271 wrong @32-32, 224 @32-256 adaptive)."""
+    data = load_uc_pairs("uc30", per_bucket=1000)
+    pairs = [(q, r) for q, r, _ in data]
+    max_len = max(max(len(q), len(r)) for q, r in pairs)
+    want = [global_align_score(q, r, BLOSUM62, BL_GAPS) for q, r in pairs]
+
+    al = BatchAligner(BLOSUM62, BL_GAPS, (32, 32), batch=4096,
+                      seq_cap=max_len + 32)
+    t0 = time.perf_counter()
+    res = al.align_all(pairs)
+    dt = time.perf_counter() - t0
+    wrong = sum(1 for w, g in zip(want, res) if g.score != w)
+    row("uc30-hard 7000p fixed 32-32", len(pairs), dt, None, wrong,
+        "ref uc30 @32-32: 1271 wrong")
+
+    ad = AdaptiveBatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=4096,
+                              seq_cap=max_len + 32)
+    for s in ad.sizes:
+        ad._aligner(s).align_batch(pairs[:8])
+    t0 = time.perf_counter()
+    res = ad.align_all(pairs)
+    dt = time.perf_counter() - t0
+    wrong = sum(1 for w, g in zip(want, res) if g.score != w)
+    row("uc30-hard 7000p rescue 32..256", len(pairs), dt, None, wrong,
+        "ref uc30 adaptive 32-256: 224 wrong")
+
+
 def bench_nanopore():
     pairs = load_nanopore_pairs(n_pairs=512, max_len=10000)
     max_len = max(max(len(q), len(r)) for q, r in pairs)
@@ -144,6 +173,7 @@ def main():
     import jax
 
     bench_uc()
+    bench_accuracy_hard()
     bench_nanopore()
     bench_xdrop()
     bench_pssm()
