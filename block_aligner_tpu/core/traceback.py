@@ -425,6 +425,10 @@ def lane_trace(thbm, mhbm, steps, block: int) -> "EngineTrace":
         in_pro[:, None] == 1, s_idx[:, None] * STEP_ + w, w
     )
     meta2 = cp | (S << 17)
+    # rows a program never ran hold uninitialized device memory: zero them
+    # entirely so garbage can't masquerade as valid/save/restore bits
+    meta1 = np.where(valid8 == 1, meta1, 0)
+    meta2 = np.where(valid8 == 1, meta2, 0)
     meta = np.stack(
         [meta1.reshape(ncols, B), meta2.reshape(ncols, B)], axis=-1
     ).astype(np.int32)

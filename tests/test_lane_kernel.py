@@ -227,3 +227,59 @@ def test_lane_trace_xdrop_cigars():
         wc = str(a.cigar(a.res().query_idx, a.res().reference_idx))
         gc = str(al.cigar(k, res[k].query_idx, res[k].reference_idx))
         assert gc == wc, (k, gc, wc, q, r)
+
+
+def test_lane_trace_multi_program_uneven_exit():
+    """Regression: with multiple grid programs exiting at different step
+    counts, never-written descriptor rows hold uninitialized memory; the
+    decoder must not let them masquerade as valid/save/restore bits."""
+    import jax
+
+    from block_aligner_tpu.core.traceback import lane_trace
+
+    rng = np.random.default_rng(83)
+    gaps = Gaps(open=-11, extend=-1)
+    # program 0's pairs are much shorter than program 1's -> program 0
+    # exits early and its later descriptor rows are uninitialized
+    pairs = []
+    for _ in range(256):
+        n = int(rng.integers(8, 20))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, 3, AA)))
+    for _ in range(256):
+        n = int(rng.integers(120, 180))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 4, AA)))
+    cfg = LaneKernelConfig(batch=512, block=16, seq_cap=256, alpha=32,
+                           banks=2, trace=True, interpret=True)
+    assert cfg.n_programs == 2
+    fn = build_lane_engine(cfg)
+    args = pack_lane(pairs, BLOSUM62, cfg, gaps)
+    out, thbm, mhbm = fn(*args)
+    out = np.asarray(out)
+    steps = out[:, 0, -1, 0]
+    assert int(steps[0]) != int(steps[1])  # genuinely uneven exits
+    packed = jax.jit(lambda t: t[:, 0::2] | (t[:, 1::2] << 4))(thbm)
+    nsteps = int(steps.max())
+    half = (nsteps * 8 + 1) // 2
+    # on a real device, descriptor rows past a program's exit step hold
+    # whatever was in HBM (interpret mode zero-fills them); poison those
+    # rows to reproduce the device behavior deterministically.  8 in the
+    # ``right`` field forges a restore event with no matching save, which
+    # (ungated) deletes every real rect before the walk
+    mh = np.array(mhbm[:, :nsteps])
+    for g in range(cfg.n_programs):
+        mh[g, int(steps[g]):] = 8
+    et = lane_trace(np.asarray(packed[:, :half]), mh, steps, cfg.block)
+    scores = out[:, :, 0, :].reshape(cfg.batch)
+
+    a = BlockOracle(trace=True)
+    for k in list(range(0, 256, 41)) + list(range(256, 512, 41)):
+        q, r = pairs[k]
+        pq = PaddedBytes.from_bytes(q, 16, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 16, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (16, 16), 0)
+        assert int(scores[k]) == a.res().score, k
+        want = str(a.cigar(a.res().query_idx, a.res().reference_idx))
+        got = str(et.cigar(k, a.res().query_idx, a.res().reference_idx))
+        assert got == want, (k, got, want)
