@@ -33,11 +33,18 @@ it lets all border writes run unmasked (done pairs compute garbage until the
 whole batch drains, which costs nothing).
 
 Modes: global and x-drop (16-residue argmax tracker with reference
-tie-breaking), packed trace streaming to HBM (global), and host-assisted
+tie-breaking), packed trace streaming to HBM (global), host-assisted
 *segmented* execution for sequences beyond the VMEM-resident code budget
 (state persists on device between segment launches; see
-api.LongBatchAligner).  Adaptive block sizes, PSSM profiles, and the
-remaining mode flags route to the general lockstep engine (ops/engine.py).
+api.LongBatchAligner), and sequence-to-PSSM *profile* scoring (reference:
+align_profile, src/scan_block.rs:942-995).  Profile mode swaps the score
+fetch: the profile side's packed per-position score rows (7 words of 4
+biased bytes) plus one packed gap word (open_C/open_R/close_C) live in a
+VMEM block; right-moving rects select the entering position's column word
+by each lane's query code, down-moving rects keep a lane-window stack of
+profile rows and select bytes by the entering query char -- no MXU matmul
+at all.  Adaptive block sizes and the remaining mode flags route to the
+general lockstep engine (ops/engine.py).
 """
 
 from __future__ import annotations
@@ -53,10 +60,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.oracle import I16_MIN, STEP, ZERO
 
-__all__ = ["LaneKernelConfig", "build_lane_engine", "pack_lane"]
+__all__ = [
+    "LaneKernelConfig", "build_lane_engine", "pack_lane", "pack_lane_profile",
+]
 
 P = 128  # pairs per bank (one per lane)
 NEG32 = I16_MIN
+# profile mode: 7 packed score words cover query codes 0..27 (A..Z + NULL
+# = 26), plus one packed gap word (open_C | open_R<<8 | close_C<<16)
+PROF_NGP = 7
+PROF_NW = PROF_NGP + 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,6 +84,7 @@ class LaneKernelConfig:
     segmented: bool = False  # host-assisted streaming for long sequences:
     # seq_cap becomes a per-segment code *window*; DP state round-trips
     # through HBM between segment launches (see LongBatchAligner)
+    profile: bool = False  # sequence-to-PSSM scoring (reference align_profile)
     interpret: bool = False
 
     def __post_init__(self):
@@ -90,6 +104,11 @@ class LaneKernelConfig:
             assert not self.trace, "segmented trace not supported yet"
             assert self.seg_steps > self.block // STEP, (
                 "window too small for the prologue"
+            )
+        if self.profile:
+            assert not (self.x_drop or self.trace or self.segmented), (
+                "lane profile mode is score-only global; other profile "
+                "modes route to the general engine"
             )
 
     @property
@@ -119,13 +138,19 @@ class LaneKernelConfig:
         compiler can spill slightly past it, so the assert is advisory at
         the margin)."""
         K, S, A = self.banks, self.block, self.alpha
+        borders = 7 * K * S * P * 4
+        x16 = 3 * K * 16 * P * 4
+        ec8 = K * 8 * P * 4
+        if self.profile:
+            prof = K * PROF_NW * self.seq_cap * P * 4
+            qcodes = K * self.seq_cap * P
+            stacks = (PROF_NGP + 2) * K * S * P * 4
+            pg8 = K * PROF_NW * 8 * P * 4
+            return prof + qcodes + stacks + pg8 + borders + x16 + ec8
         NG = A // 4
         codes = K * 2 * self.seq_cap * P
         stacks = 3 * NG * K * S * P * 4 + NG * K * 8 * P * 4
-        borders = 7 * K * S * P * 4
-        x16 = 3 * K * 16 * P * 4
         tstage = (8 * K * S * P + K * 4 * P * 4) if self.trace else 0
-        ec8 = K * 8 * P * 4
         return codes + stacks + borders + x16 + tstage + ec8
 
     @property
@@ -160,6 +185,12 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
     def kernel(qlen_ref, rlen_ref, scq0_ref, scr0_ref, M_ref, codes_hbm,
                gap_ref, *rest):
+        # profile mode re-purposes the leading slots: scq0 = initial query
+        # code stack, scr0 = initial packed profile-row stack, M = initial
+        # packed gap-word stack, codes_hbm = packed profile words
+        if cfg.profile:
+            qcodes_hbm = rest[0]
+            rest = rest[1:]
         if cfg.segmented:
             (baseq_ref, baser_ref, sb_in, bb_in, vb_in,
              score_ref, sb_out, bb_out, vb_out) = rest[:9]
@@ -172,11 +203,19 @@ def build_lane_engine(cfg: LaneKernelConfig):
             scr = rest[2:]
         else:
             scr = rest
-        (CODES, SCQ, SCR, SCACT, NR, EC8, ACT_D, ACT_C, PAS_D, PAS_R,
+        if cfg.profile:
+            (QCODES, PROF, PROFROW, GAPROW, QCODE, PG8) = scr[:6]
+            scr = scr[6:]
+            CODES = SCQ = SCR = SCACT = NR = None
+        else:
+            (CODES, SCQ, SCR, SCACT, NR) = scr[:5]
+            scr = scr[5:]
+            QCODES = PROF = PROFROW = GAPROW = QCODE = PG8 = None
+        (EC8, ACT_D, ACT_C, PAS_D, PAS_R,
          tempD, tempR, DMAX, ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_OA,
          ST_DIR, ST_PDIR, ST_DONE, CORN, CVEC, OUT, FRA, FRT, FRIDX,
-         XVM, XAI, XAJ, XBEST, XBI, XBJ, XITER) = scr[:34]
-        scr = scr[34:]
+         XVM, XAI, XAJ, XBEST, XBI, XBJ, XITER) = scr[:29]
+        scr = scr[29:]
         if cfg.trace:
             TST, MST = scr[0], scr[1]
             scr = scr[2:]
@@ -199,8 +238,15 @@ def build_lane_engine(cfg: LaneKernelConfig):
         ch_iota = jax.lax.broadcasted_iota(jnp.int32, (K, NCHK, 16, P), 1)
 
         # ---------------- init ----------------
-        dma = pltpu.make_async_copy(codes_hbm.at[prog], CODES, sem)
-        dma.start()
+        if cfg.profile:
+            dma = pltpu.make_async_copy(codes_hbm.at[prog], PROF, sem)
+            dma.start()
+            dma_q = pltpu.make_async_copy(qcodes_hbm.at[prog], QCODES, tsem)
+            dma_q.start()
+        else:
+            dma = pltpu.make_async_copy(codes_hbm.at[prog], CODES, sem)
+            dma.start()
+            dma_q = None
         zS = jnp.zeros((K, S, P), jnp.int32)
         z1 = jnp.zeros((K, 1, P), jnp.int32)
         seg_first = gap_ref[0, 3] if cfg.segmented else 1
@@ -210,9 +256,14 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
         @pl.when(seg_first == 1)
         def _():
-            SCQ[...] = scq0_ref[0]
-            SCR[...] = scr0_ref[0]
-            SCACT[...] = scq0_ref[0]  # the prologue rect's lane axis is q
+            if cfg.profile:
+                QCODE[...] = scq0_ref[0]
+                PROFROW[...] = scr0_ref[0]
+                GAPROW[...] = M_ref[0]
+            else:
+                SCQ[...] = scq0_ref[0]
+                SCR[...] = scr0_ref[0]
+                SCACT[...] = scq0_ref[0]  # the prologue rect's lane axis is q
             for ref in (ACT_D, ACT_C, PAS_D, PAS_R):
                 ref[...] = zS
             for ref in (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DONE, OUT,
@@ -268,22 +319,45 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 [z1 + 1, z1, z1, z1], axis=1
             )
         dma.wait()
+        if dma_q is not None:
+            dma_q.wait()
 
-        Mb = M_ref[...].astype(jnp.bfloat16)
+        Mb = None if cfg.profile else M_ref[...].astype(jnp.bfloat16)
 
         def extract8(pos8, side):
             """EC8[k, w, b] = code at position pos8[k, 0, b] + w on side
             (masked chunk + sub-offset reduction over the VMEM code block)."""
-            cu = side * NCH + pos8 // 128  # (K, 1, P)
+            if cfg.profile:
+                cu = pos8 // 128  # query codes only; side is always 0
+                blk, n_ch = QCODES, NCH
+            else:
+                cu = side * NCH + pos8 // 128  # (K, 1, P)
+                blk, n_ch = CODES, 2 * NCH
             lo = pos8 % 128  # multiple of 8
             acc = jnp.zeros((K, 128, P), jnp.int8)
-            for c in range(2 * NCH):
-                acc = jnp.where(cu == c, CODES[:, c], acc)
+            for c in range(n_ch):
+                acc = jnp.where(cu == c, blk[:, c], acc)
             acc = acc.astype(jnp.int32)
             out = jnp.zeros((K, STEP, P), jnp.int32)
             for v in range(128 // STEP):
                 out = jnp.where(lo == v * STEP, acc[:, v * STEP : v * STEP + STEP], out)
             EC8[...] = out
+
+        def extract_prof(pos8):
+            """PG8[k, n, w, b] = packed profile word n at position
+            pos8[k, 0, b] + w (words 0..NGP-1 = biased score bytes for codes
+            4n..4n+3; word NGP = packed gap costs)."""
+            cu = (pos8 // 128)[:, None]  # (K, 1, 1, P)
+            lo = (pos8 % 128)[:, None]
+            acc = jnp.zeros((K, PROF_NW, 128, P), jnp.int32)
+            for c in range(NCH):
+                acc = jnp.where(cu == c, PROF[:, :, c], acc)
+            out = jnp.zeros((K, PROF_NW, STEP, P), jnp.int32)
+            for v in range(128 // STEP):
+                out = jnp.where(
+                    lo == v * STEP, acc[:, :, v * STEP : v * STEP + STEP], out
+                )
+            PG8[...] = out
 
         def score_new_rows():
             """NR[g, k, r, b] = packed scores M[4g..4g+3, EC8[k, r, b]] + 128
@@ -340,6 +414,10 @@ def build_lane_engine(cfg: LaneKernelConfig):
                     in_pro, 0,
                     jnp.where(dirn == 0, baser_ref[0], baseq_ref[0]),
                 )
+            if cfg.profile:
+                # both fetches run every step; lanes moving the other way
+                # read garbage that the per-lane orientation masks discard
+                extract_prof(pos8)
             extract8(pos8, side)
 
             @pl.when(jnp.logical_not(in_pro))
@@ -369,7 +447,30 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
             @pl.when(jnp.logical_not(in_pro))
             def _():
-                # advance the moved side's lane-window score stack by 8 rows
+                # advance the moved side's lane-window stack by 8 rows
+                if cfg.profile:
+                    qmoved = dirn == 1  # (K, 1, P)
+                    rmoved = dirn == 0
+                    QCODE[...] = jnp.where(
+                        qmoved,
+                        jnp.concatenate([QCODE[:, STEP:, :], EC8[...]], axis=1),
+                        QCODE[...],
+                    )
+                    PROFROW[...] = jnp.where(
+                        rmoved[:, None],
+                        jnp.concatenate(
+                            [PROFROW[:, :, STEP:, :], PG8[:, :PROF_NGP]], axis=2
+                        ),
+                        PROFROW[...],
+                    )
+                    GAPROW[...] = jnp.where(
+                        rmoved,
+                        jnp.concatenate(
+                            [GAPROW[:, STEP:, :], PG8[:, PROF_NGP]], axis=1
+                        ),
+                        GAPROW[...],
+                    )
+                    return
                 score_new_rows()
                 qmoved = (dirn == 1)[None]  # (1, K, 1, P)
                 rmoved = (dirn == 0)[None]
@@ -398,14 +499,43 @@ def build_lane_engine(cfg: LaneKernelConfig):
             done = ST_DONE[...]
 
             c_w = EC8[:, w, :][:, None, :]  # (K, 1, P) column codes
-            # score column: NG-way select over the packed plane stack, then
-            # per-lane byte extraction ((v+128) biased little-endian)
-            grp = c_w >> 2
-            sub = (c_w & 3) << 3
-            acc = SCACT[0]
-            for g in range(1, NG):
-                acc = jnp.where(grp == g, SCACT[g], acc)
-            scores = ((acc >> sub) & 255) - 128
+            if cfg.profile:
+                # asymmetric profile fetch (reference: src/scan_block.rs:
+                # 597-783): right rects select the entering profile
+                # position's column word by each lane's query code; down
+                # rects select bytes from the lane-window profile-row stack
+                # by the entering query char
+                rightm = jnp.logical_or(in_pro, ST_DIR[...] != 1)  # (K,1,P)
+                qc = QCODE[...]  # (K, S, P) query codes along lanes
+                sel = jnp.where(rightm, qc >> 2, c_w >> 2)
+                acc = jnp.zeros((K, S, P), jnp.int32)
+                for g in range(PROF_NGP):
+                    opg = jnp.where(
+                        rightm, PG8[:, g, w : w + 1, :], PROFROW[:, g]
+                    )
+                    acc = jnp.where(sel == g, opg, acc)
+                sub = jnp.where(rightm, (qc & 3) << 3, (c_w & 3) << 3)
+                scores = ((acc >> sub) & 255) - 128
+                # per-position gap costs (reference: src/scores.rs:341-447;
+                # down rects swap the C<->R roles, src/scan_block.rs:651-705)
+                gw = PG8[:, PROF_NGP, w : w + 1, :]  # column's packed gaps
+                gr_ = GAPROW[...]  # lane-window packed gaps
+                goc_c = (gw & 255) - 128
+                gor_c = ((gw >> 8) & 255) - 128
+                gcc_c = ((gw >> 16) & 255) - 128
+                goc_r = (gr_ & 255) - 128
+                gor_r = ((gr_ >> 8) & 255) - 128
+                gcc_r = ((gr_ >> 16) & 255) - 128
+            else:
+                # score column: NG-way select over the packed plane stack,
+                # then per-lane byte extraction ((v+128) biased little-endian)
+                rightm = None
+                grp = c_w >> 2
+                sub = (c_w & 3) << 3
+                acc = SCACT[0]
+                for g in range(1, NG):
+                    acc = jnp.where(grp == g, SCACT[g], acc)
+                scores = ((acc >> sub) & 255) - 128
 
             D10 = ACT_D[...]
             C10 = ACT_C[...]
@@ -426,10 +556,24 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 )
                 D11 = jnp.concatenate([row0, D11[:, 1:, :]], axis=1)
 
-            C11_open = jnp.maximum(D10 + open_, NEG32)
-            C11 = jnp.maximum(jnp.maximum(C10 + e, NEG32), C11_open)
-            D11 = jnp.maximum(D11, C11)
-            D11_open = D11 + (open_ - e)
+            if cfg.profile:
+                # C opens with the position-specific cost (+e, the engine's
+                # convention); gap close applies only on the D-merge, the
+                # persisted C/R planes stay pre-close (see ops/engine.py)
+                goc = jnp.where(rightm, goc_c, gor_r) + e
+                C11_open = jnp.maximum(D10 + goc, NEG32)
+                C11 = jnp.maximum(jnp.maximum(C10 + e, NEG32), C11_open)
+                C11_end = jnp.where(
+                    rightm, jnp.maximum(C11 + gcc_c, NEG32), C11
+                )
+                D11 = jnp.maximum(D11, C11_end)
+                gor_v = jnp.where(rightm, gor_c, goc_r)
+                D11_open = jnp.maximum(D11 + gor_v, NEG32)
+            else:
+                C11_open = jnp.maximum(D10 + open_, NEG32)
+                C11 = jnp.maximum(jnp.maximum(C10 + e, NEG32), C11_open)
+                D11 = jnp.maximum(D11, C11)
+                D11_open = D11 + (open_ - e)
 
             # chunked-AVX2-exact prefix scan: log-steps + zero correction
             t = D11_open
@@ -438,7 +582,14 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 t = jnp.maximum(t, shift_up_rows(t, k, NEG32) + e * k)
                 k *= 2
             R11 = jnp.maximum(t, zc)
-            D11 = jnp.maximum(D11, R11)
+            if cfg.profile:
+                # gap close when leaving R (down rects only)
+                R11_end = jnp.where(
+                    rightm, R11, jnp.maximum(R11 + gcc_r, NEG32)
+                )
+                D11 = jnp.maximum(D11, R11_end)
+            else:
+                D11 = jnp.maximum(D11, R11)
 
             if cfg.trace:
                 # packed 2+2-bit trace emission (reference:
@@ -688,15 +839,29 @@ def build_lane_engine(cfg: LaneKernelConfig):
     # ------------------------------------------------------------------
     def engine(qlen, rlen, scq0, scr0, M, codes, gaps, *seg_args):
         n_progs = cfg.n_programs
-        in_specs = [
-            pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ]
+        if cfg.profile:
+            # scq0 = qc0 stack, scr0 = profile-row stack, M = gap-word
+            # stack, codes = packed profile words, seg_args = (qcodes,)
+            in_specs = [
+                pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, S, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, PROF_NGP, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, S, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),  # query codes
+            ]
+        else:
+            in_specs = [
+                pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ]
         if cfg.segmented:
             in_specs += [
                 pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0),
@@ -752,12 +917,25 @@ def build_lane_engine(cfg: LaneKernelConfig):
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((K, 2 * NCH, 128, P), jnp.int8),  # CODES
-                pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCQ (packed)
-                pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCR (packed)
-                pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCACT (packed)
-                pltpu.VMEM((NG, K, STEP, P), jnp.int32),  # NR (packed)
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((K, NCH, 128, P), jnp.int8),  # QCODES
+                    pltpu.VMEM((K, PROF_NW, NCH, 128, P), jnp.int32),  # PROF
+                    pltpu.VMEM((K, PROF_NGP, S, P), jnp.int32),  # PROFROW
+                    pltpu.VMEM((K, S, P), jnp.int32),  # GAPROW
+                    pltpu.VMEM((K, S, P), jnp.int32),  # QCODE
+                    pltpu.VMEM((K, PROF_NW, STEP, P), jnp.int32),  # PG8
+                ]
+                if cfg.profile
+                else [
+                    pltpu.VMEM((K, 2 * NCH, 128, P), jnp.int8),  # CODES
+                    pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCQ (packed)
+                    pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCR (packed)
+                    pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCACT (packed)
+                    pltpu.VMEM((NG, K, STEP, P), jnp.int32),  # NR (packed)
+                ]
+            )
+            + [
                 pltpu.VMEM((K, STEP, P), jnp.int32),  # EC8
                 pltpu.VMEM((K, S, P), jnp.int32),  # ACT_D
                 pltpu.VMEM((K, S, P), jnp.int32),  # ACT_C
@@ -889,6 +1067,95 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
         Mp,
         codes_t,
         g,
+    )
+
+
+def pack_lane_profile(pairs, cfg: LaneKernelConfig):
+    """Host-side packing for lane-kernel sequence-to-PSSM batches.
+
+    ``pairs`` is a list of ``(query_bytes, AAProfile)`` (the profile plays
+    the reference role; reference: src/scan_block.rs:942-995).  Builds the
+    packed per-position profile words (7 score words of 4 biased bytes for
+    query codes 0..27 plus 1 packed gap word: open_C | open_R<<8 |
+    close_C<<16), the query code block, and the initial lane-window stacks;
+    same position-index conventions as ops/engine.py's ``pack_profiles``.
+    """
+    assert cfg.profile
+    B, S, NCH, K = cfg.batch, cfg.block, cfg.n_chunks, cfg.banks
+    n_progs, cap = cfg.n_programs, cfg.seq_cap
+    assert len(pairs) <= B
+    pairs = list(pairs) + [(b"", None)] * (B - len(pairs))
+    NGP, NW = PROF_NGP, PROF_NW
+
+    qcodes = np.full((B, cap), 26, dtype=np.int8)  # NULL code
+    # padded positions keep word 0: score bytes decode to -128, and the gap
+    # word decodes to the engine's -128 pads
+    words = np.zeros((B, NW, cap), dtype=np.int64)
+    qlen = np.zeros(B, np.int32)
+    rlen = np.zeros(B, np.int32)
+    ge = None
+    for b, (q, prof) in enumerate(pairs):
+        if prof is None:  # batch padding entry
+            continue
+        if ge is None:
+            ge = prof.get_gap_extend()
+        assert ge == prof.get_gap_extend(), (
+            "all profiles in a batch must share gap_extend"
+        )
+        qc = prof.convert(q)
+        qlen[b] = len(qc)
+        rlen[b] = prof.str_len
+        assert prof.str_len + S + 1 <= cap, "profile too long"
+        assert 1 + len(qc) + S + 16 <= cap, "query too long"
+        qcodes[b, 1 : 1 + len(qc)] = qc
+        cl = min(prof.curr_len, prof.str_len + S + 1, cap)
+        ps = np.asarray(prof.pos_scores[:cl], dtype=np.int64)
+        assert ps.min() >= -128 and ps.max() <= 127, "profile score overflow"
+        pb = (ps + 128).T  # (32, cl) biased bytes
+        for g in range(NGP):
+            words[b, g, :cl] = (
+                pb[4 * g]
+                | (pb[4 * g + 1] << 8)
+                | (pb[4 * g + 2] << 16)
+                | (pb[4 * g + 3] << 24)
+            )
+        gv = [
+            np.asarray(a[:cl], dtype=np.int64) + 128
+            for a in (prof.gap_open_C, prof.gap_open_R, prof.gap_close_C)
+        ]
+        for a in gv:
+            assert a.min() >= 0 and a.max() <= 255, "gap cost overflow"
+        words[b, NGP, :cl] = gv[0] | (gv[1] << 8) | (gv[2] << 16)
+    words = words.astype(np.uint32).astype(np.int32)
+
+    qc_t = np.ascontiguousarray(
+        qcodes.reshape(n_progs, K, P, NCH, 128).transpose(0, 1, 3, 4, 2)
+    )
+    words_t = np.ascontiguousarray(
+        words.reshape(n_progs, K, P, NW, NCH, 128).transpose(0, 1, 3, 4, 5, 2)
+    )
+    qc0 = np.ascontiguousarray(
+        qcodes[:, :S].astype(np.int32)
+        .reshape(n_progs, K, P, S).transpose(0, 1, 3, 2)
+    )
+    pr0 = np.ascontiguousarray(
+        words[:, :NGP, :S].reshape(n_progs, K, P, NGP, S)
+        .transpose(0, 1, 3, 4, 2)
+    )
+    gr0 = np.ascontiguousarray(
+        words[:, NGP, :S].reshape(n_progs, K, P, S).transpose(0, 1, 3, 2)
+    )
+    g = np.zeros((1, 4), dtype=np.int32)
+    g[0, 1] = ge if ge is not None else -1
+    return (
+        np.ascontiguousarray(qlen.reshape(n_progs, K, 1, P)),
+        np.ascontiguousarray(rlen.reshape(n_progs, K, 1, P)),
+        qc0,
+        pr0,
+        gr0,
+        words_t,
+        g,
+        qc_t,
     )
 
 

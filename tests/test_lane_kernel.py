@@ -283,3 +283,45 @@ def test_lane_trace_multi_program_uneven_exit():
         want = str(a.cigar(a.res().query_idx, a.res().reference_idx))
         got = str(et.cigar(k, a.res().query_idx, a.res().reference_idx))
         assert got == want, (k, got, want)
+
+
+def test_lane_profile_vs_oracle():
+    """Lane-kernel sequence-to-PSSM mode vs the scalar oracle (fixed block;
+    position-specific scores and gap open/close costs)."""
+    from block_aligner_tpu import AAProfile
+    from block_aligner_tpu.ops.lane_kernel import pack_lane_profile
+
+    rng = np.random.default_rng(31)
+
+    def rand_profile(n, block_size, gap_extend=-1):
+        p = AAProfile(n, block_size, gap_extend)
+        for i in range(1, n + 1):
+            for c in AA:
+                p.set(i, c, int(rng.integers(-8, 12)))
+            for c in b"BJOUXZ":
+                p.set(i, c, int(rng.integers(-8, 2)))
+        for i in range(n + 1):
+            p.set_gap_open_C(i, int(rng.integers(-14, -2)))
+            p.set_gap_close_C(i, int(rng.integers(-3, 1)))
+            p.set_gap_open_R(i, int(rng.integers(-14, -2)))
+        return p
+
+    S = 32
+    pairs = []
+    for _ in range(24):
+        n = int(rng.integers(8, 120))
+        prof = rand_profile(n, S)
+        q = rand_seq(rng, AA, int(rng.integers(8, 120)))
+        pairs.append((q, prof))
+
+    cfg = LaneKernelConfig(batch=256, block=S, seq_cap=256, alpha=32,
+                           banks=2, profile=True, interpret=True)
+    fn = build_lane_engine(cfg)
+    args = pack_lane_profile(pairs, cfg)
+    out = np.asarray(fn(*args)).reshape(cfg.batch)
+
+    for k, (q, prof) in enumerate(pairs):
+        a = BlockOracle()
+        pq = PaddedBytes.from_bytes(q, S, prof)
+        a.align_profile(pq, prof, (S, S), 0)
+        assert int(out[k]) == a.res().score, (k, int(out[k]), a.res().score)
