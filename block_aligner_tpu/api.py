@@ -360,6 +360,7 @@ class ProfileAligner:
         seq_cap: int = 1024,
         trace: bool = False,
         x_drop: Optional[int] = None,
+        use_lane_kernel: Optional[bool] = None,
     ):
         min_size, max_size = size
         min_size = max(min_size, 16)
@@ -367,6 +368,42 @@ class ProfileAligner:
         self.x_drop = x_drop
         self._trace_mode = trace
         self._last_trace: Optional[EngineTrace] = None
+        if use_lane_kernel is None:
+            use_lane_kernel = (
+                min_size == max_size and 16 <= min_size <= 512
+                and not trace and x_drop is None
+            )
+        self._lane = use_lane_kernel
+        if self._lane:
+            import jax
+
+            from .ops.lane_kernel import LaneKernelConfig, build_lane_engine
+
+            cap = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
+            banks = max(1, min(16, round_up(max(batch, 128), 128) // 128))
+            while banks & (banks - 1):
+                banks -= 1
+            interp = jax.default_backend() != "tpu"
+
+            # per-bank profile VMEM (mirrors LaneKernelConfig.vmem_bytes)
+            def _vmem(k):
+                per_bank = (
+                    8 * cap * 128 * 4 + cap * 128
+                    + (7 + 2 + 7) * min_size * 128 * 4
+                    + (8 * 8 + 3 * 16 + 8) * 128 * 4
+                )
+                return k * per_bank
+
+            while banks > 1 and _vmem(banks) > 13 * 2**20:
+                banks //= 2
+            self._lane_cfg = LaneKernelConfig(
+                batch=round_up(max(batch, 128), 128 * banks),
+                block=min_size, seq_cap=cap, profile=True, banks=banks,
+                interpret=interp,
+            )
+            self._fn = build_lane_engine(self._lane_cfg)
+            self.cfg = None
+            return
         cap = round_up(1 + seq_cap + max_size + 16, 128)
         self.cfg = EngineConfig(
             batch=batch,
@@ -382,9 +419,21 @@ class ProfileAligner:
 
     @property
     def batch_size(self) -> int:
-        return self.cfg.batch
+        return self._lane_cfg.batch if self._lane else self.cfg.batch
 
     def align_batch(self, pairs) -> List[AlignResult]:
+        if self._lane:
+            from .ops.lane_kernel import pack_lane_profile
+
+            cfg = self._lane_cfg
+            assert len(pairs) <= cfg.batch
+            args = pack_lane_profile(pairs, cfg)
+            out = np.asarray(self._fn(*args)).reshape(cfg.batch)
+            # fixed-block global profile mode ends at (qlen, rlen)
+            return [
+                AlignResult(int(out[k]), len(q), p.str_len if p else 0)
+                for k, (q, p) in enumerate(pairs)
+            ]
         assert len(pairs) <= self.cfg.batch
         padded = list(pairs) + [(b"", None)] * (self.cfg.batch - len(pairs))
         Sprof, CRow, qlen, rlen, GOC, GCC, GOR, ge = pack_profiles(padded, self.cfg)

@@ -139,3 +139,40 @@ def test_staged_execution_matches_align_batch():
     b3 = al3.align_batch(pairs)
     assert [(r.score, r.query_idx, r.reference_idx) for r in a3] == [
         (r.score, r.query_idx, r.reference_idx) for r in b3]
+
+
+def test_profile_aligner_lane_path():
+    """ProfileAligner routes fixed-block score-only PSSM batches to the
+    lane kernel; results match the engine path and the oracle."""
+    from block_aligner_tpu import AAProfile, ProfileAligner
+
+    rng = np.random.default_rng(47)
+    AA = b"ACDEFGHIKLMNPQRSTVWY"
+
+    def rand_profile(n):
+        p = AAProfile(n, 32, -1)
+        for i in range(1, n + 1):
+            for c in AA:
+                p.set(i, c, int(rng.integers(-8, 12)))
+        for i in range(n + 1):
+            p.set_gap_open_C(i, int(rng.integers(-14, -2)))
+            p.set_gap_close_C(i, int(rng.integers(-3, 1)))
+            p.set_gap_open_R(i, int(rng.integers(-14, -2)))
+        return p
+
+    pairs = []
+    for _ in range(12):
+        n = int(rng.integers(10, 90))
+        q = bytes(rng.choice(list(AA), size=int(rng.integers(10, 90))).tolist())
+        pairs.append((q, rand_profile(n)))
+
+    lane = ProfileAligner(size=(32, 32), batch=128, seq_cap=160)
+    assert lane._lane
+    eng = ProfileAligner(size=(32, 32), batch=16, seq_cap=160,
+                         use_lane_kernel=False)
+    got = lane.align_batch(pairs)
+    want = eng.align_batch(pairs)
+    for k in range(len(pairs)):
+        assert got[k].score == want[k].score, (k, got[k], want[k])
+        assert (got[k].query_idx, got[k].reference_idx) == (
+            want[k].query_idx, want[k].reference_idx), k
