@@ -139,15 +139,16 @@ def load_scop_profiles(n_pairs=1000, seed=1234, max_len=200):
         n = int(rng.integers(30, max_len))
         cons = rand_seq(rng, AA, n)
         prof = AAProfile(n, 2048, -1)
-        for i, ch in enumerate(cons):
-            base = rng.integers(-4, 3, size=26)
-            for a in range(26):
-                prof.set(i + 1, 65 + a, int(base[a]))
-            prof.set(i + 1, ch, int(rng.integers(4, 12)))
-        for i in range(n + 1):
-            prof.set_gap_open_C(i, int(rng.integers(-13, -8)))
-            prof.set_gap_close_C(i, 0)
-            prof.set_gap_open_R(i, int(rng.integers(-13, -8)))
+        # vectorized writes into the profile's position-major table (same
+        # values the per-cell prof.set() loop would produce)
+        base = rng.integers(-4, 3, size=(n, 26))
+        base[np.arange(n), np.frombuffer(cons, np.uint8) - 65] = (
+            rng.integers(4, 12, size=n)
+        )
+        prof.pos_scores[1 : n + 1, :26] = base
+        prof.gap_open_C[: n + 1] = rng.integers(-13, -8, size=n + 1)
+        prof.gap_close_C[: n + 1] = 0
+        prof.gap_open_R[: n + 1] = rng.integers(-13, -8, size=n + 1)
         q = rand_mutate(rng, cons, n // 5, AA)
         out.append((q, prof))
     return out

