@@ -114,8 +114,9 @@ def bench_nanopore():
     max_len = max(max(len(q), len(r)) for q, r in pairs)
     matrix = NucMatrix.new_simple(2, -4)
     gaps = Gaps(open=-6, extend=-2)
-    al = BatchAligner(matrix, gaps, (128, 128), batch=256,
-                      seq_cap=max_len + max_len // 8 + 64)
+    # one dispatch for all 512 pairs; BatchAligner already pads seq_cap by
+    # 1 + max_size + 16, so pass the exact max length
+    al = BatchAligner(matrix, gaps, (128, 128), batch=512, seq_cap=max_len)
     staged = [al.stage(pairs[k : k + al.batch_size])
               for k in range(0, len(pairs), al.batch_size)]
     al.align_staged(staged[0])
