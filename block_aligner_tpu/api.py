@@ -102,7 +102,11 @@ class BatchAligner:
         if self._lane:
             import jax
 
-            from .ops.lane_kernel import LaneKernelConfig, build_lane_engine
+            from .ops.lane_kernel import (
+                LaneKernelConfig,
+                build_lane_engine,
+                lane_vmem_bytes,
+            )
 
             cap = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
             banks = max(1, min(16, round_up(max(batch, 128), 128) // 128))
@@ -110,18 +114,10 @@ class BatchAligner:
                 banks -= 1
             # VMEM-resident codes/stacks: shrink banks to fit the ~16 MiB
             # core budget (long sequences, trace staging)
-            def _vmem(k):
-                a_ = 32 if matrix.kind != "nuc" else 16
-                per_bank = (
-                    2 * cap * 128
-                    + 4 * (a_ // 4) * min_size * 128 * 4
-                    + 10 * min_size * 128 * 4
-                    + (8 * min_size * 128 if trace else 0)
-                    + 128 * 128 * 4
-                )
-                return k * per_bank
-
-            while banks > 2 and _vmem(banks) > 13 * 2**20:
+            a_ = 32 if matrix.kind != "nuc" else 16
+            while banks > 2 and lane_vmem_bytes(
+                min_size, cap, a_, banks, trace=trace
+            ) > 14 * 2**20:
                 banks //= 2
             self._lane_cfg = LaneKernelConfig(
                 batch=round_up(max(batch, 128), 128 * banks),
@@ -295,14 +291,18 @@ class BatchAligner:
 
             args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps,
                              x_drop=self.x_drop or 0)
-            return (len(pairs), jax.device_put(args))
+            # keep the host-side lengths: align_staged must not pull them
+            # back over the (slow) device link each call
+            ql = np.asarray(args[0]).reshape(self._lane_cfg.batch).copy()
+            rl = np.asarray(args[1]).reshape(self._lane_cfg.batch).copy()
+            return (len(pairs), jax.device_put(args), (ql, rl))
         padded = list(pairs) + [(b"", b"")] * (self.cfg.batch - len(pairs))
         args = pack_pairs(padded, self.matrix, self.cfg)
         return (len(pairs), jax.device_put(args))
 
     def align_staged(self, staged) -> List[AlignResult]:
         """Run a batch previously prepared with ``stage``."""
-        n, args = staged
+        n, args = staged[0], staged[1]
         if self._lane:
             out = np.asarray(self._lane_fn(*args))
             if self._lane_cfg.x_drop:
@@ -312,8 +312,11 @@ class BatchAligner:
                     for b in range(n)
                 ]
             out = out[:, :, 0, :].reshape(self._lane_cfg.batch)
-            ql = np.asarray(args[0]).reshape(self._lane_cfg.batch)
-            rl = np.asarray(args[1]).reshape(self._lane_cfg.batch)
+            if len(staged) > 2:
+                ql, rl = staged[2]
+            else:
+                ql = np.asarray(args[0]).reshape(self._lane_cfg.batch)
+                rl = np.asarray(args[1]).reshape(self._lane_cfg.batch)
             return [
                 AlignResult(int(out[b]), int(ql[b]), int(rl[b]))
                 for b in range(n)
@@ -377,24 +380,20 @@ class ProfileAligner:
         if self._lane:
             import jax
 
-            from .ops.lane_kernel import LaneKernelConfig, build_lane_engine
+            from .ops.lane_kernel import (
+                LaneKernelConfig,
+                build_lane_engine,
+                lane_vmem_bytes,
+            )
 
             cap = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
             banks = max(1, min(16, round_up(max(batch, 128), 128) // 128))
             while banks & (banks - 1):
                 banks -= 1
             interp = jax.default_backend() != "tpu"
-
-            # per-bank profile VMEM (mirrors LaneKernelConfig.vmem_bytes)
-            def _vmem(k):
-                per_bank = (
-                    8 * cap * 128 * 4 + cap * 128
-                    + (7 + 2 + 7) * min_size * 128 * 4
-                    + (8 * 8 + 3 * 16 + 8) * 128 * 4
-                )
-                return k * per_bank
-
-            while banks > 1 and _vmem(banks) > 13 * 2**20:
+            while banks > 1 and lane_vmem_bytes(
+                min_size, cap, 32, banks, profile=True
+            ) > 14 * 2**20:
                 banks //= 2
             self._lane_cfg = LaneKernelConfig(
                 batch=round_up(max(batch, 128), 128 * banks),

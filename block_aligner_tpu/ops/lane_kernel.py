@@ -62,6 +62,7 @@ from ..core.oracle import I16_MIN, STEP, ZERO
 
 __all__ = [
     "LaneKernelConfig", "build_lane_engine", "pack_lane", "pack_lane_profile",
+    "lane_vmem_bytes",
 ]
 
 P = 128  # pairs per bank (one per lane)
@@ -70,6 +71,28 @@ NEG32 = I16_MIN
 # = 26), plus one packed gap word (open_C | open_R<<8 | close_C<<16)
 PROF_NGP = 7
 PROF_NW = PROF_NGP + 1
+
+
+def lane_vmem_bytes(block, seq_cap, alpha, banks, *, trace=False,
+                    profile=False) -> int:
+    """VMEM scratch footprint of one lane-kernel program (matches the
+    scratch_shapes in ``build_lane_engine``); usable for bank-count budget
+    searches without constructing (and assert-checking) a config."""
+    K, S, A = banks, block, alpha
+    borders = 7 * K * S * P * 4
+    x16 = 3 * K * 16 * P * 4
+    ec8 = K * 8 * P * 4
+    if profile:
+        prof = K * PROF_NW * seq_cap * P * 4
+        qcodes = K * seq_cap * P
+        stacks = (PROF_NGP + 2) * K * S * P * 4
+        pg8 = K * PROF_NW * 8 * P * 4
+        return prof + qcodes + stacks + pg8 + borders + x16 + ec8
+    NG = A // 4
+    codes = K * 2 * seq_cap * P
+    stacks = 3 * NG * K * S * P * 4 + NG * K * 8 * P * 4
+    tstage = (8 * K * S * P + K * 4 * P * 4) if trace else 0
+    return codes + stacks + borders + x16 + tstage + ec8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,21 +160,9 @@ class LaneKernelConfig:
         the actual scratch_shapes; must fit the ~16 MiB core budget (the
         compiler can spill slightly past it, so the assert is advisory at
         the margin)."""
-        K, S, A = self.banks, self.block, self.alpha
-        borders = 7 * K * S * P * 4
-        x16 = 3 * K * 16 * P * 4
-        ec8 = K * 8 * P * 4
-        if self.profile:
-            prof = K * PROF_NW * self.seq_cap * P * 4
-            qcodes = K * self.seq_cap * P
-            stacks = (PROF_NGP + 2) * K * S * P * 4
-            pg8 = K * PROF_NW * 8 * P * 4
-            return prof + qcodes + stacks + pg8 + borders + x16 + ec8
-        NG = A // 4
-        codes = K * 2 * self.seq_cap * P
-        stacks = 3 * NG * K * S * P * 4 + NG * K * 8 * P * 4
-        tstage = (8 * K * S * P + K * 4 * P * 4) if self.trace else 0
-        return codes + stacks + borders + x16 + tstage + ec8
+        return lane_vmem_bytes(self.block, self.seq_cap, self.alpha,
+                               self.banks, trace=self.trace,
+                               profile=self.profile)
 
     @property
     def n_chunks(self) -> int:

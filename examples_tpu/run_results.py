@@ -35,7 +35,7 @@ def bench_uc():
 
     # fixed 32-32 (reference uc_bench: 0.057 s / 7000 = 8.1 us/pair);
     # staged methodology = the reference's (inputs prepared up front)
-    al = BatchAligner(BLOSUM62, BL_GAPS, (32, 32), batch=4096, seq_cap=max_len + 32)
+    al = BatchAligner(BLOSUM62, BL_GAPS, (32, 32), batch=8192, seq_cap=max_len + 32)
     staged = [al.stage(pairs[k : k + al.batch_size])
               for k in range(0, len(pairs), al.batch_size)]
     al.align_staged(staged[0])
@@ -53,7 +53,7 @@ def bench_uc():
         "incl. host pack + tunnel-limited transfer")
 
     # adaptive 32-256 via exponential rescue (reference 32-256: 0.089 s)
-    ad = AdaptiveBatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=4096,
+    ad = AdaptiveBatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=8192,
                               seq_cap=max_len + 32)
     for s in ad.sizes:  # compile every rescue level up front
         ad._aligner(s).align_batch(pairs[:8])
@@ -97,7 +97,7 @@ def bench_accuracy_hard():
     row("uc30-hard 7000p fixed 32-32", len(pairs), dt, None, wrong,
         "ref uc30 @32-32: 1271 wrong")
 
-    ad = AdaptiveBatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=4096,
+    ad = AdaptiveBatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=8192,
                               seq_cap=max_len + 32)
     for s in ad.sizes:
         ad._aligner(s).align_batch(pairs[:8])
