@@ -87,6 +87,9 @@ class BatchAligner:
         self._trace_mode = trace
         self._last_trace: Optional[EngineTrace] = None
         self._trace_prep = None
+        # per-pair y-drop suspect flags from the last lane-kernel batch
+        # (True = the reference's adaptive heuristic would have grown)
+        self.last_suspect = None
         plain = not (
             local_start
             or free_query_start_gaps
@@ -200,7 +203,12 @@ class BatchAligner:
 
                 out, thbm, mhbm = res
                 out = np.asarray(out)
-                steps = out[:, 0, -1, 0]  # per-program executed step counts
+                steps_row = 3 if self._lane_cfg.x_drop else 1
+                steps = out[:, 0, steps_row, 0]  # per-program step counts
+                self.last_suspect = (
+                    out[:, :, -1, :].reshape(self._lane_cfg.batch)
+                    [: len(pairs)].astype(bool)
+                )
                 # transpose + nibble-pack on device: halves the host
                 # transfer and kills the host-side transpose
                 if self._trace_prep is None:
@@ -233,13 +241,18 @@ class BatchAligner:
                     for b, (q, r) in enumerate(pairs)
                 ]
             out = np.asarray(res)
+            self.last_suspect = (
+                out[:, :, -1, :].reshape(self._lane_cfg.batch)
+                [: len(pairs)].astype(bool)
+            )
             if self._lane_cfg.x_drop:
-                out = out.transpose(0, 1, 3, 2).reshape(self._lane_cfg.batch, 3)
+                out = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
+                    self._lane_cfg.batch, 3)
                 return [
                     AlignResult(int(out[b, 0]), int(out[b, 1]), int(out[b, 2]))
                     for b in range(len(pairs))
                 ]
-            out = out.reshape(self._lane_cfg.batch)
+            out = out[:, :, 0, :].reshape(self._lane_cfg.batch)
             return [
                 AlignResult(int(out[b]), len(q), len(r))
                 for b, (q, r) in enumerate(pairs)
@@ -273,8 +286,13 @@ class BatchAligner:
         """Align an arbitrary number of pairs in batches (trace mode keeps
         only the last batch's trace; use batch-sized calls for CIGARs)."""
         out: List[AlignResult] = []
+        flags = []
         for k in range(0, len(pairs), self.batch_size):
             out.extend(self.align_batch(pairs[k : k + self.batch_size]))
+            if self._lane:
+                flags.append(self.last_suspect)
+        if self._lane and flags:
+            self.last_suspect = np.concatenate(flags)
         return out
 
     # --- staged execution: pack/transfer once, run many ------------------
@@ -305,8 +323,12 @@ class BatchAligner:
         n, args = staged[0], staged[1]
         if self._lane:
             out = np.asarray(self._lane_fn(*args))
+            self.last_suspect = (
+                out[:, :, -1, :].reshape(self._lane_cfg.batch)[:n].astype(bool)
+            )
             if self._lane_cfg.x_drop:
-                out = out.transpose(0, 1, 3, 2).reshape(self._lane_cfg.batch, 3)
+                out = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
+                    self._lane_cfg.batch, 3)
                 return [
                     AlignResult(int(out[b, 0]), int(out[b, 1]), int(out[b, 2]))
                     for b in range(n)
@@ -427,7 +449,11 @@ class ProfileAligner:
             cfg = self._lane_cfg
             assert len(pairs) <= cfg.batch
             args = pack_lane_profile(pairs, cfg)
-            out = np.asarray(self._fn(*args)).reshape(cfg.batch)
+            out = np.asarray(self._fn(*args))
+            self.last_suspect = (
+                out[:, :, -1, :].reshape(cfg.batch)[: len(pairs)].astype(bool)
+            )
+            out = out[:, :, 0, :].reshape(cfg.batch)
             # fixed-block global profile mode ends at (qlen, rlen)
             return [
                 AlignResult(int(out[k]), len(q), p.str_len if p else 0)
@@ -535,7 +561,15 @@ class AdaptiveBatchAligner:
         seq_cap: int = 1024,
         x_drop: Optional[int] = None,
         stable_rounds: int = 1,
+        strategy: str = "verify",
     ):
+        # "verify": re-align pairs that are y-drop-flagged OR whose score
+        #   changed vs the previous size (max accuracy; >= one extra pass)
+        # "flag": re-align only y-drop-flagged pairs (the reference's own
+        #   grow trigger; unflagged pairs exit after a single pass)
+        # "stable": score-stability only (no flags; engine fallback)
+        assert strategy in ("verify", "flag", "stable")
+        self.strategy = strategy
         self.matrix = matrix
         self.gaps = gaps
         assert size[0] <= size[1], "min block size must not exceed max"
@@ -563,6 +597,14 @@ class AdaptiveBatchAligner:
         return self._aligners[s]
 
     def align_all(self, pairs) -> List[AlignResult]:
+        """Align with flag-driven rescue: the lane kernel evaluates the
+        reference's y-drop grow trigger per pair and only flagged pairs
+        re-align at the doubled block size.  Unflagged pairs are pairs
+        whose run the reference's adaptivity would have left untouched, so
+        their fixed-size result already is the adaptive result; the
+        expected cost is one fixed-``min_size`` pass plus the flagged
+        tail.  Falls back to score-stability rescue when the backend
+        doesn't report flags (engine-routed configurations)."""
         results: List[Optional[AlignResult]] = [None] * len(pairs)
         pending = list(range(len(pairs)))
         stable = [0] * len(pairs)
@@ -572,16 +614,30 @@ class AdaptiveBatchAligner:
             al = self._aligner(s)
             sub = [pairs[k] for k in pending]
             out = al.align_all(sub)
+            suspect = (
+                al.last_suspect
+                if al._lane and self.strategy != "stable" else None
+            )
             nxt = []
-            for k, got in zip(pending, out):
+            for bi, (k, got) in enumerate(zip(pending, out)):
                 prev = results[k]
                 results[k] = got
-                if prev is not None and prev.score == got.score:
-                    stable[k] += 1
-                    if stable[k] >= self.stable_rounds:
-                        continue
+                if suspect is not None:
+                    flagged = bool(suspect[bi])
+                    if self.strategy == "flag":
+                        if not flagged:
+                            continue
+                    else:  # verify: exit only if unflagged AND stable
+                        changed = prev is None or prev.score != got.score
+                        if not flagged and not changed:
+                            continue
                 else:
-                    stable[k] = 0
+                    if prev is not None and prev.score == got.score:
+                        stable[k] += 1
+                        if stable[k] >= self.stable_rounds:
+                            continue
+                    else:
+                        stable[k] = 0
                 if round_idx + 1 < len(self.sizes):
                     nxt.append(k)
             pending = nxt

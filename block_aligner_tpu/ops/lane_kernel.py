@@ -143,8 +143,8 @@ class LaneKernelConfig:
     @property
     def n_scalar_rows(self) -> int:
         # ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DIR, ST_PDIR, ST_DONE, CORN,
-        # OUT, XBEST, XBI, XBJ, XITER
-        return 13
+        # OUT, XBEST, XBI, XBJ, XITER, YBEST, YITER, SUSP
+        return 16
 
     @property
     def max_steps(self) -> int:
@@ -225,8 +225,9 @@ def build_lane_engine(cfg: LaneKernelConfig):
         (EC8, ACT_D, ACT_C, PAS_D, PAS_R,
          tempD, tempR, DMAX, ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_OA,
          ST_DIR, ST_PDIR, ST_DONE, CORN, CVEC, OUT, FRA, FRT, FRIDX,
-         XVM, XAI, XAJ, XBEST, XBI, XBJ, XITER) = scr[:29]
-        scr = scr[29:]
+         XVM, XAI, XAJ, XBEST, XBI, XBJ, XITER,
+         YBEST, YITER, SUSP) = scr[:32]
+        scr = scr[32:]
         if cfg.trace:
             TST, MST = scr[0], scr[1]
             scr = scr[2:]
@@ -263,7 +264,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
         seg_first = gap_ref[0, 3] if cfg.segmented else 1
 
         SCALARS = (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DIR, ST_PDIR, ST_DONE,
-                   CORN, OUT, XBEST, XBI, XBJ, XITER)
+                   CORN, OUT, XBEST, XBI, XBJ, XITER, YBEST, YITER, SUSP)
 
         @pl.when(seg_first == 1)
         def _():
@@ -278,8 +279,9 @@ def build_lane_engine(cfg: LaneKernelConfig):
             for ref in (ACT_D, ACT_C, PAS_D, PAS_R):
                 ref[...] = zS
             for ref in (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DONE, OUT,
-                        XBEST, XBI, XBJ, XITER):
+                        XBEST, XBI, XBJ, XITER, YITER, SUSP):
                 ref[...] = z1
+            YBEST[...] = z1 + jnp.int32(-(1 << 30))
             ST_DIR[...] = z1 + 2  # prologue = the reference's initial Grow
             ST_PDIR[...] = z1 + 2
             CORN[...] = z1 + NEG32
@@ -705,6 +707,17 @@ def build_lane_engine(cfg: LaneKernelConfig):
             ST_OFFMAX[...] = jnp.where(active, off_max, ST_OFFMAX[...])
             DMAX[...] = jnp.full((K, S, P), NEG32, jnp.int32)
 
+            # y-drop stall tracking: the reference grows its block when the
+            # running best hasn't improved for block_size/STEP free steps
+            # (reference: src/scan_block.rs:470-487 y_drop_iter).  The fixed
+            # kernel evaluates the same trigger and reports it as a per-pair
+            # "suspect" flag so AdaptiveBatchAligner can rescue exactly the
+            # pairs the reference's adaptivity would have treated differently
+            improved_y = active & (off_max > YBEST[...])
+            y_iter = jnp.where(improved_y, 0, YITER[...] + 1)
+            YBEST[...] = jnp.where(improved_y, off_max, YBEST[...])
+            YITER[...] = jnp.where(active, y_iter, YITER[...])
+
             if cfg.x_drop:
                 # new-best bookkeeping + x-drop termination with
                 # X_DROP_ITER=2 hysteresis (reference: src/scan_block.rs:
@@ -757,6 +770,11 @@ def build_lane_engine(cfg: LaneKernelConfig):
             forced_down = cont & ((j_ + S) > rlen)
             forced_right = cont & ~forced_down & ((i_ + S) > qlen)
             free = cont & ~forced_down & ~forced_right
+            # the reference's grow heuristic is only reachable on free steps
+            # (forced shifts `continue` past it, src/scan_block.rs:506-516)
+            SUSP[...] = jnp.where(
+                free & (y_iter > PRO_STEPS - 1), 1, SUSP[...]
+            )
             godown = forced_down | (free & (down_max > right_max))
             goright = cont & ~godown
             ST_PDIR[...] = jnp.where(cont, dirn, ST_PDIR[...])
@@ -815,20 +833,23 @@ def build_lane_engine(cfg: LaneKernelConfig):
             return (s_idx < s_end) & (alldone == 0)
 
         final = lax.while_loop(cond, body, (s_start, jnp.int32(0)))
+        # last output row in every mode: the y-drop "suspect" flag
         if cfg.x_drop and cfg.trace:
             steps = jnp.full((K, 1, P), final[0], jnp.int32)
             score_ref[0] = jnp.concatenate(
-                [XBEST[...], XBI[...], XBJ[...], steps], axis=1
+                [XBEST[...], XBI[...], XBJ[...], steps, SUSP[...]], axis=1
             )
         elif cfg.x_drop:
             score_ref[0] = jnp.concatenate(
-                [XBEST[...], XBI[...], XBJ[...]], axis=1
+                [XBEST[...], XBI[...], XBJ[...], SUSP[...]], axis=1
             )
         elif cfg.trace:
             steps = jnp.full((K, 1, P), final[0], jnp.int32)
-            score_ref[0] = jnp.concatenate([OUT[...], steps], axis=1)
+            score_ref[0] = jnp.concatenate(
+                [OUT[...], steps, SUSP[...]], axis=1
+            )
         else:
-            score_ref[0] = OUT[...]
+            score_ref[0] = jnp.concatenate([OUT[...], SUSP[...]], axis=1)
 
         if cfg.segmented:
             # persist device state for the next segment launch
@@ -884,10 +905,11 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 pl.BlockSpec(memory_space=pltpu.HBM),  # vb_in
             ]
         # output rows: score (+ best idx for x-drop / step count for trace)
+        # + the y-drop suspect flag (always last)
         if cfg.x_drop:
-            OW = 4 if cfg.trace else 3
+            OW = 5 if cfg.trace else 4
         else:
-            OW = 2 if cfg.trace else 1
+            OW = 3 if cfg.trace else 2
         out_specs = pl.BlockSpec(
             (1, K, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
@@ -962,7 +984,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 pltpu.VMEM((K, 16, P), jnp.int32),  # XAI
                 pltpu.VMEM((K, 16, P), jnp.int32),  # XAJ
             ]
-            + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(4)]
+            + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(7)]
             + (
                 [
                     pltpu.VMEM((STEP, K, S, P), jnp.int8),  # TST

@@ -65,6 +65,16 @@ def load_uc_pairs(name="uc30", per_bucket=1000, seed=1234, max_len=256):
                 out.append((q, t, round(ident, 1)))
         return out
     rng = np.random.default_rng(seed)
+    if "0.95" in name:
+        # the reference's uc30_0.95 is uc30 re-clustered at 95% identity:
+        # high-identity homolog pairs, no large structural indels
+        for bucket in (0.9, 0.92, 0.95, 0.9, 0.92, 0.95, 0.95):
+            for _ in range(per_bucket):
+                n = int(rng.integers(50, max_len))
+                q = rand_seq(rng, AA, n)
+                k = max(1, int(n * (1.0 - bucket)))
+                out.append((q, rand_mutate(rng, q, k, AA), bucket))
+        return out
     for bucket in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
         for _ in range(per_bucket):
             n = int(rng.integers(50, max_len))

@@ -10,6 +10,15 @@ from pathlib import Path
 
 import numpy as np
 
+import jax
+
+# persistent compile cache: rows measure run time, not Mosaic compiles
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ba_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 from common import AA, DNA, load_nanopore_pairs, load_scop_profiles, load_uc_pairs
 
 from block_aligner_tpu import BLOSUM62, BatchAligner, Gaps, NucMatrix, ProfileAligner
@@ -90,6 +99,7 @@ def bench_accuracy_hard():
 
     al = BatchAligner(BLOSUM62, BL_GAPS, (32, 32), batch=4096,
                       seq_cap=max_len + 32)
+    al.align_batch(pairs[:8])  # compile
     t0 = time.perf_counter()
     res = al.align_all(pairs)
     dt = time.perf_counter() - t0

@@ -40,7 +40,7 @@ def run_kernel(pairs, matrix, gaps, S, interpret=True):
                            banks=2, interpret=interpret)
     fn = build_lane_engine(cfg)
     args = pack_lane(pairs, matrix, cfg, gaps)
-    out = np.asarray(fn(*args)).reshape(cfg.batch)
+    out = np.asarray(fn(*args))[:, :, 0, :].reshape(cfg.batch)
     return [int(out[b]) for b in range(len(pairs))]
 
 
@@ -257,7 +257,7 @@ def test_lane_trace_multi_program_uneven_exit():
     args = pack_lane(pairs, BLOSUM62, cfg, gaps)
     out, thbm, mhbm = fn(*args)
     out = np.asarray(out)
-    steps = out[:, 0, -1, 0]
+    steps = out[:, 0, 1, 0]
     assert int(steps[0]) != int(steps[1])  # genuinely uneven exits
     packed = jax.jit(lambda t: t[:, 0::2] | (t[:, 1::2] << 4))(thbm)
     nsteps = int(steps.max())
@@ -318,7 +318,7 @@ def test_lane_profile_vs_oracle():
                            banks=2, profile=True, interpret=True)
     fn = build_lane_engine(cfg)
     args = pack_lane_profile(pairs, cfg)
-    out = np.asarray(fn(*args)).reshape(cfg.batch)
+    out = np.asarray(fn(*args))[:, :, 0, :].reshape(cfg.batch)
 
     for k, (q, prof) in enumerate(pairs):
         a = BlockOracle()
