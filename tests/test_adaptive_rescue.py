@@ -41,3 +41,33 @@ def test_rescue_beats_fixed_min():
     wrong = sum(1 for w, g in zip(want, res) if g.score != w)
     assert wrong <= wrong32
     assert wrong <= len(pairs) // 10, (wrong, wrong32)
+
+
+def test_lane_suspect_flag():
+    """The kernel's per-pair suspect bit = the reference's y-drop grow
+    trigger: near-identical pairs must not flag; pairs with a large
+    structural indel (optimal path far off-diagonal) must."""
+    rng = np.random.default_rng(101)
+    gaps = Gaps(open=-11, extend=-1)
+    easy, hard = [], []
+    for _ in range(16):
+        n = int(rng.integers(80, 160))
+        q = bytes(rng.choice(list(AA), size=n).tolist())
+        r = bytearray(q)
+        for _ in range(3):  # a few substitutions only
+            r[int(rng.integers(0, n))] = int(rng.choice(list(AA)))
+        easy.append((q, bytes(r)))
+        ins = bytes(rng.choice(list(AA), size=64).tolist())
+        pos = n // 2
+        hard.append((q, bytes(r[:pos]) + ins + bytes(r[pos:])))
+    al = BatchAligner(BLOSUM62, gaps, (32, 32), batch=256, seq_cap=300)
+    assert al._lane
+    al.align_batch(easy + hard)
+    fl = al.last_suspect
+    n = len(easy)
+    assert not fl[:n].any(), f"easy pairs flagged: {np.nonzero(fl[:n])[0]}"
+    # the trigger is the reference's heuristic, not a certificate: a rare
+    # hard pair can avoid a stall, but the vast majority must flag
+    assert fl[n : n + n].sum() >= n - 2, (
+        f"hard pairs unflagged: {np.nonzero(~fl[n:n+n])[0]}"
+    )
