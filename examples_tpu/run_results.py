@@ -220,8 +220,9 @@ def main():
             "rows with few dispatches or large transfers are bounded by "
             "that, not device throughput.  bench.py's repeated-dispatch "
             "methodology isolates device throughput.\n"
-            "\nHeadline (bench.py, 1k-protein global 32 block, B=16384): "
-            "4.74 us/pair = 5.08x the 24.1 us/pair AVX2 baseline.\n")
+            "\nHeadline: see bench.py (1k-protein global 32 block, "
+            "B=65536) and BENCH_r*.json; last recorded 3.39 us/pair = "
+            "7.1x the 24.1 us/pair AVX2 baseline.\n")
     print(f"wrote {out}")
 
 
