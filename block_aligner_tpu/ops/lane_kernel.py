@@ -82,16 +82,16 @@ def lane_vmem_bytes(block, seq_cap, alpha, banks, *, trace=False,
     borders = 7 * K * S * P * 4
     x16 = 3 * K * 16 * P * 4
     ec8 = K * 8 * P * 4
+    tstage = (8 * K * S * P + K * 4 * P * 4) if trace else 0
     if profile:
         prof = K * PROF_NW * seq_cap * P * 4
         qcodes = K * seq_cap * P
         stacks = (PROF_NGP + 2) * K * S * P * 4
         pg8 = K * PROF_NW * 8 * P * 4
-        return prof + qcodes + stacks + pg8 + borders + x16 + ec8
+        return prof + qcodes + stacks + pg8 + borders + x16 + tstage + ec8
     NG = A // 4
     codes = K * 2 * seq_cap * P
     stacks = 3 * NG * K * S * P * 4 + NG * K * 8 * P * 4
-    tstage = (8 * K * S * P + K * 4 * P * 4) if trace else 0
     return codes + stacks + borders + x16 + tstage + ec8
 
 
@@ -129,9 +129,8 @@ class LaneKernelConfig:
                 "window too small for the prologue"
             )
         if self.profile:
-            assert not (self.x_drop or self.trace or self.segmented), (
-                "lane profile mode is score-only global; other profile "
-                "modes route to the general engine"
+            assert not self.segmented, (
+                "segmented profile mode routes to the general engine"
             )
 
     @property
@@ -579,12 +578,14 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 C11_end = jnp.where(
                     rightm, jnp.maximum(C11 + gcc_c, NEG32), C11
                 )
+                c_end = C11_end
                 D11 = jnp.maximum(D11, C11_end)
                 gor_v = jnp.where(rightm, gor_c, goc_r)
                 D11_open = jnp.maximum(D11 + gor_v, NEG32)
             else:
                 C11_open = jnp.maximum(D10 + open_, NEG32)
                 C11 = jnp.maximum(jnp.maximum(C10 + e, NEG32), C11_open)
+                c_end = C11
                 D11 = jnp.maximum(D11, C11)
                 D11_open = D11 + (open_ - e)
 
@@ -600,16 +601,18 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 R11_end = jnp.where(
                     rightm, R11, jnp.maximum(R11 + gcc_r, NEG32)
                 )
+                r_end = R11_end
                 D11 = jnp.maximum(D11, R11_end)
             else:
+                r_end = R11
                 D11 = jnp.maximum(D11, R11)
 
             if cfg.trace:
                 # packed 2+2-bit trace emission (reference:
                 # src/scan_block.rs:1166-1190), staged per step then DMA'd
                 # to the HBM trace stream
-                tb = (D11 == C11).astype(jnp.int32) | (
-                    (D11 == R11).astype(jnp.int32) << 1
+                tb = (D11 == c_end).astype(jnp.int32) | (
+                    (D11 == r_end).astype(jnp.int32) << 1
                 )
                 temp_tr = (R11 == D11_open).astype(jnp.int32)
                 tr_R = jnp.concatenate(

@@ -14,7 +14,7 @@ CDIR = ROOT / "c"
 @pytest.mark.skipif(shutil.which("g++") is None, reason="no toolchain")
 def test_c_example_builds_and_runs():
     r = subprocess.run(["make"], cwd=CDIR, capture_output=True, text=True,
-                       timeout=300)
+                       timeout=600)
     assert r.returncode == 0, r.stderr
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{ROOT}:{env.get('PYTHONPATH', '')}"
@@ -24,7 +24,7 @@ def test_c_example_builds_and_runs():
     # keep the C example off any accelerator plugin: the embedded runtime
     # must work anywhere (the batch call falls back to CPU interpret mode)
     r = subprocess.run(["./example"], cwd=CDIR, capture_output=True,
-                       text=True, timeout=280, env=env)
+                       text=True, timeout=560, env=env)
     assert r.returncode == 0, r.stderr
     out = r.stdout
     assert "score: 12" in out  # reference c/example.c expected score
