@@ -393,11 +393,10 @@ class ProfileAligner:
         self.x_drop = x_drop
         self._trace_mode = trace
         self._last_trace: Optional[EngineTrace] = None
+        self._trace_prep = None
+        self.last_suspect = None
         if use_lane_kernel is None:
-            use_lane_kernel = (
-                min_size == max_size and 16 <= min_size <= 512
-                and not trace and x_drop is None
-            )
+            use_lane_kernel = min_size == max_size and 16 <= min_size <= 512
         self._lane = use_lane_kernel
         if self._lane:
             import jax
@@ -414,13 +413,13 @@ class ProfileAligner:
                 banks -= 1
             interp = jax.default_backend() != "tpu"
             while banks > 1 and lane_vmem_bytes(
-                min_size, cap, 32, banks, profile=True
+                min_size, cap, 32, banks, profile=True, trace=trace
             ) > 14 * 2**20:
                 banks //= 2
             self._lane_cfg = LaneKernelConfig(
                 batch=round_up(max(batch, 128), 128 * banks),
                 block=min_size, seq_cap=cap, profile=True, banks=banks,
-                interpret=interp,
+                trace=trace, x_drop=x_drop is not None, interpret=interp,
             )
             self._fn = build_lane_engine(self._lane_cfg)
             self.cfg = None
@@ -448,11 +447,42 @@ class ProfileAligner:
 
             cfg = self._lane_cfg
             assert len(pairs) <= cfg.batch
-            args = pack_lane_profile(pairs, cfg)
-            out = np.asarray(self._fn(*args))
+            args = list(pack_lane_profile(pairs, cfg))
+            if self.x_drop is not None:
+                args[6] = args[6].copy()
+                args[6][0, 2] = self.x_drop
+            res = self._fn(*args)
+            if cfg.trace:
+                from .core.traceback import lane_trace
+
+                out, thbm, mhbm = res
+                out = np.asarray(out)
+                steps_row = 3 if cfg.x_drop else 1
+                steps = out[:, 0, steps_row, 0]
+                if self._trace_prep is None:
+                    import jax
+
+                    self._trace_prep = jax.jit(
+                        lambda t: t[:, 0::2] | (t[:, 1::2] << 4)
+                    )
+                nsteps = int(steps.max())
+                half = (nsteps * 8 + 1) // 2
+                packed = np.asarray(self._trace_prep(thbm)[:, :half])
+                self._last_trace = lane_trace(
+                    packed, np.asarray(mhbm[:, :nsteps]), steps, cfg.block
+                )
+            else:
+                out = np.asarray(res)
             self.last_suspect = (
                 out[:, :, -1, :].reshape(cfg.batch)[: len(pairs)].astype(bool)
             )
+            if cfg.x_drop:
+                o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
+                    cfg.batch, 3)
+                return [
+                    AlignResult(int(o2[k, 0]), int(o2[k, 1]), int(o2[k, 2]))
+                    for k in range(len(pairs))
+                ]
             out = out[:, :, 0, :].reshape(cfg.batch)
             # fixed-block global profile mode ends at (qlen, rlen)
             return [

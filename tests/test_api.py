@@ -176,3 +176,53 @@ def test_profile_aligner_lane_path():
         assert got[k].score == want[k].score, (k, got[k], want[k])
         assert (got[k].query_idx, got[k].reference_idx) == (
             want[k].query_idx, want[k].reference_idx), k
+
+
+def test_profile_aligner_lane_trace_and_xdrop():
+    """ProfileAligner lane routing for trace and x-drop profile modes
+    matches the engine path (scores, end positions, CIGARs)."""
+    from block_aligner_tpu import AAProfile, ProfileAligner
+
+    rng = np.random.default_rng(53)
+    AA = b"ACDEFGHIKLMNPQRSTVWY"
+
+    def rand_profile(n):
+        p = AAProfile(n, 32, -1)
+        for i in range(1, n + 1):
+            for c in AA:
+                p.set(i, c, int(rng.integers(-8, 12)))
+        for i in range(n + 1):
+            p.set_gap_open_C(i, int(rng.integers(-14, -2)))
+            p.set_gap_close_C(i, int(rng.integers(-3, 1)))
+            p.set_gap_open_R(i, int(rng.integers(-14, -2)))
+        return p
+
+    pairs = []
+    for _ in range(8):
+        n = int(rng.integers(10, 80))
+        q = bytes(rng.choice(list(AA), size=int(rng.integers(10, 80))).tolist())
+        pairs.append((q, rand_profile(n)))
+
+    # x-drop parity
+    lane = ProfileAligner(size=(32, 32), batch=128, seq_cap=160, x_drop=50)
+    assert lane._lane
+    eng = ProfileAligner(size=(32, 32), batch=8, seq_cap=160, x_drop=50,
+                         use_lane_kernel=False)
+    got = lane.align_batch(pairs)
+    want = eng.align_batch(pairs)
+    for k in range(len(pairs)):
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
+            want[k].score, want[k].query_idx, want[k].reference_idx), k
+
+    # trace parity (scores + CIGARs)
+    lane = ProfileAligner(size=(32, 32), batch=128, seq_cap=160, trace=True)
+    assert lane._lane
+    eng = ProfileAligner(size=(32, 32), batch=8, seq_cap=160, trace=True,
+                         use_lane_kernel=False)
+    got = lane.align_batch(pairs)
+    want = eng.align_batch(pairs)
+    for k in range(len(pairs)):
+        assert got[k].score == want[k].score, k
+        gc = str(lane.cigar(k, got[k].query_idx, got[k].reference_idx))
+        wc = str(eng.cigar(k, want[k].query_idx, want[k].reference_idx))
+        assert gc == wc, (k, gc, wc)

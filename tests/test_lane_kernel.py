@@ -325,3 +325,91 @@ def test_lane_profile_vs_oracle():
         pq = PaddedBytes.from_bytes(q, S, prof)
         a.align_profile(pq, prof, (S, S), 0)
         assert int(out[k]) == a.res().score, (k, int(out[k]), a.res().score)
+
+
+def _rand_profile(rng, n, block_size, gap_extend=-1):
+    from block_aligner_tpu import AAProfile
+
+    p = AAProfile(n, block_size, gap_extend)
+    for i in range(1, n + 1):
+        for c in AA:
+            p.set(i, c, int(rng.integers(-8, 12)))
+        for c in b"BJOUXZ":
+            p.set(i, c, int(rng.integers(-8, 2)))
+    for i in range(n + 1):
+        p.set_gap_open_C(i, int(rng.integers(-14, -2)))
+        p.set_gap_close_C(i, int(rng.integers(-3, 1)))
+        p.set_gap_open_R(i, int(rng.integers(-14, -2)))
+    return p
+
+
+def test_lane_profile_x_drop():
+    """Lane-kernel PSSM x-drop vs the scalar oracle (score + end position
+    + reference tie-breaking)."""
+    from block_aligner_tpu.ops.lane_kernel import pack_lane_profile
+
+    rng = np.random.default_rng(37)
+    S = 32
+    pairs = []
+    for _ in range(20):
+        n = int(rng.integers(10, 110))
+        prof = _rand_profile(rng, n, S)
+        q = rand_seq(rng, AA, int(rng.integers(10, 110)))
+        pairs.append((q, prof))
+
+    cfg = LaneKernelConfig(batch=256, block=S, seq_cap=256, alpha=32,
+                           banks=2, profile=True, x_drop=True, interpret=True)
+    fn = build_lane_engine(cfg)
+    args = list(pack_lane_profile(pairs, cfg))
+    args[6] = args[6].copy()
+    args[6][0, 2] = 50  # x_drop threshold
+    out = np.asarray(fn(*args))
+    res = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(cfg.batch, 3)
+
+    a = BlockOracle(x_drop=True)
+    for k, (q, prof) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, S, prof)
+        a.align_profile(pq, prof, (S, S), 50)
+        r = a.res()
+        got = tuple(int(v) for v in res[k])
+        assert got == (r.score, r.query_idx, r.reference_idx), (k, got, r)
+
+
+def test_lane_profile_trace_cigars():
+    """Lane-kernel PSSM trace: scores and CIGARs vs the scalar oracle."""
+    import jax
+
+    from block_aligner_tpu.core.traceback import lane_trace
+    from block_aligner_tpu.ops.lane_kernel import pack_lane_profile
+
+    rng = np.random.default_rng(41)
+    S = 16
+    pairs = []
+    for _ in range(12):
+        n = int(rng.integers(10, 90))
+        prof = _rand_profile(rng, n, S, gap_extend=-2)
+        q = rand_seq(rng, AA, int(rng.integers(10, 90)))
+        pairs.append((q, prof))
+
+    cfg = LaneKernelConfig(batch=256, block=S, seq_cap=256, alpha=32,
+                           banks=2, profile=True, trace=True, interpret=True)
+    fn = build_lane_engine(cfg)
+    out, thbm, mhbm = fn(*pack_lane_profile(pairs, cfg))
+    out = np.asarray(out)
+    steps = out[:, 0, 1, 0]
+    packed = jax.jit(lambda t: t[:, 0::2] | (t[:, 1::2] << 4))(thbm)
+    nsteps = int(steps.max())
+    half = (nsteps * 8 + 1) // 2
+    et = lane_trace(np.asarray(packed[:, :half]),
+                    np.asarray(mhbm[:, :nsteps]), steps, cfg.block)
+    scores = out[:, :, 0, :].reshape(cfg.batch)
+
+    a = BlockOracle(trace=True)
+    for k, (q, prof) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, S, prof)
+        a.align_profile(pq, prof, (S, S), 0)
+        r = a.res()
+        assert int(scores[k]) == r.score, (k, int(scores[k]), r.score)
+        want = str(a.cigar(r.query_idx, r.reference_idx))
+        got = str(et.cigar(k, r.query_idx, r.reference_idx))
+        assert got == want, (k, got, want)
