@@ -90,15 +90,13 @@ class BatchAligner:
         # per-pair y-drop suspect flags from the last lane-kernel batch
         # (True = the reference's adaptive heuristic would have grown)
         self.last_suspect = None
-        plain = not (
-            local_start
-            or free_query_start_gaps
-            or free_query_end_gaps
-            or isinstance(matrix, ByteMatrix)
+        lane_ok = not (
+            isinstance(matrix, ByteMatrix)
+            or (local_start and trace)  # zero bit exceeds nibble packing
         )
         if use_lane_kernel is None:
             use_lane_kernel = (
-                plain and min_size == max_size and 16 <= min_size <= 512
+                lane_ok and min_size == max_size and 16 <= min_size <= 512
                 and mesh is None
             )
         self._lane = use_lane_kernel
@@ -130,6 +128,9 @@ class BatchAligner:
                 banks=banks,
                 x_drop=x_drop is not None,
                 trace=trace,
+                local_start=local_start,
+                free_query_start_gaps=free_query_start_gaps,
+                free_query_end_gaps=free_query_end_gaps,
                 # Mosaic compiles only on TPU; elsewhere run interpreted
                 interpret=jax.default_backend() != "tpu",
             )
@@ -203,7 +204,7 @@ class BatchAligner:
 
                 out, thbm, mhbm = res
                 out = np.asarray(out)
-                steps_row = 3 if self._lane_cfg.x_drop else 1
+                steps_row = 3 if (self._lane_cfg.x_drop or self._lane_cfg.free_query_end_gaps) else 1
                 steps = out[:, 0, steps_row, 0]  # per-program step counts
                 self.last_suspect = (
                     out[:, :, -1, :].reshape(self._lane_cfg.batch)
@@ -227,8 +228,12 @@ class BatchAligner:
                 self._last_trace = lane_trace(
                     packed, np.asarray(mhbm[:, :nsteps]), steps,
                     self._lane_cfg.block,
+                    free_query_start_gaps=(
+                        self._lane_cfg.free_query_start_gaps
+                    ),
                 )
-                if self._lane_cfg.x_drop:
+                if (self._lane_cfg.x_drop
+                        or self._lane_cfg.free_query_end_gaps):
                     o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
                         self._lane_cfg.batch, 3)
                     return [
@@ -245,7 +250,7 @@ class BatchAligner:
                 out[:, :, -1, :].reshape(self._lane_cfg.batch)
                 [: len(pairs)].astype(bool)
             )
-            if self._lane_cfg.x_drop:
+            if self._lane_cfg.x_drop or self._lane_cfg.free_query_end_gaps:
                 out = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
                     self._lane_cfg.batch, 3)
                 return [
@@ -326,7 +331,7 @@ class BatchAligner:
             self.last_suspect = (
                 out[:, :, -1, :].reshape(self._lane_cfg.batch)[:n].astype(bool)
             )
-            if self._lane_cfg.x_drop:
+            if self._lane_cfg.x_drop or self._lane_cfg.free_query_end_gaps:
                 out = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
                     self._lane_cfg.batch, 3)
                 return [

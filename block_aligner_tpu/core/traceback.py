@@ -364,7 +364,8 @@ class EngineTrace:
         )
 
 
-def lane_trace(thbm, mhbm, steps, block: int) -> "EngineTrace":
+def lane_trace(thbm, mhbm, steps, block: int, *, local_start=False,
+               free_query_start_gaps=False) -> "EngineTrace":
     """Decode the lane kernel's trace stream into an ``EngineTrace``.
 
     The lane kernel (fixed block size) has no grow/shrink, so its stream is
@@ -432,4 +433,6 @@ def lane_trace(thbm, mhbm, steps, block: int) -> "EngineTrace":
     meta = np.stack(
         [meta1.reshape(ncols, B), meta2.reshape(ncols, B)], axis=-1
     ).astype(np.int32)
-    return EngineTrace(trace_arr, np.ascontiguousarray(meta), ncols)
+    return EngineTrace(trace_arr, np.ascontiguousarray(meta), ncols,
+                       local_start=local_start,
+                       free_query_start_gaps=free_query_start_gaps)

@@ -43,8 +43,13 @@ biased bytes) plus one packed gap word (open_C/open_R/close_C) live in a
 VMEM block; right-moving rects select the entering position's column word
 by each lane's query code, down-moving rects keep a lane-window stack of
 profile rows and select bytes by the entering query char -- no MXU matmul
-at all.  Adaptive block sizes and the remaining mode flags route to the
-general lockstep engine (ops/engine.py).
+at all.  LOCAL_START (relative-zero clamp), FREE_QUERY_START_GAPS (row-0
+re-inserts on right rects) and FREE_QUERY_END_GAPS (qlen-residue tracker
+with the reference's chunk filter) are supported; every fixed-block
+reference configuration runs here except local-start trace (the zero bit
+exceeds the nibble-packed trace transfer).  Adaptive block sizes route to
+the general lockstep engine (ops/engine.py); batch-wise adaptivity comes
+from api.AdaptiveBatchAligner driven by the in-kernel y-drop suspect flag.
 """
 
 from __future__ import annotations
@@ -108,6 +113,9 @@ class LaneKernelConfig:
     # seq_cap becomes a per-segment code *window*; DP state round-trips
     # through HBM between segment launches (see LongBatchAligner)
     profile: bool = False  # sequence-to-PSSM scoring (reference align_profile)
+    local_start: bool = False  # alignment may start anywhere (local prefix)
+    free_query_start_gaps: bool = False  # leading query gaps are free
+    free_query_end_gaps: bool = False  # trailing query gaps are free
     interpret: bool = False
 
     def __post_init__(self):
@@ -132,6 +140,16 @@ class LaneKernelConfig:
             assert not self.segmented, (
                 "segmented profile mode routes to the general engine"
             )
+        if self.local_start or self.free_query_start_gaps \
+                or self.free_query_end_gaps:
+            assert not self.segmented
+            assert not (self.local_start and self.free_query_start_gaps)
+        if self.local_start:
+            # the local-start trace needs a 5th (zero) bit per cell, which
+            # does not survive the nibble-packed device->host transfer
+            assert not self.trace, "local-start trace routes to the engine"
+        if self.free_query_end_gaps:
+            assert not self.x_drop
 
     @property
     def seg_steps(self) -> int:
@@ -225,8 +243,8 @@ def build_lane_engine(cfg: LaneKernelConfig):
          tempD, tempR, DMAX, ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_OA,
          ST_DIR, ST_PDIR, ST_DONE, CORN, CVEC, OUT, FRA, FRT, FRIDX,
          XVM, XAI, XAJ, XBEST, XBI, XBJ, XITER,
-         YBEST, YITER, SUSP) = scr[:32]
-        scr = scr[32:]
+         YBEST, YITER, SUSP, RZ, INS0) = scr[:34]
+        scr = scr[34:]
         if cfg.trace:
             TST, MST = scr[0], scr[1]
             scr = scr[2:]
@@ -281,6 +299,9 @@ def build_lane_engine(cfg: LaneKernelConfig):
                         XBEST, XBI, XBJ, XITER, YITER, SUSP):
                 ref[...] = z1
             YBEST[...] = z1 + jnp.int32(-(1 << 30))
+            RZ[...] = z1 + ZERO
+            # the prologue rect is right-oriented with lane start 0
+            INS0[...] = z1 + (1 if cfg.free_query_start_gaps else 0)
             ST_DIR[...] = z1 + 2  # prologue = the reference's initial Grow
             ST_PDIR[...] = z1 + 2
             CORN[...] = z1 + NEG32
@@ -288,7 +309,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
             FRA[...] = (S > qlen).astype(jnp.int32)
             FRT[...] = rlen
             FRIDX[...] = jnp.clip(qlen, 0, S - 1)
-            if cfg.x_drop:
+            if cfg.x_drop or cfg.free_query_end_gaps:
                 # FRA/FRT double as the rect's absolute lane/column origin
                 FRA[...] = z1
                 FRT[...] = z1
@@ -321,7 +342,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
         DMAX[...] = jnp.full((K, S, P), NEG32, jnp.int32)
         ST_OA[...] = z1
         CVEC[...] = z1 + NEG32
-        if cfg.x_drop:
+        if cfg.x_drop or cfg.free_query_end_gaps:
             XVM[...] = jnp.full((K, 16, P), NEG32, jnp.int32)
             XAI[...] = jnp.zeros((K, 16, P), jnp.int32)
             XAJ[...] = jnp.zeros((K, 16, P), jnp.int32)
@@ -404,6 +425,10 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 oa = jnp.clip(prev_off - new_off, I16_MIN, 32767)
                 ST_OFF[...] = new_off
                 ST_OA[...] = oa
+                if cfg.local_start or cfg.free_query_start_gaps:
+                    # relative zero (reference: src/scan_block.rs boundary
+                    # inserts; engine s["rz"])
+                    RZ[...] = jnp.clip(ZERO - new_off, I16_MIN, 32767)
                 ACT_D[...] = _sat(ACT_D[...] + oa)
                 ACT_C[...] = _sat(ACT_C[...] + oa)
                 pdir = ST_PDIR[...]
@@ -441,7 +466,9 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 j_ = ST_J[...]
                 starti = jnp.where(right, i_, j_)
                 colpos0 = jnp.where(right, j_, i_) + (S - STEP)
-                if cfg.x_drop:
+                if cfg.free_query_start_gaps:
+                    INS0[...] = (right & (starti == 0)).astype(jnp.int32)
+                if cfg.x_drop or cfg.free_query_end_gaps:
                     FRA[...] = starti
                     FRT[...] = colpos0
                 else:
@@ -558,7 +585,17 @@ def build_lane_engine(cfg: LaneKernelConfig):
             D00 = jnp.concatenate([corner, D10[:, : S - 1, :]], axis=1)
 
             D11 = _sat(D00 + scores)
-            if w == 0:
+            if cfg.local_start:
+                # local start: every cell may begin a new alignment
+                # (reference: src/scan_block.rs:1134-1136)
+                D11 = jnp.maximum(D11, RZ[...])
+            elif cfg.free_query_start_gaps:
+                # free leading query gaps: right rects starting at lane 0
+                # re-insert the relative zero at row 0 of every column
+                # (reference: src/scan_block.rs:1130-1132)
+                row0 = jnp.where(INS0[...] == 1, RZ[...], D11[:, 0:1, :])
+                D11 = jnp.concatenate([row0, D11[:, 1:, :]], axis=1)
+            elif w == 0:
                 # DP origin cell = relative zero (reference:
                 # src/scan_block.rs:1130); only at global column 0, where
                 # off == 0 so the relative zero is exactly ZERO
@@ -644,15 +681,22 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 tempR[:, S - STEP + w : S - STEP + w + 1, :] = bot_r
 
             wloc = jnp.where(in_pro, s_idx * STEP + w, w)
-            if cfg.x_drop:
+            if cfg.x_drop or cfg.free_query_end_gaps:
                 # 16-lane-residue max tracker with chunk-granular argmax,
                 # replicating the reference SIMD bookkeeping exactly
                 # (reference: src/scan_block.rs:1192-1201; ties: highest
                 # chunk this column, latest column overall)
                 Dr = D11.reshape(K, NCHK, 16, P)
                 vm_new = jnp.maximum(XVM[...], Dr.max(axis=1))
+                eqm = Dr == vm_new[:, None]
+                if cfg.free_query_end_gaps:
+                    # argmax restricted to chunks whose end passes qlen
+                    # (reference: the free-end tracker update filter)
+                    eqm = eqm & (
+                        FRA[...][:, None] + ch_iota * 16 + 16 > qlen[:, None]
+                    )
                 hit = jnp.max(
-                    jnp.where(Dr == vm_new[:, None], ch_iota, -1), axis=1
+                    jnp.where(eqm, ch_iota, -1), axis=1
                 )  # (K, 16, P): highest chunk matching the running max
                 upd = hit >= 0
                 XAI[...] = jnp.where(upd, FRA[...] + hit * 16, XAI[...])
@@ -706,6 +750,14 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
             # off_max update (reference: src/scan_block.rs:333-345)
             cur_max = jnp.max(DMAX[...], axis=1, keepdims=True)
+            if cfg.free_query_end_gaps:
+                # free-end mode tracks (and rebases to) the qlen-residue
+                # lane max (reference: tracker.vmax[qlen % L])
+                cur_max = jnp.max(
+                    jnp.where(r16_iota == qlen % 16, XVM[...],
+                              jnp.iinfo(jnp.int32).min),
+                    axis=1, keepdims=True,
+                )
             off_max = ST_OFF[...] + cur_max - ZERO
             ST_OFFMAX[...] = jnp.where(active, off_max, ST_OFFMAX[...])
             DMAX[...] = jnp.full((K, S, P), NEG32, jnp.int32)
@@ -721,6 +773,23 @@ def build_lane_engine(cfg: LaneKernelConfig):
             YBEST[...] = jnp.where(improved_y, off_max, YBEST[...])
             YITER[...] = jnp.where(active, y_iter, YITER[...])
 
+            if cfg.free_query_end_gaps:
+                # free-end best bookkeeping: best over the qlen lane
+                # residue; end position = (qlen, tracked column)
+                improved = active & (off_max > XBEST[...])
+                aj = jnp.max(
+                    jnp.where(r16_iota == qlen % 16, XAJ[...],
+                              jnp.iinfo(jnp.int32).min),
+                    axis=1, keepdims=True,
+                )
+                XBEST[...] = jnp.where(improved, off_max, XBEST[...])
+                XBI[...] = jnp.where(improved, qlen, XBI[...])
+                XBJ[...] = jnp.where(improved, aj, XBJ[...])
+                XVM[...] = jnp.full((K, 16, P), NEG32, jnp.int32)
+                reached = active & ((ST_I[...] + S) > qlen) & (
+                    (ST_J[...] + S) > rlen
+                )
+                ST_DONE[...] = jnp.where(reached, 1, ST_DONE[...])
             if cfg.x_drop:
                 # new-best bookkeeping + x-drop termination with
                 # X_DROP_ITER=2 hysteresis (reference: src/scan_block.rs:
@@ -836,13 +905,14 @@ def build_lane_engine(cfg: LaneKernelConfig):
             return (s_idx < s_end) & (alldone == 0)
 
         final = lax.while_loop(cond, body, (s_start, jnp.int32(0)))
+        wide = cfg.x_drop or cfg.free_query_end_gaps
         # last output row in every mode: the y-drop "suspect" flag
-        if cfg.x_drop and cfg.trace:
+        if wide and cfg.trace:
             steps = jnp.full((K, 1, P), final[0], jnp.int32)
             score_ref[0] = jnp.concatenate(
                 [XBEST[...], XBI[...], XBJ[...], steps, SUSP[...]], axis=1
             )
-        elif cfg.x_drop:
+        elif wide:
             score_ref[0] = jnp.concatenate(
                 [XBEST[...], XBI[...], XBJ[...], SUSP[...]], axis=1
             )
@@ -907,9 +977,9 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 pl.BlockSpec(memory_space=pltpu.HBM),  # bb_in
                 pl.BlockSpec(memory_space=pltpu.HBM),  # vb_in
             ]
-        # output rows: score (+ best idx for x-drop / step count for trace)
-        # + the y-drop suspect flag (always last)
-        if cfg.x_drop:
+        # output rows: score (+ best idx for x-drop/free-end / step count
+        # for trace) + the y-drop suspect flag (always last)
+        if cfg.x_drop or cfg.free_query_end_gaps:
             OW = 5 if cfg.trace else 4
         else:
             OW = 3 if cfg.trace else 2
@@ -987,7 +1057,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 pltpu.VMEM((K, 16, P), jnp.int32),  # XAI
                 pltpu.VMEM((K, 16, P), jnp.int32),  # XAJ
             ]
-            + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(7)]
+            + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(9)]
             + (
                 [
                     pltpu.VMEM((STEP, K, S, P), jnp.int8),  # TST

@@ -413,3 +413,100 @@ def test_lane_profile_trace_cigars():
         want = str(a.cigar(r.query_idx, r.reference_idx))
         got = str(et.cigar(k, r.query_idx, r.reference_idx))
         assert got == want, (k, got, want)
+
+
+def _oracle_mode(pairs, S, gaps, *, local_start=False, fq_start=False,
+                 fq_end=False, x_drop=None, trace=False):
+    res = []
+    for q, r in pairs:
+        a = BlockOracle(
+            trace=trace, x_drop=x_drop is not None, local_start=local_start,
+            free_query_start_gaps=fq_start, free_query_end_gaps=fq_end,
+        )
+        pq = PaddedBytes.from_bytes(q, S, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, S, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (S, S), x_drop or 0)
+        rr = a.res()
+        cig = str(a.cigar(rr.query_idx, rr.reference_idx)) if trace else None
+        res.append((rr.score, rr.query_idx, rr.reference_idx, cig))
+    return res
+
+
+def test_lane_local_start_x_drop():
+    from block_aligner_tpu import BatchAligner
+
+    rng = np.random.default_rng(71)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(12):
+        n = int(rng.integers(10, 100))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 4, AA)))
+    al = BatchAligner(BLOSUM62, gaps, size=(32, 32), batch=256, seq_cap=160,
+                      local_start=True, x_drop=100)
+    assert al._lane
+    got = al.align_batch(pairs)
+    want = _oracle_mode(pairs, 32, gaps, local_start=True, x_drop=100)
+    for k in range(len(pairs)):
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == \
+            want[k][:3], (k, got[k], want[k])
+
+
+def test_lane_free_query_start_gaps_trace():
+    from block_aligner_tpu import BatchAligner
+
+    rng = np.random.default_rng(73)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(12):  # unrelated pairs: leading query gaps matter
+        pairs.append((rand_seq(rng, AA, int(rng.integers(10, 100))),
+                      rand_seq(rng, AA, int(rng.integers(10, 100)))))
+    al = BatchAligner(BLOSUM62, gaps, size=(32, 32), batch=256, seq_cap=160,
+                      free_query_start_gaps=True, trace=True)
+    assert al._lane
+    got = al.align_batch(pairs)
+    want = _oracle_mode(pairs, 32, gaps, fq_start=True, trace=True)
+    for k in range(len(pairs)):
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == \
+            want[k][:3], (k, got[k], want[k])
+        gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
+        assert gc == want[k][3], (k, gc, want[k][3])
+
+    # x-drop combination
+    al2 = BatchAligner(BLOSUM62, gaps, size=(32, 32), batch=256, seq_cap=160,
+                       free_query_start_gaps=True, x_drop=50)
+    assert al2._lane
+    got = al2.align_batch(pairs)
+    want = _oracle_mode(pairs, 32, gaps, fq_start=True, x_drop=50)
+    for k in range(len(pairs)):
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == \
+            want[k][:3], (k, got[k], want[k])
+
+
+def test_lane_free_query_end_gaps():
+    from block_aligner_tpu import BatchAligner
+
+    rng = np.random.default_rng(79)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(12):  # query must fit in the block (reference: :860)
+        q = rand_seq(rng, AA, int(rng.integers(5, 14)))
+        r = rand_seq(rng, AA, int(rng.integers(20, 120)))
+        pairs.append((q, r))
+    al = BatchAligner(BLOSUM62, gaps, size=(16, 16), batch=256, seq_cap=160,
+                      free_query_end_gaps=True)
+    assert al._lane
+    got = al.align_batch(pairs)
+    want = _oracle_mode(pairs, 16, gaps, fq_end=True)
+    for k in range(len(pairs)):
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == \
+            want[k][:3], (k, got[k], want[k])
+
+    al2 = BatchAligner(BLOSUM62, gaps, size=(16, 16), batch=256, seq_cap=160,
+                       free_query_end_gaps=True, free_query_start_gaps=True)
+    assert al2._lane
+    got = al2.align_batch(pairs)
+    want = _oracle_mode(pairs, 16, gaps, fq_end=True, fq_start=True)
+    for k in range(len(pairs)):
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == \
+            want[k][:3], (k, got[k], want[k])
