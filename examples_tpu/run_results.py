@@ -147,14 +147,14 @@ def bench_nanopore():
 def bench_xdrop():
     rng = np.random.default_rng(7)
     pairs = []
-    for _ in range(2048):
+    for _ in range(8192):
         n = int(rng.integers(800, 1000))
         q = bytes(rng.choice(list(AA), size=n).tolist())
         r = bytearray(q)
         for _ in range(n // 10):
             r[int(rng.integers(0, len(r)))] = int(rng.choice(list(AA)))
         pairs.append((q, bytes(r)))
-    al = BatchAligner(BLOSUM62, BL_GAPS, (32, 32), batch=2048, seq_cap=1100,
+    al = BatchAligner(BLOSUM62, BL_GAPS, (32, 32), batch=8192, seq_cap=1100,
                       x_drop=50)
     staged = al.stage(pairs)
     al.align_staged(staged)
