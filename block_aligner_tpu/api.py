@@ -90,10 +90,7 @@ class BatchAligner:
         # per-pair y-drop suspect flags from the last lane-kernel batch
         # (True = the reference's adaptive heuristic would have grown)
         self.last_suspect = None
-        lane_ok = not (
-            isinstance(matrix, ByteMatrix)
-            or (local_start and trace)  # zero bit exceeds nibble packing
-        )
+        lane_ok = not isinstance(matrix, ByteMatrix)
         if use_lane_kernel is None:
             use_lane_kernel = (
                 lane_ok and min_size == max_size and 16 <= min_size <= 512
@@ -210,8 +207,10 @@ class BatchAligner:
                     out[:, :, -1, :].reshape(self._lane_cfg.batch)
                     [: len(pairs)].astype(bool)
                 )
-                # transpose + nibble-pack on device: halves the host
-                # transfer and kills the host-side transpose
+                # nibble-pack on device: halves the host transfer.  The
+                # local-start zero-mask bit (bit 4) doesn't fit a nibble,
+                # so that mode transfers whole bytes instead.
+                nibble = not self._lane_cfg.local_start
                 if self._trace_prep is None:
                     import jax
 
@@ -221,16 +220,19 @@ class BatchAligner:
                         # lane/sublane transpose is cheaper on the host)
                         return t[:, 0::2] | (t[:, 1::2] << 4)
 
-                    self._trace_prep = _prep
+                    self._trace_prep = _prep if nibble else (lambda t: t)
                 nsteps = int(steps.max())
-                half = (nsteps * 8 + 1) // 2
+                ncols = nsteps * 8
+                half = (ncols + 1) // 2 if nibble else ncols
                 packed = np.asarray(self._trace_prep(thbm)[:, :half])
                 self._last_trace = lane_trace(
                     packed, np.asarray(mhbm[:, :nsteps]), steps,
                     self._lane_cfg.block,
+                    local_start=self._lane_cfg.local_start,
                     free_query_start_gaps=(
                         self._lane_cfg.free_query_start_gaps
                     ),
+                    packed=nibble,
                 )
                 if (self._lane_cfg.x_drop
                         or self._lane_cfg.free_query_end_gaps):

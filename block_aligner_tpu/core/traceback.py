@@ -365,7 +365,7 @@ class EngineTrace:
 
 
 def lane_trace(thbm, mhbm, steps, block: int, *, local_start=False,
-               free_query_start_gaps=False) -> "EngineTrace":
+               free_query_start_gaps=False, packed=True) -> "EngineTrace":
     """Decode the lane kernel's trace stream into an ``EngineTrace``.
 
     The lane kernel (fixed block size) has no grow/shrink, so its stream is
@@ -376,26 +376,33 @@ def lane_trace(thbm, mhbm, steps, block: int, *, local_start=False,
     (including the native C++ walker).
 
     thbm: (n_progs, T//2, K, S, P) int8, adjacent columns nibble-packed on
-    device (even column in the low nibble); mhbm: (n_progs, steps_cap, K, 4, P);
+    device (even column in the low nibble) when ``packed``; (n_progs, T, K,
+    S, P) whole bytes otherwise (local-start mode, which needs the 5th
+    zero-mask bit); mhbm: (n_progs, steps_cap, K, 4, P);
     steps: per-program executed step counts (n_progs,).
     """
-    packed = np.asarray(thbm)  # (n_progs, T//2, K, S, P), columns packed
+    raw = np.asarray(thbm)  # (n_progs, T or T//2, K, S, P)
     mhbm = np.asarray(mhbm)
     steps = np.asarray(steps).reshape(-1)
-    n_progs, T2, K, S, P_ = packed.shape
+    n_progs, _, K, S, P_ = raw.shape
     assert S == block
     B = n_progs * K * P_
     nsteps = int(steps.max())
     ncols = nsteps * STEP_
     pro_steps = S // STEP_
 
-    # unpack the device-side nibble packing (even cols low, odd cols high)
-    # and bring into the walker's (T, B, H) layout
-    half = (ncols + 1) // 2
-    pk = packed[:, :half].transpose(1, 0, 2, 4, 3).reshape(half, B, S)
-    trace_arr = np.empty((ncols, B, S), dtype=np.int8)
-    trace_arr[0::2] = pk[: (ncols + 1) // 2] & 15
-    trace_arr[1::2] = (pk[: ncols // 2] >> 4) & 15
+    if packed:
+        # unpack the device-side nibble packing (even cols low, odd cols
+        # high) and bring into the walker's (T, B, H) layout
+        half = (ncols + 1) // 2
+        pk = raw[:, :half].transpose(1, 0, 2, 4, 3).reshape(half, B, S)
+        trace_arr = np.empty((ncols, B, S), dtype=np.int8)
+        trace_arr[0::2] = pk[: (ncols + 1) // 2] & 15
+        trace_arr[1::2] = (pk[: ncols // 2] >> 4) & 15
+    else:
+        trace_arr = np.ascontiguousarray(
+            raw[:, :ncols].transpose(1, 0, 2, 4, 3).reshape(ncols, B, S)
+        ) & np.int8(31)
 
     m = mhbm[:, :nsteps].transpose(1, 0, 2, 4, 3)  # (nsteps, n_progs, K, P, 4)
     right = m[..., 0].astype(np.int32)

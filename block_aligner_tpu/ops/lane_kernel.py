@@ -46,8 +46,9 @@ profile rows and select bytes by the entering query char -- no MXU matmul
 at all.  LOCAL_START (relative-zero clamp), FREE_QUERY_START_GAPS (row-0
 re-inserts on right rects) and FREE_QUERY_END_GAPS (qlen-residue tracker
 with the reference's chunk filter) are supported; every fixed-block
-reference configuration runs here except local-start trace (the zero bit
-exceeds the nibble-packed trace transfer).  Adaptive block sizes route to
+reference configuration runs here, including local-start trace (the
+zero-mask bit rides bit 4 and the transfer skips nibble packing for that
+mode).  Adaptive block sizes route to
 the general lockstep engine (ops/engine.py); batch-wise adaptivity comes
 from api.AdaptiveBatchAligner driven by the in-kernel y-drop suspect flag.
 """
@@ -144,10 +145,8 @@ class LaneKernelConfig:
                 or self.free_query_end_gaps:
             assert not self.segmented
             assert not (self.local_start and self.free_query_start_gaps)
-        if self.local_start:
-            # the local-start trace needs a 5th (zero) bit per cell, which
-            # does not survive the nibble-packed device->host transfer
-            assert not self.trace, "local-start trace routes to the engine"
+        # local-start trace emits a 5th (zero-mask) bit per cell; the host
+        # transfer skips nibble packing in that mode (see api.py)
         if self.free_query_end_gaps:
             assert not self.x_drop
 
@@ -657,7 +656,13 @@ def build_lane_engine(cfg: LaneKernelConfig):
                     axis=1,
                 )
                 t2b = (C11 == C11_open).astype(jnp.int32) | (tr_R << 1)
-                TST[w] = (tb | (t2b << 2)).astype(jnp.int8)
+                word = tb | (t2b << 2)
+                if cfg.local_start:
+                    # zero-mask bit: the traceback terminator for local
+                    # starts, recorded from the FINAL merged D11 exactly as
+                    # the reference (src/scan_block.rs:1184-1186)
+                    word = word | ((D11 == RZ[...]).astype(jnp.int32) << 4)
+                TST[w] = word.astype(jnp.int8)
 
             DMAX[...] = jnp.maximum(DMAX[...], D11)
 

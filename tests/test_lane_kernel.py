@@ -510,3 +510,30 @@ def test_lane_free_query_end_gaps():
     for k in range(len(pairs)):
         assert (got[k].score, got[k].query_idx, got[k].reference_idx) == \
             want[k][:3], (k, got[k], want[k])
+
+
+def test_lane_local_start_trace_cigars():
+    # local-start trace through the lane kernel: the zero-mask bit rides
+    # bit 4 of the trace byte (transfer skips nibble packing); CIGARs must
+    # match the scalar oracle exactly (reference: src/scan_block.rs:1184,
+    # 1596-1612)
+    from block_aligner_tpu import BatchAligner
+
+    rng = np.random.default_rng(83)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(12):
+        n = int(rng.integers(10, 100))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 4, AA)))
+    al = BatchAligner(BLOSUM62, gaps, size=(32, 32), batch=256, seq_cap=160,
+                      local_start=True, x_drop=100, trace=True)
+    assert al._lane
+    got = al.align_batch(pairs)
+    want = _oracle_mode(pairs, 32, gaps, local_start=True, x_drop=100,
+                        trace=True)
+    for k in range(len(pairs)):
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == \
+            want[k][:3], (k, got[k], want[k])
+        gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
+        assert gc == want[k][3], (k, gc, want[k][3])
