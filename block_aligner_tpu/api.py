@@ -693,7 +693,10 @@ class LongBatchAligner:
     bit-exact with the fixed-block reference semantics.
 
     Global and x-drop modes; block sizes up to 256 (the reference's 1%
-    band for 25 kbp reads).
+    band for 25 kbp reads).  ``trace=True`` additionally streams the packed
+    traceback bits of every launch to HBM; the host stitches the
+    per-program step streams into one global trace (descriptors carry
+    absolute coordinates), so CIGARs work at any supported length.
     """
 
     def __init__(
@@ -705,6 +708,7 @@ class LongBatchAligner:
         window: int = 4096,
         batch: int = 256,
         x_drop: Optional[int] = None,
+        trace: bool = False,
     ):
         import jax
 
@@ -713,13 +717,16 @@ class LongBatchAligner:
         self.matrix = matrix
         self.gaps = gaps
         self.x_drop = x_drop
+        self._trace_mode = trace
+        self._last_trace: Optional[EngineTrace] = None
         banks = max(2, min(8, round_up(max(batch, 256), 256) // 128))
         while banks & (banks - 1):
             banks -= 1
         a_ = 32 if matrix.kind != "nuc" else 16
         while banks > 2 and (
             banks * (2 * window * 128 + 4 * (a_ // 4) * block * 128 * 4
-                     + 10 * block * 128 * 4)
+                     + 10 * block * 128 * 4
+                     + (8 * block * 128 if trace else 0))
         ) > 12 * 2**20:
             banks //= 2
         self.cfg = LaneKernelConfig(
@@ -729,6 +736,7 @@ class LongBatchAligner:
             alpha=a_,
             banks=banks,
             x_drop=x_drop is not None,
+            trace=trace,
             segmented=True,
             interpret=jax.default_backend() != "tpu",
         )
@@ -762,22 +770,41 @@ class LongBatchAligner:
         max_len = max(int(np.max(qlen)), int(np.max(rlen)))
         max_segs = (2 * (max_len + cfg.block) // STEP_) // cfg.seg_steps + 3
         vb_np = None
+        pro_steps = cfg.block // STEP_
+        steps_row = 3 if cfg.x_drop else 1
+        chunks = []  # per launch: (trace cols, descriptors, per-prog counts)
+        s_start = 0
         for _ in range(max_segs):
             codes_t = window_codes(codes_full, baseq, baser, cfg)
-            score, sb, bb, vb = self._fn(
+            res = self._fn(
                 qlen, rlen, scq0, scr0, M, codes_t, g, baseq, baser,
                 sb, bb, vb,
             )
+            if cfg.trace:
+                score, sb, bb, vb, thbm, mhbm = res
+                score = np.asarray(score)
+                ran = score[:, 0, steps_row, 0] - s_start  # steps per prog
+                hi = int(ran.max()) + s_start
+                chunks.append((
+                    np.asarray(thbm[:, s_start * 8 : hi * 8]),
+                    np.asarray(mhbm[:, s_start:hi]),
+                    ran.astype(np.int64),
+                ))
+            else:
+                score, sb, bb, vb = res
             vb_np = np.asarray(vb)
             done = vb_np[:, 6]
             if int(done.min()) == 1:
                 break
             g = g.copy()
             g[0, 3] = 0
+            s_start = pro_steps
             # slide each pair's window to its current position
             baseq = np.ascontiguousarray(vb_np[:, 0])
             baser = np.ascontiguousarray(vb_np[:, 1])
 
+        if cfg.trace:
+            self._last_trace = self._assemble_trace(chunks)
         B = cfg.batch
         if cfg.x_drop:
             sc = vb_np[:, 9].reshape(B)
@@ -792,4 +819,47 @@ class LongBatchAligner:
             AlignResult(int(out[b]), len(q), len(r))
             for b, (q, r) in enumerate(pairs)
         ]
+
+    def _assemble_trace(self, chunks) -> EngineTrace:
+        """Stitch per-launch trace streams into one global stream.
+
+        Each launch contributes ``ran[p]`` steps per program (a finished
+        program still burns one no-op step per launch, flagged done in its
+        descriptor, which the decoder discards).  Descriptors carry
+        absolute (i, j) rect origins, so concatenation is positional only.
+        """
+        from .core.traceback import lane_trace
+
+        cfg = self.cfg
+        n_progs, K, S = cfg.n_programs, cfg.banks, cfg.block
+        tot = np.sum([c[2] for c in chunks], axis=0).astype(np.int64)
+        tmax = int(tot.max())
+        thbm_g = np.zeros((n_progs, tmax * 8, K, S, P_LANES), np.int8)
+        mhbm_g = np.zeros((n_progs, max(tmax, 1), K, 4, P_LANES), np.int32)
+        pos = np.zeros(n_progs, np.int64)
+        for tch, mch, ran in chunks:
+            for p in range(n_progs):
+                n = int(ran[p])
+                thbm_g[p, pos[p] * 8 : (pos[p] + n) * 8] = tch[p, : n * 8]
+                mhbm_g[p, pos[p] : pos[p] + n] = mch[p, :n]
+                pos[p] += n
+        return lane_trace(thbm_g, mhbm_g, tot, S, packed=False)
+
+    # --- trace accessors (reference: Block::trace, src/scan_block.rs:1241) --
+    def trace(self) -> EngineTrace:
+        assert self._trace_mode and self._last_trace is not None
+        return self._last_trace
+
+    def cigar(self, k: int, i: int, j: int,
+              cigar: Optional[Cigar] = None) -> Cigar:
+        """CIGAR for pair ``k`` of the last batch, from end position (i, j)."""
+        return self.trace().cigar(k, i, j, cigar)
+
+    def cigar_eq(self, k: int, q, r, i: int, j: int,
+                 cigar: Optional[Cigar] = None) -> Cigar:
+        pq = q if not isinstance(q, (bytes, bytearray)) else \
+            PaddedBytes.from_bytes(q, self.cfg.block, self.matrix)
+        pr = r if not isinstance(r, (bytes, bytearray)) else \
+            PaddedBytes.from_bytes(r, self.cfg.block, self.matrix)
+        return self.trace().cigar_eq(k, pq, pr, i, j, cigar)
 

@@ -133,7 +133,9 @@ class LaneKernelConfig:
             "~16 MiB core budget; lower banks or seq_cap"
         )
         if self.segmented:
-            assert not self.trace, "segmented trace not supported yet"
+            # trace composes with segmented execution: each launch streams
+            # its steps' packed bits at local offsets; the host assembles
+            # the per-program global stream (api.LongBatchAligner)
             assert self.seg_steps > self.block // STEP, (
                 "window too small for the prologue"
             )
@@ -992,36 +994,29 @@ def build_lane_engine(cfg: LaneKernelConfig):
             (1, K, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((n_progs, K, OW, P), jnp.int32)
+        out_specs_t, out_shape_t = [out_specs], [out_shape]
         if cfg.segmented:
-            out_specs = (
-                out_specs,
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-            )
-            out_shape = (
-                out_shape,
+            out_specs_t += [pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+            out_shape_t += [
                 jax.ShapeDtypeStruct((n_progs, 2 * NG, K, S, P), jnp.int32),
                 jax.ShapeDtypeStruct((n_progs, 4, K, S, P), jnp.int32),
                 jax.ShapeDtypeStruct(
                     (n_progs, cfg.n_scalar_rows, K, 1, P), jnp.int32
                 ),
-            )
-        elif cfg.trace:
-            out_specs = (
-                out_specs,
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-            )
-            out_shape = (
-                out_shape,
+            ]
+        if cfg.trace:
+            out_specs_t += [pl.BlockSpec(memory_space=pltpu.HBM)] * 2
+            out_shape_t += [
                 jax.ShapeDtypeStruct(
                     (n_progs, cfg.trace_cols, K, S, P), jnp.int8
                 ),
                 jax.ShapeDtypeStruct(
                     (n_progs, cfg.max_steps, K, 4, P), jnp.int32
                 ),
-            )
+            ]
+        if len(out_specs_t) > 1:
+            out_specs = tuple(out_specs_t)
+            out_shape = tuple(out_shape_t)
         return pl.pallas_call(
             kernel,
             grid=(n_progs,),

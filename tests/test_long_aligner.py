@@ -72,3 +72,57 @@ def test_long_segmented_x_drop():
         got = (res[k].score, res[k].query_idx, res[k].reference_idx)
         want = (a.res().score, a.res().query_idx, a.res().reference_idx)
         assert got == want, (k, got, want)
+
+
+def test_long_segmented_trace_cigars():
+    # segmented trace: per-launch packed-bit streams stitched into one
+    # global trace; CIGARs must match the scalar oracle exactly
+    rng = np.random.default_rng(75)
+    gaps = Gaps(open=-6, extend=-2)
+    matrix = NucMatrix.new_simple(2, -4)
+    pairs = []
+    for _ in range(5):
+        n = int(rng.integers(600, 1100))
+        q = rand_seq(rng, DNA, n)
+        pairs.append((q, mutate(rng, q, n // 8, DNA)))
+    pairs.append((b"ACGT" * 10, b"ACGT" * 10))
+
+    al = LongBatchAligner(matrix, gaps, block=32, window=256, batch=256,
+                          trace=True)
+    assert al.cfg.seg_steps * 8 < 1100  # really multi-segment
+    res = al.align_batch(pairs)
+
+    for k, (q, r) in enumerate(pairs):
+        a = BlockOracle(trace=True)
+        pq = PaddedBytes.from_bytes(q, 32, matrix)
+        pr = PaddedBytes.from_bytes(r, 32, matrix)
+        a.align(pq, pr, matrix, gaps, (32, 32), 0)
+        assert res[k].score == a.res().score, (k, res[k].score, a.res().score)
+        want = str(a.cigar(len(q), len(r)))
+        got = str(al.cigar(k, len(q), len(r)))
+        assert got == want, (k, got, want)
+
+
+def test_long_segmented_trace_x_drop():
+    rng = np.random.default_rng(76)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(4):
+        n = int(rng.integers(500, 900))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 10, AA)))
+
+    al = LongBatchAligner(BLOSUM62, gaps, block=32, window=256, batch=256,
+                          x_drop=100, trace=True)
+    res = al.align_batch(pairs)
+    for k, (q, r) in enumerate(pairs):
+        a = BlockOracle(trace=True, x_drop=True)
+        pq = PaddedBytes.from_bytes(q, 32, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 32, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (32, 32), 100)
+        got = (res[k].score, res[k].query_idx, res[k].reference_idx)
+        want = (a.res().score, a.res().query_idx, a.res().reference_idx)
+        assert got == want, (k, got, want)
+        wc = str(a.cigar(want[1], want[2]))
+        gc = str(al.cigar(k, got[1], got[2]))
+        assert gc == wc, (k, gc, wc)
