@@ -86,7 +86,6 @@ class BatchAligner:
         self.data_axis = data_axis
         self._trace_mode = trace
         self._last_trace: Optional[EngineTrace] = None
-        self._trace_prep = None
         # per-pair y-drop suspect flags from the last lane-kernel batch
         # (True = the reference's adaptive heuristic would have grown)
         self.last_suspect = None
@@ -207,24 +206,14 @@ class BatchAligner:
                     out[:, :, -1, :].reshape(self._lane_cfg.batch)
                     [: len(pairs)].astype(bool)
                 )
-                # nibble-pack on device: halves the host transfer.  The
-                # local-start zero-mask bit (bit 4) doesn't fit a nibble,
-                # so that mode transfers whole bytes instead.
-                nibble = not self._lane_cfg.local_start
-                if self._trace_prep is None:
-                    import jax
-
-                    @jax.jit
-                    def _prep(t):
-                        # nibble-pack adjacent columns (elementwise; the
-                        # lane/sublane transpose is cheaper on the host)
-                        return t[:, 0::2] | (t[:, 1::2] << 4)
-
-                    self._trace_prep = _prep if nibble else (lambda t: t)
+                # the kernel streams nibble-packed column pairs (whole
+                # bytes in local-start mode, which needs the zero-mask
+                # bit); only the executed columns are transferred
+                nibble = self._lane_cfg.trace_packed
                 nsteps = int(steps.max())
                 ncols = nsteps * 8
                 half = (ncols + 1) // 2 if nibble else ncols
-                packed = np.asarray(self._trace_prep(thbm)[:, :half])
+                packed = np.asarray(thbm[:, :half])
                 self._last_trace = lane_trace(
                     packed, np.asarray(mhbm[:, :nsteps]), steps,
                     self._lane_cfg.block,
@@ -400,7 +389,6 @@ class ProfileAligner:
         self.x_drop = x_drop
         self._trace_mode = trace
         self._last_trace: Optional[EngineTrace] = None
-        self._trace_prep = None
         self.last_suspect = None
         if use_lane_kernel is None:
             use_lane_kernel = min_size == max_size and 16 <= min_size <= 512
@@ -466,15 +454,9 @@ class ProfileAligner:
                 out = np.asarray(out)
                 steps_row = 3 if cfg.x_drop else 1
                 steps = out[:, 0, steps_row, 0]
-                if self._trace_prep is None:
-                    import jax
-
-                    self._trace_prep = jax.jit(
-                        lambda t: t[:, 0::2] | (t[:, 1::2] << 4)
-                    )
                 nsteps = int(steps.max())
                 half = (nsteps * 8 + 1) // 2
-                packed = np.asarray(self._trace_prep(thbm)[:, :half])
+                packed = np.asarray(thbm[:, :half])
                 self._last_trace = lane_trace(
                     packed, np.asarray(mhbm[:, :nsteps]), steps, cfg.block
                 )
@@ -786,7 +768,7 @@ class LongBatchAligner:
                 ran = score[:, 0, steps_row, 0] - s_start  # steps per prog
                 hi = int(ran.max()) + s_start
                 chunks.append((
-                    np.asarray(thbm[:, s_start * 8 : hi * 8]),
+                    np.asarray(thbm[:, s_start * 4 : hi * 4]),
                     np.asarray(mhbm[:, s_start:hi]),
                     ran.astype(np.int64),
                 ))
@@ -827,6 +809,7 @@ class LongBatchAligner:
         program still burns one no-op step per launch, flagged done in its
         descriptor, which the decoder discards).  Descriptors carry
         absolute (i, j) rect origins, so concatenation is positional only.
+        Streams are nibble-packed (4 HBM bytes per 8-column step).
         """
         from .core.traceback import lane_trace
 
@@ -834,16 +817,16 @@ class LongBatchAligner:
         n_progs, K, S = cfg.n_programs, cfg.banks, cfg.block
         tot = np.sum([c[2] for c in chunks], axis=0).astype(np.int64)
         tmax = int(tot.max())
-        thbm_g = np.zeros((n_progs, tmax * 8, K, S, P_LANES), np.int8)
+        thbm_g = np.zeros((n_progs, tmax * 4, K, S, P_LANES), np.int8)
         mhbm_g = np.zeros((n_progs, max(tmax, 1), K, 4, P_LANES), np.int32)
         pos = np.zeros(n_progs, np.int64)
         for tch, mch, ran in chunks:
             for p in range(n_progs):
                 n = int(ran[p])
-                thbm_g[p, pos[p] * 8 : (pos[p] + n) * 8] = tch[p, : n * 8]
+                thbm_g[p, pos[p] * 4 : (pos[p] + n) * 4] = tch[p, : n * 4]
                 mhbm_g[p, pos[p] : pos[p] + n] = mch[p, :n]
                 pos[p] += n
-        return lane_trace(thbm_g, mhbm_g, tot, S, packed=False)
+        return lane_trace(thbm_g, mhbm_g, tot, S, packed=True)
 
     # --- trace accessors (reference: Block::trace, src/scan_block.rs:1241) --
     def trace(self) -> EngineTrace:

@@ -169,8 +169,16 @@ class LaneKernelConfig:
         return (2 * self.seq_cap) // STEP + self.block // STEP + 2
 
     @property
+    def trace_packed(self) -> bool:
+        """Adjacent DP columns share one HBM byte (even column in the low
+        nibble): halves trace DMA, HBM footprint, and host transfer.
+        Local-start mode needs the 5th (zero-mask) bit, so it streams
+        whole bytes instead."""
+        return not self.local_start
+
+    @property
     def trace_cols(self) -> int:
-        return self.max_steps * STEP
+        return self.max_steps * (STEP // 2 if self.trace_packed else STEP)
 
     @property
     def vmem_bytes(self) -> int:
@@ -664,7 +672,14 @@ def build_lane_engine(cfg: LaneKernelConfig):
                     # starts, recorded from the FINAL merged D11 exactly as
                     # the reference (src/scan_block.rs:1184-1186)
                     word = word | ((D11 == RZ[...]).astype(jnp.int32) << 4)
-                TST[w] = word.astype(jnp.int8)
+                    TST[w] = word.astype(jnp.int8)
+                elif w % 2 == 0:
+                    # nibble-pack adjacent columns in the staging buffer:
+                    # even column low, odd column high (decoded by
+                    # core/traceback.lane_trace)
+                    TST[w // 2] = word.astype(jnp.int8)
+                else:
+                    TST[w // 2] = TST[w // 2] | (word << 4).astype(jnp.int8)
 
             DMAX[...] = jnp.maximum(DMAX[...], D11)
 
@@ -885,8 +900,9 @@ def build_lane_engine(cfg: LaneKernelConfig):
             if cfg.trace:
                 # stream this step's trace bits + rect descriptor to HBM;
                 # the blocking wait costs ~1 us/step (future: double-buffer)
+                TW = STEP // 2 if cfg.trace_packed else STEP
                 td = pltpu.make_async_copy(
-                    TST, thbm.at[prog, pl.ds(s_idx * STEP, STEP)], tsem
+                    TST, thbm.at[prog, pl.ds(s_idx * TW, TW)], tsem
                 )
                 td.start()
                 md = pltpu.make_async_copy(MST, mhbm.at[prog, s_idx], sem)
@@ -1060,7 +1076,10 @@ def build_lane_engine(cfg: LaneKernelConfig):
             + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(9)]
             + (
                 [
-                    pltpu.VMEM((STEP, K, S, P), jnp.int8),  # TST
+                    pltpu.VMEM(
+                        (STEP // 2 if cfg.trace_packed else STEP, K, S, P),
+                        jnp.int8,
+                    ),  # TST (nibble-packed column pairs unless local-start)
                     pltpu.VMEM((K, 4, P), jnp.int32),  # MST
                 ]
                 if cfg.trace else []
