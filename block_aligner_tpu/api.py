@@ -113,7 +113,8 @@ class BatchAligner:
             # core budget (long sequences, trace staging)
             a_ = 32 if matrix.kind != "nuc" else 16
             while banks > 2 and lane_vmem_bytes(
-                min_size, cap, a_, banks, trace=trace
+                min_size, cap, a_, banks, trace=trace,
+                local_start=local_start,
             ) > 14 * 2**20:
                 banks //= 2
             self._lane_cfg = LaneKernelConfig(
@@ -708,7 +709,7 @@ class LongBatchAligner:
         while banks > 2 and (
             banks * (2 * window * 128 + 4 * (a_ // 4) * block * 128 * 4
                      + 10 * block * 128 * 4
-                     + (8 * block * 128 if trace else 0))
+                     + (4 * block * 128 if trace else 0))
         ) > 12 * 2**20:
             banks //= 2
         self.cfg = LaneKernelConfig(

@@ -80,7 +80,7 @@ PROF_NW = PROF_NGP + 1
 
 
 def lane_vmem_bytes(block, seq_cap, alpha, banks, *, trace=False,
-                    profile=False) -> int:
+                    profile=False, local_start=False) -> int:
     """VMEM scratch footprint of one lane-kernel program (matches the
     scratch_shapes in ``build_lane_engine``); usable for bank-count budget
     searches without constructing (and assert-checking) a config."""
@@ -88,7 +88,10 @@ def lane_vmem_bytes(block, seq_cap, alpha, banks, *, trace=False,
     borders = 7 * K * S * P * 4
     x16 = 3 * K * 16 * P * 4
     ec8 = K * 8 * P * 4
-    tstage = (8 * K * S * P + K * 4 * P * 4) if trace else 0
+    # trace staging: nibble-packed column pairs (4 rows), except
+    # local-start mode which stages whole bytes (8 rows)
+    tw = 8 if local_start else 4
+    tstage = (tw * K * S * P + K * 4 * P * 4) if trace else 0
     if profile:
         prof = K * PROF_NW * seq_cap * P * 4
         qcodes = K * seq_cap * P
