@@ -1,7 +1,8 @@
 """Pallas TPU lane kernel: fixed-block global alignment, pairs-in-lanes.
 
-Second-generation fixed-block kernel (supersedes ops/fixed_kernel.py's
-interleaved-segment layout).  Measured TPU op costs drove the design:
+Second-generation fixed-block kernel (supersedes the round-1
+interleaved-segment layout, retired in git history as ops/fixed_kernel.py).
+Measured TPU op costs drove the design:
 
 * lane rotations cost ~80 ns and `pltpu.repeat` ~75 ns per (8,128) vreg,
   while sublane shifts are ~14 ns and plain VPU ops ~3-6 ns -- so the DP
