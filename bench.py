@@ -86,14 +86,15 @@ def main():
     args = pack_lane(pairs, BLOSUM62, cfg, Gaps(open=-11, extend=-1))
     args = jax.device_put(args)
 
-    # warmup / compile
+    # warmup / compile (fetching bytes is the only reliable sync through
+    # the tunnel; block_until_ready returns early there)
     np.asarray(fn(*args))
 
-    reps = 3
+    reps = 4
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = np.asarray(fn(*args))
-    t1 = time.perf_counter()
+    outs = [fn(*args) for _ in range(reps)]
+    np.asarray(outs[-1])  # grid programs are sequential: last launch's
+    t1 = time.perf_counter()  # output forces the whole queue
 
     us_per_pair = (t1 - t0) / (reps * B) * 1e6
     print(

@@ -365,7 +365,8 @@ class EngineTrace:
 
 
 def lane_trace(thbm, mhbm, steps, block: int, *, local_start=False,
-               free_query_start_gaps=False, packed=True) -> "EngineTrace":
+               free_query_start_gaps=False, words: Optional[int] = None,
+               ) -> "EngineTrace":
     """Decode the lane kernel's trace stream into an ``EngineTrace``.
 
     The lane kernel (fixed block size) has no grow/shrink, so its stream is
@@ -375,13 +376,14 @@ def lane_trace(thbm, mhbm, steps, block: int, *, local_start=False,
     (T, B, H) trace / (T, B, 2) meta format and reuses the shared decoder
     (including the native C++ walker).
 
-    thbm: (n_progs, T//2, K, S, P) int8, adjacent columns nibble-packed on
-    device (even column in the low nibble) when ``packed``; (n_progs, T, K,
-    S, P) whole bytes otherwise (local-start mode, which needs the 5th
-    zero-mask bit); mhbm: (n_progs, steps_cap, K, 4, P);
+    thbm: (n_progs, nsteps*words, K, S, P) int32 -- ``words``=1: all 8
+    columns of a step in one word, column c in bits 4c..4c+3; ``words``=2
+    (local-start, which adds the 5th zero-mask bit): columns 0-3 as byte
+    fields of word 0, columns 4-7 of word 1.
+    mhbm: (n_progs, steps_cap, K, 4, P);
     steps: per-program executed step counts (n_progs,).
     """
-    raw = np.asarray(thbm)  # (n_progs, T or T//2, K, S, P)
+    raw = np.asarray(thbm)  # (n_progs, nsteps*words, K, S, P) int32
     mhbm = np.asarray(mhbm)
     steps = np.asarray(steps).reshape(-1)
     n_progs, _, K, S, P_ = raw.shape
@@ -390,19 +392,22 @@ def lane_trace(thbm, mhbm, steps, block: int, *, local_start=False,
     nsteps = int(steps.max())
     ncols = nsteps * STEP_
     pro_steps = S // STEP_
+    if words is None:
+        words = 2 if local_start else 1
 
-    if packed:
-        # unpack the device-side nibble packing (even cols low, odd cols
-        # high) and bring into the walker's (T, B, H) layout
-        half = (ncols + 1) // 2
-        pk = raw[:, :half].transpose(1, 0, 2, 4, 3).reshape(half, B, S)
-        trace_arr = np.empty((ncols, B, S), dtype=np.int8)
-        trace_arr[0::2] = pk[: (ncols + 1) // 2] & 15
-        trace_arr[1::2] = (pk[: ncols // 2] >> 4) & 15
+    pk = raw[:, : nsteps * words].transpose(1, 0, 2, 4, 3).reshape(
+        nsteps, words, B, S
+    )
+    trace_arr = np.empty((ncols, B, S), dtype=np.int8)
+    if words == 1:
+        for c in range(STEP_):
+            trace_arr[c::STEP_] = ((pk[:, 0] >> (4 * c)) & 15).astype(np.int8)
     else:
-        trace_arr = np.ascontiguousarray(
-            raw[:, :ncols].transpose(1, 0, 2, 4, 3).reshape(ncols, B, S)
-        ) & np.int8(31)
+        for c in range(4):
+            trace_arr[c::STEP_] = ((pk[:, 0] >> (8 * c)) & 31).astype(np.int8)
+            trace_arr[4 + c::STEP_] = (
+                (pk[:, 1] >> (8 * c)) & 31
+            ).astype(np.int8)
 
     m = mhbm[:, :nsteps].transpose(1, 0, 2, 4, 3)  # (nsteps, n_progs, K, P, 4)
     right = m[..., 0].astype(np.int32)

@@ -89,10 +89,10 @@ def lane_vmem_bytes(block, seq_cap, alpha, banks, *, trace=False,
     borders = 7 * K * S * P * 4
     x16 = 3 * K * 16 * P * 4
     ec8 = K * 8 * P * 4
-    # trace staging: nibble-packed column pairs (4 rows), except
-    # local-start mode which stages whole bytes (8 rows)
-    tw = 8 if local_start else 4
-    tstage = (tw * K * S * P + K * 4 * P * 4) if trace else 0
+    # trace staging: int32 words (1/step, or 2 in local-start mode);
+    # double-buffered so the per-step HBM DMA overlaps the next step
+    tw = 2 if local_start else 1
+    tstage = 2 * (tw * K * S * P * 4 + K * 4 * P * 4) if trace else 0
     if profile:
         prof = K * PROF_NW * seq_cap * P * 4
         qcodes = K * seq_cap * P
@@ -173,16 +173,18 @@ class LaneKernelConfig:
         return (2 * self.seq_cap) // STEP + self.block // STEP + 2
 
     @property
-    def trace_packed(self) -> bool:
-        """Adjacent DP columns share one HBM byte (even column in the low
-        nibble): halves trace DMA, HBM footprint, and host transfer.
-        Local-start mode needs the 5th (zero-mask) bit, so it streams
-        whole bytes instead."""
-        return not self.local_start
+    def trace_words(self) -> int:
+        """int32 trace words per step-cell: all 8 columns of a step pack
+        into ONE i32 (4 bits per column), so the kernel does one wide store
+        per step and zero (emulated) int8 ops.  Local-start mode needs a
+        5th (zero-mask) bit per column, so it packs 4 columns per word as
+        byte fields (2 words per step).  HBM footprint and host transfer
+        equal the old nibble-packed int8 stream byte for byte."""
+        return 2 if self.local_start else 1
 
     @property
     def trace_cols(self) -> int:
-        return self.max_steps * (STEP // 2 if self.trace_packed else STEP)
+        return self.max_steps * self.trace_words
 
     @property
     def vmem_bytes(self) -> int:
@@ -261,10 +263,26 @@ def build_lane_engine(cfg: LaneKernelConfig):
         if cfg.trace:
             TST, MST = scr[0], scr[1]
             scr = scr[2:]
+            sem, tsem, tsems, msems = scr
         else:
             TST = MST = None
-        sem, tsem = scr
+            sem, tsem = scr
         prog = pl.program_id(0)
+        if cfg.trace:
+            # double-buffered trace staging: slot s&1 is written by step s
+            # and DMA'd to HBM while step s+1 computes into the other slot
+            TW_ = cfg.trace_words
+
+            def t_dma(slot, step):
+                return pltpu.make_async_copy(
+                    TST.at[slot], thbm.at[prog, pl.ds(step * TW_, TW_)],
+                    tsems.at[slot],
+                )
+
+            def m_dma(slot, step):
+                return pltpu.make_async_copy(
+                    MST.at[slot], mhbm.at[prog, step], msems.at[slot]
+                )
 
         open_ = gap_ref[0, 0]
         e = gap_ref[0, 1]
@@ -361,8 +379,10 @@ def build_lane_engine(cfg: LaneKernelConfig):
             XAJ[...] = jnp.zeros((K, 16, P), jnp.int32)
         if cfg.trace:
             # the prologue rect descriptor: right, origin (0, 0), not done
-            MST[...] = jnp.concatenate(
-                [z1 + 1, z1, z1, z1], axis=1
+            # (both slots: prologue steps DMA whichever slot is theirs)
+            MST[...] = jnp.broadcast_to(
+                jnp.concatenate([z1 + 1, z1, z1, z1], axis=1)[None],
+                (2, K, 4, P),
             )
         dma.wait()
         if dma_q is not None:
@@ -426,7 +446,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
                     | (p[3 * NG : 4 * NG] << 24)
                 )
 
-        def pre_step(s_idx, in_pro):
+        def pre_step(s_idx, in_pro, slot):
             dirn = ST_DIR[...]
             done = ST_DONE[...]
 
@@ -492,10 +512,10 @@ def build_lane_engine(cfg: LaneKernelConfig):
                     FRIDX[...] = jnp.clip(lane_len - starti, 0, S - 1)
                 if cfg.trace:
                     # this step's rect descriptor for the host-side decoder
-                    MST[...] = jnp.concatenate(
+                    MST[pl.ds(slot, 1)] = jnp.concatenate(
                         [right.astype(jnp.int32), starti, colpos0, done],
                         axis=1,
-                    )
+                    )[None]
 
             @pl.when(jnp.logical_not(in_pro))
             def _():
@@ -539,7 +559,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 SCR[...] = sr_new
                 SCACT[...] = jnp.where(rmoved, sq_new, sr_new)
 
-        def column(w, s_idx, in_pro):
+        def column(w, s_idx, in_pro, slot=None, tr_pend=None):
             """One DP column for all K*P pairs (reference place_block inner
             loop, src/scan_block.rs:1119-1209; lanes = sublane rows here).
 
@@ -674,16 +694,24 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 if cfg.local_start:
                     # zero-mask bit: the traceback terminator for local
                     # starts, recorded from the FINAL merged D11 exactly as
-                    # the reference (src/scan_block.rs:1184-1186)
+                    # the reference (src/scan_block.rs:1184-1186); 5 bits
+                    # per column -> 4 columns per i32 as byte fields
                     word = word | ((D11 == RZ[...]).astype(jnp.int32) << 4)
-                    TST[w] = word.astype(jnp.int8)
-                elif w % 2 == 0:
-                    # nibble-pack adjacent columns in the staging buffer:
-                    # even column low, odd column high (decoded by
-                    # core/traceback.lane_trace)
-                    TST[w // 2] = word.astype(jnp.int8)
+                    sh = 8 * (w % 4)
+                    acc = word << sh if w % 4 == 0 else tr_pend[0] | (word << sh)
+                    if w % 4 == 3:
+                        TST[pl.ds(slot, 1), w // 4] = acc[None]
+                    else:
+                        tr_pend[0] = acc
                 else:
-                    TST[w // 2] = TST[w // 2] | (word << 4).astype(jnp.int8)
+                    # all 8 columns of the step pack into one i32 (column w
+                    # in bits 4w..4w+3): one wide store per step, no
+                    # (emulated) int8 ops anywhere in the trace path
+                    acc = word if w == 0 else tr_pend[0] | (word << (4 * w))
+                    if w == STEP - 1:
+                        TST[pl.ds(slot, 1), 0] = acc[None]
+                    else:
+                        tr_pend[0] = acc
 
             DMAX[...] = jnp.maximum(DMAX[...], D11)
 
@@ -897,22 +925,27 @@ def build_lane_engine(cfg: LaneKernelConfig):
         def body(carry):
             s_idx, _ = carry
             in_pro = s_idx < PRO_STEPS
-            pre_step(s_idx, in_pro)
+            if cfg.trace:
+                slot = lax.rem(s_idx, 2)
+
+                # the DMA issued 2 steps ago used this slot; it must land
+                # before this step overwrites the staging buffers
+                @pl.when(s_idx >= s_start + 2)
+                def _():
+                    t_dma(slot, s_idx - 2).wait()
+                    m_dma(slot, s_idx - 2).wait()
+            else:
+                slot = None
+            pre_step(s_idx, in_pro, slot)
+            tr_pend = [None]
             for w in range(STEP):
-                column(w, s_idx, in_pro)
+                column(w, s_idx, in_pro, slot, tr_pend)
 
             if cfg.trace:
                 # stream this step's trace bits + rect descriptor to HBM;
-                # the blocking wait costs ~1 us/step (future: double-buffer)
-                TW = STEP // 2 if cfg.trace_packed else STEP
-                td = pltpu.make_async_copy(
-                    TST, thbm.at[prog, pl.ds(s_idx * TW, TW)], tsem
-                )
-                td.start()
-                md = pltpu.make_async_copy(MST, mhbm.at[prog, s_idx], sem)
-                md.start()
-                td.wait()
-                md.wait()
+                # double-buffered, so the copy overlaps the next step
+                t_dma(slot, s_idx).start()
+                m_dma(slot, s_idx).start()
 
             @pl.when(s_idx >= PRO_STEPS - 1)
             def _():
@@ -932,6 +965,19 @@ def build_lane_engine(cfg: LaneKernelConfig):
             return (s_idx < s_end) & (alldone == 0)
 
         final = lax.while_loop(cond, body, (s_start, jnp.int32(0)))
+        if cfg.trace:
+            # drain the up-to-two in-flight trace DMAs (oldest first)
+            last = final[0]
+
+            @pl.when(last >= s_start + 2)
+            def _():
+                t_dma(lax.rem(last - 2, 2), last - 2).wait()
+                m_dma(lax.rem(last - 2, 2), last - 2).wait()
+
+            @pl.when(last >= s_start + 1)
+            def _():
+                t_dma(lax.rem(last - 1, 2), last - 1).wait()
+                m_dma(lax.rem(last - 1, 2), last - 1).wait()
         wide = cfg.x_drop or cfg.free_query_end_gaps
         # last output row in every mode: the y-drop "suspect" flag
         if wide and cfg.trace:
@@ -1028,7 +1074,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
             out_specs_t += [pl.BlockSpec(memory_space=pltpu.HBM)] * 2
             out_shape_t += [
                 jax.ShapeDtypeStruct(
-                    (n_progs, cfg.trace_cols, K, S, P), jnp.int8
+                    (n_progs, cfg.trace_cols, K, S, P), jnp.int32
                 ),
                 jax.ShapeDtypeStruct(
                     (n_progs, cfg.max_steps, K, 4, P), jnp.int32
@@ -1081,17 +1127,23 @@ def build_lane_engine(cfg: LaneKernelConfig):
             + (
                 [
                     pltpu.VMEM(
-                        (STEP // 2 if cfg.trace_packed else STEP, K, S, P),
-                        jnp.int8,
-                    ),  # TST (nibble-packed column pairs unless local-start)
-                    pltpu.VMEM((K, 4, P), jnp.int32),  # MST
+                        (2, cfg.trace_words, K, S, P), jnp.int32
+                    ),  # TST x2 slots (8 cols/word; 4 in local-start)
+                    pltpu.VMEM((2, K, 4, P), jnp.int32),  # MST x2 slots
                 ]
                 if cfg.trace else []
             )
             + [
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,  # tsem
-            ],
+            ]
+            + (
+                [
+                    pltpu.SemaphoreType.DMA((2,)),  # tsems (trace per-slot)
+                    pltpu.SemaphoreType.DMA((2,)),  # msems (meta per-slot)
+                ]
+                if cfg.trace else []
+            ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),

@@ -36,6 +36,18 @@ def row(name, n, dt, baseline_us, wrong=None, note=""):
     print(ROWS[-1])
 
 
+def device_reps(fn, args, reps=8):
+    """Device throughput: queue ``reps`` launches, then fetch the last
+    launch's output bytes (the only reliable sync through the tunnel --
+    block_until_ready returns early there; grid programs are sequential,
+    so the last output forces the whole queue).  Returns seconds/launch."""
+    np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # warm
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(reps)]
+    np.asarray(jax.tree_util.tree_leaves(outs[-1])[0])
+    return (time.perf_counter() - t0) / reps
+
+
 def bench_uc():
     data = load_uc_pairs("uc30_0.95", per_bucket=1000)
     pairs = [(q, r) for q, r, _ in data]
@@ -43,23 +55,23 @@ def bench_uc():
     want = [global_align_score(q, r, BLOSUM62, BL_GAPS) for q, r in pairs]
 
     # fixed 32-32 (reference uc_bench: 0.057 s / 7000 = 8.1 us/pair);
-    # staged methodology = the reference's (inputs prepared up front)
+    # staged methodology = the reference's (inputs prepared up front);
+    # length-sorted so each program's early exit tracks its own longest
+    order = sorted(range(len(pairs)),
+                   key=lambda k: len(pairs[k][0]) + len(pairs[k][1]))
+    spairs = [pairs[k] for k in order]
     al = BatchAligner(BLOSUM62, BL_GAPS, (32, 32), batch=8192, seq_cap=max_len + 32)
-    staged = [al.stage(pairs[k : k + al.batch_size])
-              for k in range(0, len(pairs), al.batch_size)]
-    al.align_staged(staged[0])
-    t0 = time.perf_counter()
-    res = []
-    for st in staged:
-        res.extend(al.align_staged(st))
-    dt = time.perf_counter() - t0
-    wrong = sum(1 for w, g in zip(want, res) if g.score != w)
-    row("uc30_0.95 7000p global 32-32", len(pairs), dt, 8.14, wrong, "staged")
+    staged = al.stage(spairs)
+    res = al.align_staged(staged)
+    wrong = sum(1 for k, g in zip(order, res) if g.score != want[k])
+    dt = device_reps(al._lane_fn, staged[1])
+    row("uc30_0.95 7000p global 32-32", len(pairs), dt, 8.14, wrong,
+        "staged, pipelined dispatch")
     t0 = time.perf_counter()
     al.align_all(pairs)
     dt = time.perf_counter() - t0
     row("uc30_0.95 7000p 32-32 end-to-end", len(pairs), dt, 8.14, None,
-        "incl. host pack + tunnel-limited transfer")
+        "incl. host pack + tunnel sync/transfer")
 
     # adaptive 32-256 via exponential rescue (reference 32-256: 0.089 s)
     ad = AdaptiveBatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=8192,
@@ -127,14 +139,9 @@ def bench_nanopore():
     # one dispatch for all 512 pairs; BatchAligner already pads seq_cap by
     # 1 + max_size + 16, so pass the exact max length
     al = BatchAligner(matrix, gaps, (128, 128), batch=512, seq_cap=max_len)
-    staged = [al.stage(pairs[k : k + al.batch_size])
-              for k in range(0, len(pairs), al.batch_size)]
-    al.align_staged(staged[0])
-    t0 = time.perf_counter()
-    res = []
-    for st in staged:
-        res.extend(al.align_staged(st))
-    dt = time.perf_counter() - t0
+    staged = al.stage(pairs)
+    res = al.align_staged(staged)
+    dt = device_reps(al._lane_fn, staged[1], reps=4)
     sample = range(0, len(pairs), 37)
     wrong = sum(
         1 for k in sample
@@ -158,10 +165,9 @@ def bench_xdrop():
                       x_drop=50)
     staged = al.stage(pairs)
     al.align_staged(staged)
-    t0 = time.perf_counter()
-    al.align_staged(staged)
-    dt = time.perf_counter() - t0
-    row("random protein 1k x-drop 32-32", len(pairs), dt, None, None, "staged")
+    dt = device_reps(al._lane_fn, staged[1], reps=4)
+    row("random protein 1k x-drop 32-32", len(pairs), dt, None, None,
+        "staged, pipelined dispatch")
 
 
 def bench_pssm():
@@ -175,14 +181,9 @@ def bench_pssm():
     pa = ProfileAligner(size=(32, 32), batch=8192, seq_cap=cap + 32)
     assert pa._lane
     args = jax.device_put(pack_lane_profile(data, pa._lane_cfg))
-    np.asarray(pa._fn(*args))  # compile
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        np.asarray(pa._fn(*args))
-    dt = (time.perf_counter() - t0) / reps
+    dt = device_reps(pa._fn, args)
     row("SCOP-style seq-PSSM 32-32 (lane)", len(data), dt, 13.4, None,
-        "staged; ref: 0.149s/11160")
+        "staged, pipelined dispatch; ref: 0.149s/11160")
     t0 = time.perf_counter()
     pa.align_batch(data)
     dt = time.perf_counter() - t0

@@ -259,9 +259,8 @@ def test_lane_trace_multi_program_uneven_exit():
     out = np.asarray(out)
     steps = out[:, 0, 1, 0]
     assert int(steps[0]) != int(steps[1])  # genuinely uneven exits
-    packed = thbm  # the kernel emits nibble-packed column pairs
+    packed = thbm  # the kernel emits packed int32 words (8 cols/word)
     nsteps = int(steps.max())
-    half = (nsteps * 8 + 1) // 2
     # on a real device, descriptor rows past a program's exit step hold
     # whatever was in HBM (interpret mode zero-fills them); poison those
     # rows to reproduce the device behavior deterministically.  8 in the
@@ -270,7 +269,7 @@ def test_lane_trace_multi_program_uneven_exit():
     mh = np.array(mhbm[:, :nsteps])
     for g in range(cfg.n_programs):
         mh[g, int(steps[g]):] = 8
-    et = lane_trace(np.asarray(packed[:, :half]), mh, steps, cfg.block)
+    et = lane_trace(np.asarray(packed[:, :nsteps]), mh, steps, cfg.block)
     scores = out[:, :, 0, :].reshape(cfg.batch)
 
     a = BlockOracle(trace=True)
@@ -397,10 +396,9 @@ def test_lane_profile_trace_cigars():
     out, thbm, mhbm = fn(*pack_lane_profile(pairs, cfg))
     out = np.asarray(out)
     steps = out[:, 0, 1, 0]
-    packed = thbm  # the kernel emits nibble-packed column pairs
+    packed = thbm  # the kernel emits packed int32 words (8 cols/word)
     nsteps = int(steps.max())
-    half = (nsteps * 8 + 1) // 2
-    et = lane_trace(np.asarray(packed[:, :half]),
+    et = lane_trace(np.asarray(packed[:, :nsteps]),
                     np.asarray(mhbm[:, :nsteps]), steps, cfg.block)
     scores = out[:, :, 0, :].reshape(cfg.batch)
 
@@ -514,7 +512,7 @@ def test_lane_free_query_end_gaps():
 
 def test_lane_local_start_trace_cigars():
     # local-start trace through the lane kernel: the zero-mask bit rides
-    # bit 4 of the trace byte (transfer skips nibble packing); CIGARs must
+    # bit 4 (4 columns per i32 word as byte fields); CIGARs must
     # match the scalar oracle exactly (reference: src/scan_block.rs:1184,
     # 1596-1612)
     from block_aligner_tpu import BatchAligner
