@@ -364,17 +364,175 @@ class EngineTrace:
         )
 
 
+class LaneTrace:
+    """Trace accessor over the lane kernel's RAW packed stream.
+
+    Holds the device buffers as fetched (packed int32 words + descriptor
+    rows) and walks CIGARs straight from them with the native C++ walker
+    (``ba_lane_cigar``) -- no batch-wide unpack to per-column bytes.  The
+    full ``EngineTrace`` decode is built lazily only for ``blocks()`` /
+    ``rects_for()`` telemetry or when the native library is unavailable.
+
+    Pair-major copies of the words/descriptors are built once on the first
+    cigar call and amortized over the batch (the (steps, progs, ...) device
+    layout makes per-pair access miss-bound otherwise).
+    """
+
+    def __init__(self, raw, mhbm, steps, block: int, *, local_start=False,
+                 free_query_start_gaps=False, words=1):
+        self.raw = raw  # (n_progs, nsteps*words, K, S, P) int32
+        self.mhbm = mhbm  # (n_progs, >=nsteps, K, 4, P) int32
+        self.psteps = np.asarray(steps).reshape(-1).astype(np.int64)
+        self.block = block
+        self.words = words
+        self.local_start = local_start
+        self.free_query_start_gaps = free_query_start_gaps
+        self._full: Optional[EngineTrace] = None
+        self._wt = None  # (B, nsteps, words, S) pair-major words
+        self._mt = None  # (B, nsteps, 4) pair-major descriptors
+        from ..native import load
+
+        self._native = load()
+
+    def _full_trace(self) -> "EngineTrace":
+        if self._full is None:
+            self._full = _lane_decode(
+                self.raw, self.mhbm, self.psteps, self.block,
+                local_start=self.local_start,
+                free_query_start_gaps=self.free_query_start_gaps,
+                words=self.words,
+            )
+        return self._full
+
+    def rects_for(self, b: int):
+        return self._full_trace().rects_for(b)
+
+    def blocks(self, b: int):
+        return self._full_trace().blocks(b)
+
+    def _pair_major(self):
+        if self._wt is None:
+            n_progs, _, K, S, P_ = self.raw.shape
+            nsteps = int(self.psteps.max())
+            w = self.words
+            self._wt = np.ascontiguousarray(
+                self.raw[:, : nsteps * w]
+                .reshape(n_progs, nsteps, w, K, S, P_)
+                .transpose(0, 3, 5, 1, 2, 4)
+                .reshape(n_progs * K * P_, nsteps, w, S)
+            )
+            self._mt = np.ascontiguousarray(
+                self.mhbm[:, :nsteps]
+                .transpose(0, 2, 4, 1, 3)
+                .reshape(n_progs * K * P_, nsteps, 4)
+            )
+        return self._wt, self._mt
+
+    def _native_cigar(self, b, i, j, eq=False, q=None, r=None,
+                      cigar: Optional[Cigar] = None) -> Optional[Cigar]:
+        lib = self._native
+        if lib is None:
+            return None
+        import ctypes
+
+        wt, mt = self._pair_major()
+        n_progs, _, K, S, P_ = self.raw.shape
+        nsteps = wt.shape[1]
+        psteps = int(self.psteps[b // (K * P_)])
+        out = np.empty(2 * (int(i) + int(j) + 4), dtype=np.int32)
+        if eq:
+            qc = np.ascontiguousarray(q.codes, dtype=np.uint8)
+            rc = np.ascontiguousarray(r.codes, dtype=np.uint8)
+            qp = qc.ctypes.data_as(ctypes.c_void_p)
+            rp = rc.ctypes.data_as(ctypes.c_void_p)
+        else:
+            qp = rp = None
+        n = lib.ba_lane_cigar(
+            ctypes.c_void_p(wt.ctypes.data + b * wt.strides[0]),
+            ctypes.c_void_p(mt.ctypes.data + b * mt.strides[0]),
+            nsteps, self.words, S, psteps, int(i), int(j),
+            1 if self.local_start else 0,
+            1 if self.free_query_start_gaps else 0,
+            1 if eq else 0,
+            qp, rp,
+            out.ctypes.data_as(ctypes.c_void_p), out.shape[0],
+        )
+        if n < 0:
+            return None
+        if cigar is None:
+            cigar = Cigar()
+        cigar.clear()
+        for k in range(int(n) - 1, -1, -1):  # Cigar stores reversed
+            cigar.add(Operation(int(out[2 * k])), int(out[2 * k + 1]))
+        return cigar
+
+    def cigar(self, b: int, i: int, j: int,
+              cigar: Optional[Cigar] = None) -> Cigar:
+        got = self._native_cigar(b, i, j, cigar=cigar)
+        if got is not None:
+            return got
+        return self._full_trace().cigar(b, i, j, cigar=cigar)
+
+    def cigar_eq(self, b: int, q, r, i: int, j: int,
+                 cigar: Optional[Cigar] = None) -> Cigar:
+        got = self._native_cigar(b, i, j, eq=True, q=q, r=r, cigar=cigar)
+        if got is not None:
+            return got
+        return self._full_trace().cigar_eq(b, q, r, i, j, cigar=cigar)
+
+    def cigars_all(self, endpoints, nthreads: int = 8) -> List[Cigar]:
+        """CIGARs for pairs 0..len(endpoints)-1 in one native call.
+
+        ``endpoints[b] = (i, j)`` is pair ``b``'s end position.  One FFI
+        call walks every pair (multithreaded in C++), amortizing the
+        per-call overhead that dominates per-pair ``cigar()`` loops.
+        """
+        nb = len(endpoints)
+        lib = self._native
+        if lib is None or not hasattr(lib, "ba_lane_cigar_batch"):
+            return [self.cigar(b, i, j) for b, (i, j) in enumerate(endpoints)]
+        import ctypes
+
+        wt, mt = self._pair_major()
+        n_progs, _, K, S, P_ = self.raw.shape
+        nsteps = wt.shape[1]
+        ij = np.ascontiguousarray(np.asarray(endpoints, dtype=np.int64))
+        assert ij.shape == (nb, 2)
+        psteps = np.repeat(self.psteps, K * P_)[:nb].copy()
+        cap = 2 * (int(ij.sum(axis=1).max()) + 4) if nb else 8
+        out = np.empty((nb, cap), dtype=np.int32)
+        out_n = np.empty(nb, dtype=np.int64)
+        lib.ba_lane_cigar_batch(
+            wt.ctypes.data_as(ctypes.c_void_p),
+            mt.ctypes.data_as(ctypes.c_void_p),
+            nsteps, self.words, S,
+            psteps.ctypes.data_as(ctypes.c_void_p), nb,
+            ij.ctypes.data_as(ctypes.c_void_p),
+            1 if self.local_start else 0,
+            1 if self.free_query_start_gaps else 0,
+            0, None, None, 0, 0,
+            out.ctypes.data_as(ctypes.c_void_p),
+            out_n.ctypes.data_as(ctypes.c_void_p),
+            cap, nthreads,
+        )
+        cigars: List[Cigar] = []
+        for b in range(nb):
+            n = int(out_n[b])
+            if n < 0:  # fall back per pair (e.g. out_cap undersized)
+                cigars.append(self.cigar(b, int(ij[b, 0]), int(ij[b, 1])))
+                continue
+            c = Cigar()
+            row = out[b]
+            for k in range(n - 1, -1, -1):  # Cigar stores reversed
+                c.add(Operation(int(row[2 * k])), int(row[2 * k + 1]))
+            cigars.append(c)
+        return cigars
+
+
 def lane_trace(thbm, mhbm, steps, block: int, *, local_start=False,
                free_query_start_gaps=False, words: Optional[int] = None,
-               ) -> "EngineTrace":
-    """Decode the lane kernel's trace stream into an ``EngineTrace``.
-
-    The lane kernel (fixed block size) has no grow/shrink, so its stream is
-    simpler than the engine's: per step one rect descriptor
-    (right, lane origin, column origin, done-at-start) plus 8 columns of
-    packed bits.  This reshapes the device buffers into the engine's
-    (T, B, H) trace / (T, B, 2) meta format and reuses the shared decoder
-    (including the native C++ walker).
+               ) -> "LaneTrace":
+    """Wrap the lane kernel's trace stream for CIGAR walking.
 
     thbm: (n_progs, nsteps*words, K, S, P) int32 -- ``words``=1: all 8
     columns of a step in one word, column c in bits 4c..4c+3; ``words``=2
@@ -383,8 +541,24 @@ def lane_trace(thbm, mhbm, steps, block: int, *, local_start=False,
     mhbm: (n_progs, steps_cap, K, 4, P);
     steps: per-program executed step counts (n_progs,).
     """
-    raw = np.asarray(thbm)  # (n_progs, nsteps*words, K, S, P) int32
-    mhbm = np.asarray(mhbm)
+    if words is None:
+        words = 2 if local_start else 1
+    return LaneTrace(np.asarray(thbm), np.asarray(mhbm), steps, block,
+                     local_start=local_start,
+                     free_query_start_gaps=free_query_start_gaps,
+                     words=words)
+
+
+def _lane_decode(raw, mhbm, steps, block: int, *, local_start=False,
+                 free_query_start_gaps=False, words=1) -> "EngineTrace":
+    """Full decode of the lane stream into the engine's (T, B, H) trace /
+    (T, B, 2) meta format (shared decoder + telemetry path).
+
+    The lane kernel (fixed block size) has no grow/shrink, so its stream is
+    simpler than the engine's: per step one rect descriptor
+    (right, lane origin, column origin, done-at-start) plus 8 columns of
+    packed bits.
+    """
     steps = np.asarray(steps).reshape(-1)
     n_progs, _, K, S, P_ = raw.shape
     assert S == block
@@ -392,8 +566,6 @@ def lane_trace(thbm, mhbm, steps, block: int, *, local_start=False,
     nsteps = int(steps.max())
     ncols = nsteps * STEP_
     pro_steps = S // STEP_
-    if words is None:
-        words = 2 if local_start else 1
 
     pk = raw[:, : nsteps * words].transpose(1, 0, 2, 4, 3).reshape(
         nsteps, words, B, S

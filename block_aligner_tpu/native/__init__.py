@@ -32,7 +32,7 @@ def _build(stem: str) -> Optional[Path]:
         return so
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
              "-o", str(so), str(src)],
             check=True, capture_output=True, timeout=120,
         )
@@ -90,6 +90,46 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,  # H
             ctypes.c_int64,  # iters
             ctypes.c_int64,  # b
+            ctypes.c_int64,  # i
+            ctypes.c_int64,  # j
+            ctypes.c_int32,  # local_start
+            ctypes.c_int32,  # free_query_start_gaps
+            ctypes.c_int32,  # eq
+            ctypes.c_void_p,  # qcodes (uint8, 1-based) or None
+            ctypes.c_void_p,  # rcodes
+            ctypes.c_void_p,  # out_ops int32*
+            ctypes.c_int64,  # out_cap
+        ]
+        lib.ba_lane_cigar_batch.restype = None
+        lib.ba_lane_cigar_batch.argtypes = [
+            ctypes.c_void_p,  # wt (B, nsteps, words, S) int32
+            ctypes.c_void_p,  # mt (B, nsteps, 4) int32
+            ctypes.c_int64,  # nsteps
+            ctypes.c_int64,  # words
+            ctypes.c_int64,  # S
+            ctypes.c_void_p,  # psteps (B,) int64
+            ctypes.c_int64,  # B
+            ctypes.c_void_p,  # ij (B, 2) int64 end positions
+            ctypes.c_int32,  # local_start
+            ctypes.c_int32,  # free_query_start_gaps
+            ctypes.c_int32,  # eq
+            ctypes.c_void_p,  # qcodes (B, qstride) uint8 or None
+            ctypes.c_void_p,  # rcodes (B, rstride) uint8 or None
+            ctypes.c_int64,  # qstride
+            ctypes.c_int64,  # rstride
+            ctypes.c_void_p,  # out_ops (B, out_cap) int32
+            ctypes.c_void_p,  # out_n (B,) int64
+            ctypes.c_int64,  # out_cap
+            ctypes.c_int32,  # nthreads
+        ]
+        lib.ba_lane_cigar.restype = ctypes.c_int64
+        lib.ba_lane_cigar.argtypes = [
+            ctypes.c_void_p,  # wt (nsteps, words, S) int32, this pair
+            ctypes.c_void_p,  # mt (nsteps, 4) int32, this pair
+            ctypes.c_int64,  # nsteps (array capacity)
+            ctypes.c_int64,  # words (1 or 2)
+            ctypes.c_int64,  # S (block)
+            ctypes.c_int64,  # psteps (executed steps, pair's program)
             ctypes.c_int64,  # i
             ctypes.c_int64,  # j
             ctypes.c_int32,  # local_start

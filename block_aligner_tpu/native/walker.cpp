@@ -10,6 +10,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -204,6 +205,183 @@ int64_t ba_trace_cigar(const int8_t* trace_t, const int32_t* meta_t,
     out_ops[2 * k + 1] = rlen[(size_t)(n - 1 - k)];
   }
   return n;
+}
+
+// Walk pair `b`'s traceback straight from the lane kernel's packed stream
+// (no host-side unpack to per-column bytes).  Layouts are PAIR-major:
+//   wt: (nsteps, words, S) int32 for this pair -- step s, word wi, lane l at
+//       wt[(s*words + wi)*S + l]; words==1 packs all 8 step columns as 4-bit
+//       nibbles (column c in bits 4c..4c+3); words==2 (local-start) packs 4
+//       columns per word as byte fields (5 bits used).
+//   mt: (nsteps, 4) int32 for this pair: right, starti, colpos0, done@start.
+// psteps = executed steps for the pair's program; S = block size.
+// Rect structure is implicit (fixed block, reference: src/scan_block.rs with
+// min==max): steps 0..S/8-1 form one right prologue rect at (0,0) with S
+// place-columns; every later step with done@start==0 is its own 8-column
+// rect described by its descriptor row.
+// out_ops receives (op, len) pairs in forward order; returns the number of
+// pairs written, -1 if out_cap is too small, -2 on malformed input.
+static int64_t lane_cigar_walk(const int32_t* wt, const int32_t* mt,
+                               int64_t nsteps, int64_t words, int64_t S,
+                               int64_t psteps, int64_t i, int64_t j,
+                               int32_t local_start,
+                               int32_t free_query_start_gaps, int32_t eq,
+                               const uint8_t* qcodes, const uint8_t* rcodes,
+                               int32_t* out_ops, int64_t out_cap);
+
+int64_t ba_lane_cigar(const int32_t* wt, const int32_t* mt, int64_t nsteps,
+                      int64_t words, int64_t S, int64_t psteps,
+                      int64_t i, int64_t j, int32_t local_start,
+                      int32_t free_query_start_gaps, int32_t eq,
+                      const uint8_t* qcodes, const uint8_t* rcodes,
+                      int32_t* out_ops, int64_t out_cap) {
+  return lane_cigar_walk(wt, mt, nsteps, words, S, psteps, i, j, local_start,
+                         free_query_start_gaps, eq, qcodes, rcodes, out_ops,
+                         out_cap);
+}
+
+static int64_t lane_cigar_walk(const int32_t* wt, const int32_t* mt,
+                               int64_t nsteps, int64_t words, int64_t S,
+                               int64_t psteps, int64_t i, int64_t j,
+                               int32_t local_start,
+                               int32_t free_query_start_gaps, int32_t eq,
+                               const uint8_t* qcodes, const uint8_t* rcodes,
+                               int32_t* out_ops, int64_t out_cap) {
+  if (psteps > nsteps || S <= 0 || (words != 1 && words != 2)) return -2;
+  const int64_t pro_steps = S / 8;
+  std::vector<int32_t> vsteps;  // this pair's valid steady steps, ascending
+  vsteps.reserve((size_t)(psteps > pro_steps ? psteps - pro_steps : 0));
+  for (int64_t s = pro_steps; s < psteps; s++) {
+    if (mt[s * 4 + 3] == 0) vsteps.push_back((int32_t)s);
+  }
+
+  std::vector<int32_t> rop, rlen;
+  int32_t table = 0;
+  int64_t ridx = (int64_t)vsteps.size();
+  bool outer_done = false;
+  while ((i > 0 || j > 0) && !outer_done) {
+    // scan rects backward for the one containing (i, j); the prologue rect
+    // at (0, 0) is the backstop (reference: src/scan_block.rs:1578-1590)
+    int64_t row, col, s;
+    bool right;
+    while (true) {
+      ridx--;
+      if (ridx < 0) {
+        row = 0; col = 0; right = true; s = -1;
+        break;
+      }
+      s = vsteps[(size_t)ridx];
+      const int32_t* m = mt + s * 4;
+      right = m[0] != 0;
+      row = right ? m[1] : m[2];
+      col = right ? m[2] : m[1];
+      if (i >= row && j >= col) break;
+    }
+    while (i >= row && j >= col && (i > 0 || j > 0)) {
+      int64_t pc, lane;
+      if (right) {
+        if (free_query_start_gaps && i == 0) {
+          outer_done = true;
+          break;
+        }
+        pc = j - col;
+        lane = i - row;
+      } else {
+        pc = i - row;
+        lane = j - col;
+      }
+      if (lane >= S) return -2;
+      int64_t step, cw;
+      if (s < 0) {  // prologue: S place-columns across S/8 steps
+        step = pc / 8;
+        cw = pc % 8;
+        if (step >= pro_steps) return -2;
+      } else {
+        step = s;
+        cw = pc;
+        if (cw >= 8) return -2;
+      }
+      int32_t cell;
+      if (words == 1) {
+        cell = (wt[step * S + lane] >> (4 * cw)) & 15;
+      } else {
+        cell = (wt[(step * 2 + cw / 4) * S + lane] >> (8 * (cw % 4))) & 31;
+      }
+      const int t = cell & 3;
+      const int t2 = (cell >> 2) & 3;
+      if (local_start && table == 0 && ((cell >> 4) & 1)) {
+        outer_done = true;
+        break;
+      }
+      const LutEntry& le = kLut.e[right ? 1 : 0][(t << 4) | (t2 << 2) | table];
+      int32_t op = le.op;
+      if (eq && op == OP_M) {
+        op = (qcodes[i] == rcodes[j]) ? OP_EQ : OP_X;
+      }
+      i -= le.di;
+      j -= le.dj;
+      table = le.table;
+      if (!rop.empty() && rop.back() == op) {
+        rlen.back()++;
+      } else {
+        rop.push_back(op);
+        rlen.push_back(1);
+      }
+    }
+  }
+
+  const int64_t n = (int64_t)rop.size();
+  if (n * 2 > out_cap) return -1;
+  for (int64_t k = 0; k < n; k++) {
+    out_ops[2 * k] = rop[(size_t)(n - 1 - k)];
+    out_ops[2 * k + 1] = rlen[(size_t)(n - 1 - k)];
+  }
+  return n;
+}
+
+// Walk every pair of a batch in one call (amortizes the per-call FFI cost
+// and spreads the walks over a thread pool).  Layout: wt (B, nsteps, words,
+// S) / mt (B, nsteps, 4) pair-major; psteps (B,); ij (B, 2) end positions;
+// out_ops (B, out_cap) receives each pair's (op, len) pairs; out_n (B,)
+// the per-pair pair counts (or the walker's negative error code).
+// qcodes/rcodes (nullable, eq mode): (B, qstride)/(B, rstride) uint8.
+void ba_lane_cigar_batch(const int32_t* wt, const int32_t* mt,
+                         int64_t nsteps, int64_t words, int64_t S,
+                         const int64_t* psteps, int64_t B, const int64_t* ij,
+                         int32_t local_start, int32_t free_query_start_gaps,
+                         int32_t eq, const uint8_t* qcodes,
+                         const uint8_t* rcodes, int64_t qstride,
+                         int64_t rstride, int32_t* out_ops, int64_t* out_n,
+                         int64_t out_cap, int32_t nthreads) {
+  const size_t wstride = (size_t)nsteps * (size_t)words * (size_t)S;
+  const size_t mstride = (size_t)nsteps * 4;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; b++) {
+      out_n[b] = lane_cigar_walk(
+          wt + (size_t)b * wstride, mt + (size_t)b * mstride, nsteps, words,
+          S, psteps[b], ij[2 * b], ij[2 * b + 1], local_start,
+          free_query_start_gaps, eq,
+          qcodes ? qcodes + (size_t)b * (size_t)qstride : nullptr,
+          rcodes ? rcodes + (size_t)b * (size_t)rstride : nullptr,
+          out_ops + (size_t)b * (size_t)out_cap, out_cap);
+    }
+  };
+  int64_t nt = nthreads > 0 ? nthreads : 1;
+  if (nt > B) nt = B > 0 ? B : 1;
+  if (nt <= 1) {
+    work(0, B);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve((size_t)nt);
+  const int64_t chunk = (B + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; t++) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = lo + chunk < B ? lo + chunk : B;
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

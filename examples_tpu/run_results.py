@@ -94,11 +94,17 @@ def bench_uc():
     for k in range(0, len(pairs), alt.batch_size):
         chunk = pairs[k : k + alt.batch_size]
         r2 = alt.align_batch(chunk)
-        for bi, g in enumerate(r2):
-            nops += len(alt.cigar(bi, g.query_idx, g.reference_idx))
+        cigs = alt.trace().cigars_all(
+            [(g.query_idx, g.reference_idx) for g in r2])
+        nops += sum(len(c) for c in cigs)
     dt = time.perf_counter() - t0
     row("uc30_0.95 7000p 32-32 + trace+cigar", len(pairs), dt, 24.3, None,
         "incl. dev->host trace transfer (tunnel-limited here)")
+    # device-side trace rate (kernel incl. trace streaming, pipelined)
+    st = alt.stage(pairs[: alt.batch_size])
+    dtk = device_reps(alt._lane_fn, st[1], reps=4)
+    row("uc30_0.95 trace kernel (device rate)", alt.batch_size, dtk, 24.3,
+        None, "staged, pipelined dispatch; trace stream stays in HBM")
 
 
 def bench_accuracy_hard():

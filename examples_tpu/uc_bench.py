@@ -31,9 +31,9 @@ def bench(pairs, size, trace, max_len):
         chunk = pairs[k : k + al.batch_size]
         res = al.align_batch(chunk)
         if trace:
-            for bi, got in enumerate(res):
-                cig = al.cigar(bi, got.query_idx, got.reference_idx)
-                n_cigar_ops += len(cig)
+            cigs = al.trace().cigars_all(
+                [(g.query_idx, g.reference_idx) for g in res])
+            n_cigar_ops += sum(len(c) for c in cigs)
     dt = time.perf_counter() - t0
     return dt, n_cigar_ops
 
