@@ -90,6 +90,47 @@ class BatchAligner:
         # (True = the reference's adaptive heuristic would have grown)
         self.last_suspect = None
         lane_ok = not isinstance(matrix, ByteMatrix)
+        # reference-exact adaptive sizing (grow/shrink/ckpt) runs in its
+        # own Pallas kernel for the global configuration; other adaptive
+        # modes stay on the general engine
+        self._adaptive = (
+            lane_ok and min_size < max_size and 16 <= min_size
+            and max_size <= 512 and mesh is None and not trace
+            and x_drop is None and not local_start
+            and not free_query_start_gaps and not free_query_end_gaps
+            and use_lane_kernel is not False
+        )
+        if self._adaptive:
+            import jax
+
+            from .ops.adaptive_kernel import (
+                AdaptiveKernelConfig,
+                adaptive_vmem_bytes,
+                build_adaptive_engine,
+            )
+
+            a_ = 32 if matrix.kind != "nuc" else 16
+            cap = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
+            banks = max(1, min(16, round_up(max(batch, 128), 128) // 128))
+            while banks & (banks - 1):
+                banks -= 1
+            while banks > 1 and adaptive_vmem_bytes(
+                max_size, cap, a_, banks
+            ) > 14 * 2**20:
+                banks //= 2
+            self._lane_cfg = AdaptiveKernelConfig(
+                batch=round_up(max(batch, 128), 128 * banks),
+                min_size=min_size,
+                max_size=max_size,
+                seq_cap=cap,
+                alpha=a_,
+                banks=banks,
+                interpret=jax.default_backend() != "tpu",
+            )
+            self._lane_fn = build_adaptive_engine(self._lane_cfg)
+            self._lane = False
+            self.cfg = None
+            return
         if use_lane_kernel is None:
             use_lane_kernel = (
                 lane_ok and min_size == max_size and 16 <= min_size <= 512
@@ -175,12 +216,15 @@ class BatchAligner:
 
     @property
     def batch_size(self) -> int:
-        return self._lane_cfg.batch if self._lane else self.cfg.batch
+        if self._lane or self._adaptive:
+            return self._lane_cfg.batch
+        return self.cfg.batch
 
     @property
     def seq_capacity(self) -> int:
-        cap = self._lane_cfg.seq_cap if self._lane else self.cfg.seq_cap
-        blk = self._lane_cfg.block if self._lane else self.cfg.max_size
+        kern = self._lane or self._adaptive
+        cap = self._lane_cfg.seq_cap if kern else self.cfg.seq_cap
+        blk = self._lane_cfg.block if kern else self.cfg.max_size
         return cap - blk - 17
 
     def align_batch(self, pairs: Sequence[Tuple[bytes, bytes]]) -> List[AlignResult]:
@@ -189,6 +233,13 @@ class BatchAligner:
         for q, r in pairs:
             assert max(len(q), len(r)) <= self.seq_capacity, (
                 "sequence too long for this BatchAligner's seq_cap"
+            )
+        if self._adaptive:
+            from .ops.lane_kernel import pack_lane
+
+            args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps)
+            return self._adaptive_results(
+                np.asarray(self._lane_fn(*args)), pairs
             )
         if self._lane:
             from .ops.lane_kernel import pack_lane
@@ -316,6 +367,25 @@ class BatchAligner:
             self.last_suspect = np.concatenate(flags)
         return got
 
+    def _adaptive_results(self, out, pairs, lens=None) -> List[AlignResult]:
+        """Decode the adaptive kernel's output block (row 0 = score, row 1
+        = step-cap overrun diagnostic, which must be clear)."""
+        B = self._lane_cfg.batch
+        over = out[:, :, 1, :].reshape(B)
+        n = len(pairs) if lens is None else lens[2]
+        assert not over[:n].any(), (
+            "adaptive kernel hit its step cap; raise seq_cap/max_steps"
+        )
+        sc = out[:, :, 0, :].reshape(B)
+        if lens is not None:
+            ql, rl, n = lens
+            return [AlignResult(int(sc[b]), int(ql[b]), int(rl[b]))
+                    for b in range(n)]
+        return [
+            AlignResult(int(sc[b]), len(q), len(r))
+            for b, (q, r) in enumerate(pairs)
+        ]
+
     # --- staged execution: pack/transfer once, run many ------------------
     def stage(self, pairs):
         """Pack a batch and place it on device (the analogue of the
@@ -325,6 +395,13 @@ class BatchAligner:
         import jax
 
         assert len(pairs) <= self.batch_size
+        if self._adaptive:
+            from .ops.lane_kernel import pack_lane
+
+            args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps)
+            ql = np.asarray(args[0]).reshape(self._lane_cfg.batch).copy()
+            rl = np.asarray(args[1]).reshape(self._lane_cfg.batch).copy()
+            return (len(pairs), jax.device_put(args), (ql, rl))
         if self._lane:
             from .ops.lane_kernel import pack_lane
 
@@ -342,6 +419,11 @@ class BatchAligner:
     def align_staged(self, staged) -> List[AlignResult]:
         """Run a batch previously prepared with ``stage``."""
         n, args = staged[0], staged[1]
+        if self._adaptive:
+            ql, rl = staged[2]
+            return self._adaptive_results(
+                np.asarray(self._lane_fn(*args)), None, lens=(ql, rl, n)
+            )
         if self._lane:
             out = np.asarray(self._lane_fn(*args))
             self.last_suspect = (

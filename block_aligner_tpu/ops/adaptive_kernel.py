@@ -1,0 +1,722 @@
+"""Pallas TPU adaptive kernel: reference-exact grow/shrink/checkpoint at
+lane-kernel speed.
+
+The reference's defining feature is adaptive block sizing *within* one
+alignment (reference: src/scan_block.rs:101-593): shift 8-column rects
+right/down, grow the block (doubling, with checkpoint restore) when the
+running best stalls for ``block_size/STEP`` rects, shrink (halving, taking
+the border suffix) when the suffix max matches the rect max.  Round 1 kept
+this machine in the XLA lockstep engine (ops/engine.py), which carries its
+whole state through HBM every column (~70 us/iteration).  This kernel keeps
+the state machine in VMEM, reusing the lane kernel's pairs-in-lanes layout
+(ops/lane_kernel.py): DP columns on sublanes, pairs on lanes, K banked
+128-pair blocks per grid program.
+
+Per-pair adaptive state rides (K, 1, P) scalar rows: current/previous block
+size, rect phase + column progress, checkpoint (i, j, off) and canonical
+checkpoint borders.  All control flow is masked vector arithmetic over
+8-column lockstep steps -- phase lengths (8 for shifts, ``grow_step`` for
+each grow half) are always multiples of STEP=8, so per-pair phase
+boundaries fall on step boundaries and pairs never stall each other.
+
+A GROW iteration (reference: src/scan_block.rs:391-437) runs as two
+sub-phases: GROW_D (down rect, width grow_step, height prev, lanes =
+reference side) then GROW_R (right rect, width grow_step, height new size,
+lanes = query side); the initial rect is a GROW_R with prev == 0 (the
+reference's ``direction = Grow`` start state).  On restore, borders come
+from the canonical checkpoint copies and the score-plane stacks are REBUILT
+from the VMEM code block (prev/8 masked extract+MXU rounds, paid only on
+steps where some pair grows) -- cheaper than checkpoint-copying the stacks
+on every improving rect.
+
+Score extraction reproduces the reference's early-exit semantics exactly
+(src/scan_block.rs:567-592, 1216-1224): a pair freezes at the column where
+its current rect first satisfies (lanes cover lane_len) AND (column >=
+col_len), reading lane ``lane_len - lane_start`` -- never inside GROW_D,
+whose partial columns the reference discards in favor of the following
+GROW_R border.
+
+Global mode (the adaptive reference configurations used by uc_bench /
+accuracy); x-drop / trace adaptive configurations stay on the engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.oracle import I16_MIN, STEP, ZERO
+
+__all__ = ["AdaptiveKernelConfig", "build_adaptive_engine",
+           "adaptive_vmem_bytes"]
+
+
+def adaptive_vmem_bytes(max_size: int, seq_cap: int, alpha: int,
+                        banks: int) -> int:
+    """VMEM scratch footprint of one adaptive-kernel program (matches the
+    scratch_shapes in ``build_adaptive_engine``); usable for bank-budget
+    searches without constructing (and assert-checking) a config."""
+    K, S = banks, max_size
+    NG = alpha // 4
+    codes = K * 2 * seq_cap * 128
+    stacks = 3 * NG * K * S * 128 * 4 + NG * K * STEP * 128 * 4
+    borders = 11 * K * S * 128 * 4
+    scalars = 24 * K * 128 * 4
+    return codes + stacks + borders + scalars + K * STEP * 128 * 4
+
+P = 128
+NEG32 = I16_MIN
+
+# phase encoding (ST_DIR); the initial rect is a GROW_R with prev == 0,
+# mirroring the reference's direction = Grow start state
+DIR_R = 0
+DIR_D = 1
+DIR_GD = 2
+DIR_GR = 3
+
+SHRINK_SUFFIX_LEN = STEP // 4  # reference: src/scan_block.rs:786
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveKernelConfig:
+    batch: int
+    min_size: int  # starting block size (pow2 >= 16)
+    max_size: int  # S: block-size cap == sublane extent of all state
+    seq_cap: int  # padded sequence capacity, multiple of 128
+    alpha: int = 32
+    banks: int = 2
+    interpret: bool = False
+
+    def __post_init__(self):
+        S, m = self.max_size, self.min_size
+        assert S & (S - 1) == 0 and 16 <= S <= 512
+        assert m & (m - 1) == 0 and 16 <= m <= S
+        assert self.seq_cap % 128 == 0 and self.seq_cap >= 256
+        assert self.seq_cap <= 16384
+        assert self.banks in (1, 2, 4, 8, 16)
+        assert self.batch % (P * self.banks) == 0
+        assert self.vmem_bytes <= 15 * 2**20, (
+            f"~{self.vmem_bytes >> 20} MiB VMEM scratch exceeds the core "
+            "budget; lower banks or seq_cap"
+        )
+
+    # pack_lane compatibility (the adaptive kernel reuses the lane packer
+    # with block == max_size: initial stacks cover positions 0..S)
+    @property
+    def block(self) -> int:
+        return self.max_size
+
+    @property
+    def n_chunks(self) -> int:
+        return self.seq_cap // 128
+
+    @property
+    def n_programs(self) -> int:
+        return self.batch // (P * self.banks)
+
+    @property
+    def max_steps(self) -> int:
+        # shifts advance i+j by 8; each grow replays at most one stall
+        # window per doubling and shrinks advance i+j; 2x slack plus the
+        # grow ladder bounds every observed workload, and the kernel
+        # reports cap overruns in its second output row
+        return (4 * self.seq_cap + 32 * self.max_size) // STEP
+
+    @property
+    def vmem_bytes(self) -> int:
+        return adaptive_vmem_bytes(self.max_size, self.seq_cap, self.alpha,
+                                   self.banks)
+
+
+def build_adaptive_engine(cfg: AdaptiveKernelConfig):
+    S = cfg.max_size
+    A = cfg.alpha
+    NG = A // 4
+    K = cfg.banks
+    NCH = cfg.n_chunks
+    MIN = cfg.min_size
+    MAX_STEPS = cfg.max_steps
+    # power-of-two sizes the shrink ladder can leave a pair at
+    HALF_SIZES = []
+    s = MIN
+    while s < S:
+        HALF_SIZES.append(s)
+        s *= 2
+
+    def shift_up_rows(x, k, fill):
+        """row r <- r - k (toward higher indices); first k rows filled."""
+        return jnp.concatenate(
+            [jnp.full(x.shape[:-2] + (k, P), fill, x.dtype), x[..., : S - k, :]],
+            axis=-2,
+        )
+
+    def shift_down_rows(x, k, fill):
+        """row r <- r + k (toward lower indices); last k rows filled."""
+        return jnp.concatenate(
+            [x[..., k:, :], jnp.full(x.shape[:-2] + (k, P), fill, x.dtype)],
+            axis=-2,
+        )
+
+    def kernel(qlen_ref, rlen_ref, scq0_ref, scr0_ref, M_ref, codes_hbm,
+               gap_ref, score_ref, *scr):
+        (CODES, SCQ, SCR, SCACT, NR, EC8,
+         ACT_D, ACT_C, PAS_D, PAS_R, tempD, tempR, DMAX,
+         CKC_D, CKC_C, CKR_D, CKR_R) = scr[:17]
+        scr = scr[17:]
+        (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_OA, ST_DIR, ST_PDIR, ST_DONE,
+         CORN, CVEC, OUT, SZ, PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
+         GNM, REST, FRA, FRT, FRIDX) = scr[:24]
+        scr = scr[24:]
+        (sem,) = scr
+        prog = pl.program_id(0)
+
+        open_ = gap_ref[0, 0]
+        e = gap_ref[0, 1]
+        qlen = qlen_ref[0]  # (K, 1, P)
+        rlen = rlen_ref[0]
+
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (S, P), 0)
+        rows_k = rows_iota[None]  # (1, S, P): broadcasts against (K, 1, P)
+        oh_iota = jax.lax.broadcasted_iota(jnp.int32, (A, K, P), 0)
+        zc = e * ((rows_iota % STEP) + 1)
+        NEG_I32 = jnp.iinfo(jnp.int32).min
+
+        dma = pltpu.make_async_copy(codes_hbm.at[prog], CODES, sem)
+        dma.start()
+        zS = jnp.zeros((K, S, P), jnp.int32)
+        z1 = jnp.zeros((K, 1, P), jnp.int32)
+        negS = jnp.full((K, S, P), NEG32, jnp.int32)
+
+        # ---- init: reference start state (src/scan_block.rs:291-317):
+        # direction = Grow, prev_size = 0, best_max = 0, virgin checkpoint
+        SCQ[...] = scq0_ref[0]
+        SCR[...] = scr0_ref[0]
+        SCACT[...] = scr0_ref[0]  # initial rect lanes = q, but SCACT is
+        # rewritten from orientation each pre_step; seed matches GROW_R
+        for ref in (ACT_D, ACT_C, PAS_D, PAS_R, tempD, tempR):
+            ref[...] = zS
+        DMAX[...] = negS
+        for ref in (CKC_D, CKC_C, CKR_D, CKR_R):
+            ref[...] = zS
+        for ref in (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_OA, ST_DONE, OUT,
+                    PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER, REST):
+            ref[...] = z1
+        SZ[...] = z1 + MIN
+        GNM[...] = z1 + 1  # the initial rect is a grow
+        ST_DIR[...] = z1 + DIR_GR
+        ST_PDIR[...] = z1 + DIR_GR
+        CORN[...] = z1 + NEG32
+        CVEC[...] = z1 + NEG32
+        for ref in (FRA, FRT, FRIDX):
+            ref[...] = z1
+        dma.wait()
+
+        Mb = M_ref[...].astype(jnp.bfloat16)
+
+        def extract8(pos8, side):
+            """EC8[k, w, b] = code at pos8[k,0,b] + w on side (0=q, 1=r)."""
+            cu = side * NCH + pos8 // 128
+            lo = pos8 % 128
+            acc = jnp.zeros((K, 128, P), jnp.int8)
+            for c in range(2 * NCH):
+                acc = jnp.where(cu == c, CODES[:, c], acc)
+            acc = acc.astype(jnp.int32)
+            out = jnp.zeros((K, STEP, P), jnp.int32)
+            for v in range(128 // STEP):
+                out = jnp.where(lo == v * STEP, acc[:, v * STEP : v * STEP + STEP], out)
+            EC8[...] = out
+
+        def score_new_rows():
+            """NR[g, k, r, b] = packed scores of EC8 codes (one one-hot MXU
+            matmul per entering row; identical packing to the host/lane
+            kernel paths, so device-built rows are bit-equal)."""
+            ec = EC8[...]
+            for r in range(STEP):
+                oh = (oh_iota == ec[:, r, :][None]).astype(jnp.bfloat16)
+                planes = lax.dot_general(
+                    Mb, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                p = planes.astype(jnp.int32)
+                NR[:, :, r, :] = (
+                    p[0:NG]
+                    | (p[NG : 2 * NG] << 8)
+                    | (p[2 * NG : 3 * NG] << 16)
+                    | (p[3 * NG : 4 * NG] << 24)
+                )
+
+        def nr_tiled():
+            """NR tiled along rows: row s holds NR row (s mod 8), so an
+            8-aligned target window picks up the entering rows in order."""
+            return jnp.tile(NR[...], (1, 1, S // STEP, 1))
+
+        def pre_step():
+            dirn = ST_DIR[...]
+            done = ST_DONE[...]
+            sz = SZ[...]
+            psz = PSZ[...]
+            cpos = CPOS[...]
+            newrect = cpos == 0
+            shift = (dirn == DIR_R) | (dirn == DIR_D)
+            right_or = (dirn == DIR_R) | (dirn == DIR_GR)  # lanes = query
+
+            # ---- checkpoint restore (flagged by last post_step's grow):
+            # borders from the canonical checkpoint; stacks rebuilt
+            rest = REST[...] == 1
+
+            @pl.when(jnp.any(rest))
+            def _():
+                # GROW_D is down-oriented: active = row borders (D, R)
+                ACT_D[...] = jnp.where(rest, CKR_D[...], ACT_D[...])
+                ACT_C[...] = jnp.where(rest, CKR_R[...], ACT_C[...])
+                PAS_D[...] = jnp.where(rest, CKC_D[...], PAS_D[...])
+                PAS_R[...] = jnp.where(rest, CKC_C[...], PAS_R[...])
+                # rebuild both score stacks for rows 0..prev at the
+                # restored anchors; rows past prev are appended by the
+                # grow phases themselves as their columns enter
+                for c8 in range((S // 2) // STEP):
+                    live = rest & (c8 * STEP < psz)
+
+                    @pl.when(jnp.any(live))
+                    def _(c8=c8, live=live):
+                        win = (rows_k >= c8 * STEP) & (
+                            rows_k < c8 * STEP + STEP
+                        )
+                        extract8(CK_I[...] + c8 * STEP, jnp.int32(0))
+                        score_new_rows()
+                        SCQ[...] = jnp.where(
+                            (live & win)[None], nr_tiled(), SCQ[...]
+                        )
+                        extract8(CK_J[...] + c8 * STEP, jnp.int32(1))
+                        score_new_rows()
+                        SCR[...] = jnp.where(
+                            (live & win)[None], nr_tiled(), SCR[...]
+                        )
+                REST[...] = jnp.where(rest, 0, REST[...])
+
+            # ---- shift-rect start: offset rebase (reference:
+            # src/scan_block.rs:148-151, 323-331) ----
+            reb = shift & (done == 0)
+            prev_off = ST_OFF[...]
+            new_off = jnp.where(reb, ST_OFFMAX[...], prev_off)
+            oa = jnp.where(reb, jnp.clip(prev_off - new_off, I16_MIN, 32767), 0)
+            ST_OFF[...] = new_off
+            ST_OA[...] = oa
+            ACT_D[...] = jnp.where(reb, jnp.maximum(ACT_D[...] + oa, NEG32),
+                                   ACT_D[...])
+            ACT_C[...] = jnp.where(reb, jnp.maximum(ACT_C[...] + oa, NEG32),
+                                   ACT_C[...])
+            pdir = ST_PDIR[...]
+            corner_ok = reb & (
+                ((dirn == DIR_R) & (pdir == DIR_D))
+                | ((dirn == DIR_D) & (pdir == DIR_R))
+            )
+            CVEC[...] = jnp.where(corner_ok, jnp.maximum(CORN[...] + oa, NEG32),
+                                  NEG32)
+
+            # rect-scoped running max: reset at rect start (GROW_R keeps
+            # accumulating across the grow's two halves)
+            resetd = newrect & (dirn != DIR_GR) & (done == 0)
+            DMAX[...] = jnp.where(resetd, negS, DMAX[...])
+            # ... except the initial rect, which IS a GROW_R (prev == 0):
+            # its DMAX starts at the init value anyway
+
+            # ---- entering codes ----
+            pos8 = jnp.where(
+                dirn == DIR_R, ST_J[...] + sz - STEP,
+                jnp.where(
+                    dirn == DIR_D, ST_I[...] + sz - STEP,
+                    jnp.where(dirn == DIR_GD, ST_I[...] + psz + cpos,
+                              ST_J[...] + psz + cpos),
+                ),
+            )
+            side = jnp.where((dirn == DIR_R) | (dirn == DIR_GR), 1, 0)
+            extract8(pos8, side)
+
+            # ---- per-step rect geometry: freeze predicates ----
+            i_ = ST_I[...]
+            j_ = ST_J[...]
+            h = jnp.where(dirn == DIR_GD, psz, sz)
+            ls = jnp.where(right_or, i_, j_)
+            cstart = jnp.where(
+                dirn == DIR_R, j_ + sz - STEP,
+                jnp.where(
+                    dirn == DIR_D, i_ + sz - STEP,
+                    jnp.where(dirn == DIR_GD, i_ + psz + cpos,
+                              j_ + psz + cpos),
+                ),
+            )
+            lane_len = jnp.where(right_or, qlen, rlen)
+            col_len = jnp.where(right_or, rlen, qlen)
+            # no extraction inside GROW_D: the reference's final grow
+            # border is the GROW_R lane border (src/scan_block.rs:567-575)
+            FRA[...] = ((ls + h > lane_len) & (dirn != DIR_GD)).astype(jnp.int32)
+            FRT[...] = col_len - cstart
+            FRIDX[...] = jnp.clip(lane_len - ls, 0, S - 1)
+
+            # ---- advance the moved side's score-plane stack ----
+            score_new_rows()
+            nrt = nr_tiled()
+            sq = SCQ[...]
+            sr = SCR[...]
+            # shifts: the moved side shifts down 8 and the entering rows
+            # land at rows sz-8..sz (sz is a multiple of 8, so the tiled
+            # NR rows align); grow halves append at rows prev+cpos..+8
+            winp = (rows_k >= sz - STEP) & (rows_k < sz)  # (K, S, P)
+            wina = (rows_k >= psz + cpos) & (rows_k < psz + cpos + STEP)
+            act = done == 0
+            q_shift = ((dirn == DIR_D) & act)[None]
+            r_shift = ((dirn == DIR_R) & act)[None]
+            q_app = ((dirn == DIR_GD) & act)[None]
+            r_app = ((dirn == DIR_GR) & act)[None]
+            sq_sh = jnp.where(winp[None], nrt, shift_down_rows(sq, STEP, 0))
+            sr_sh = jnp.where(winp[None], nrt, shift_down_rows(sr, STEP, 0))
+            sq_new = jnp.where(q_shift, sq_sh,
+                               jnp.where(q_app & wina[None], nrt, sq))
+            sr_new = jnp.where(r_shift, sr_sh,
+                               jnp.where(r_app & wina[None], nrt, sr))
+            SCQ[...] = sq_new
+            SCR[...] = sr_new
+            SCACT[...] = jnp.where(right_or[None], sq_new, sr_new)
+
+        def column(w):
+            done = ST_DONE[...]
+            dirn = ST_DIR[...]
+            sz = SZ[...]
+            psz = PSZ[...]
+            cpos = CPOS[...]
+
+            c_w = EC8[:, w, :][:, None, :]
+            grp = c_w >> 2
+            sub = (c_w & 3) << 3
+            acc = SCACT[0]
+            for g in range(1, NG):
+                acc = jnp.where(grp == g, SCACT[g], acc)
+            scores = ((acc >> sub) & 255) - 128
+
+            D10 = ACT_D[...]
+            C10 = ACT_C[...]
+            if w == 0:
+                corner = CVEC[...]
+            else:
+                corner = jnp.full((K, 1, P), NEG32, jnp.int32)
+            D00 = jnp.concatenate([corner, D10[:, : S - 1, :]], axis=1)
+
+            D11 = jnp.maximum(D00 + scores, NEG32)
+            if w == 0:
+                # DP origin: only the very first column of the initial rect
+                origin = (dirn == DIR_GR) & (psz == 0) & (cpos == 0) & (
+                    ST_J[...] == 0
+                )
+                row0 = jnp.where(
+                    origin, jnp.full((K, 1, P), ZERO, jnp.int32), D11[:, 0:1, :]
+                )
+                D11 = jnp.concatenate([row0, D11[:, 1:, :]], axis=1)
+
+            C11_open = jnp.maximum(D10 + open_, NEG32)
+            C11 = jnp.maximum(jnp.maximum(C10 + e, NEG32), C11_open)
+            D11 = jnp.maximum(D11, C11)
+            D11_open = D11 + (open_ - e)
+
+            t = D11_open
+            k = 1
+            while k < S:
+                t = jnp.maximum(t, shift_up_rows(t, k, NEG32) + e * k)
+                k *= 2
+            R11 = jnp.maximum(t, zc)
+            D11 = jnp.maximum(D11, R11)
+
+            # the tracker only sees rows inside the pair's current rect
+            # height: rows past h hold the recurrence's continuation (the
+            # reference never computes them) and must not leak into the
+            # rect max that drives off_max/grow/shrink
+            h = jnp.where(dirn == DIR_GD, psz, sz)
+            DMAX[...] = jnp.maximum(
+                DMAX[...], jnp.where(rows_k < h, D11, NEG32)
+            )
+            ACT_D[...] = D11
+            ACT_C[...] = C11
+            hm = rows_k == h - 1
+            bot_d = jnp.max(jnp.where(hm, D11, NEG_I32), axis=1, keepdims=True)
+            bot_r = jnp.max(jnp.where(hm, R11, NEG_I32), axis=1, keepdims=True)
+            shift = (dirn == DIR_R) | (dirn == DIR_D)
+            grow = (dirn == DIR_GD) | (dirn == DIR_GR)
+            # shifts stage into temp at tiled row (w mod 8) within
+            # [sz-8, sz); post_step splices temp into the passive border
+            tm = (rows_k % STEP == w) & (rows_k >= sz - STEP) & (
+                rows_k < sz
+            ) & shift
+            tempD[...] = jnp.where(tm, bot_d, tempD[...])
+            tempR[...] = jnp.where(tm, bot_r, tempR[...])
+
+            # grow halves write the passive border directly at row
+            # prev + cpos + w (reference: D_row=D_col[prev:], grow calls at
+            # src/scan_block.rs:396-429)
+            gact = grow & (done == 0)
+
+            @pl.when(jnp.any(gact))
+            def _():
+                gm = (rows_k == psz + cpos + w) & gact
+                PAS_D[...] = jnp.where(gm, bot_d, PAS_D[...])
+                PAS_R[...] = jnp.where(gm, bot_r, PAS_R[...])
+
+            # freeze + extraction at the reference's early-exit column
+            fr_new = (FRA[...] == 1) & (w >= FRT[...]) & (done == 0)
+
+            @pl.when(jnp.any(fr_new))
+            def _():
+                val = jnp.max(
+                    jnp.where(rows_iota == FRIDX[...], D11, NEG_I32),
+                    axis=1, keepdims=True,
+                )
+                fscore = ST_OFF[...] + val - ZERO
+                OUT[...] = jnp.where(fr_new, fscore, OUT[...])
+                ST_DONE[...] = jnp.where(fr_new, 1, ST_DONE[...])
+
+        def post_step():
+            done = ST_DONE[...]
+            active = done == 0
+            dirn = ST_DIR[...]
+            sz = SZ[...]
+            psz = PSZ[...]
+            cpos_new = CPOS[...] + STEP
+            shift = (dirn == DIR_R) | (dirn == DIR_D)
+            phase_len = jnp.where(shift, STEP, sz - psz)  # grow_step
+            phase_done = cpos_new >= phase_len
+            CPOS[...] = jnp.where(phase_done, 0, cpos_new)
+
+            # ---- shift-rect completion: splice the staged tail into the
+            # rebased passive border (reference: src/scan_block.rs:165-177,
+            # 349-355) ----
+            sdone = active & shift
+            oa = ST_OA[...]
+            pd = jnp.maximum(PAS_D[...] + oa, NEG32)
+            pr = jnp.maximum(PAS_R[...] + oa, NEG32)
+            CORN[...] = jnp.where(sdone, pd[:, STEP - 1 : STEP, :], CORN[...])
+            win = (rows_k >= sz - STEP) & (rows_k < sz)
+            pd = jnp.where(win, tempD[...], shift_down_rows(pd, STEP, NEG32))
+            pr = jnp.where(win, tempR[...], shift_down_rows(pr, STEP, NEG32))
+            PAS_D[...] = jnp.where(sdone, pd, PAS_D[...])
+            PAS_R[...] = jnp.where(sdone, pr, PAS_R[...])
+
+            # ---- GROW_D -> GROW_R: orientation flips to lanes = query
+            # (the reference swaps place_block argument roles) ----
+            gd_done = active & (dirn == DIR_GD) & phase_done
+
+            @pl.when(jnp.any(gd_done))
+            def _():
+                ad, ac = ACT_D[...], ACT_C[...]
+                pd2, pr2 = PAS_D[...], PAS_R[...]
+                ACT_D[...] = jnp.where(gd_done, pd2, ad)
+                ACT_C[...] = jnp.where(gd_done, pr2, ac)
+                PAS_D[...] = jnp.where(gd_done, ad, pd2)
+                PAS_R[...] = jnp.where(gd_done, ac, pr2)
+            ST_DIR[...] = jnp.where(gd_done, DIR_GR, ST_DIR[...])
+
+            # ---- rect completion: tracker/offset bookkeeping + the
+            # reference decision ladder (src/scan_block.rs:439-565) ----
+            rdone = active & phase_done & (dirn != DIR_GD)
+            was_grow = dirn == DIR_GR
+            right_or_end = (dirn == DIR_R) | (dirn == DIR_GR)
+
+            cur_max = jnp.max(DMAX[...], axis=1, keepdims=True)
+            off_max = ST_OFF[...] + cur_max - ZERO
+            ST_OFFMAX[...] = jnp.where(rdone, off_max, ST_OFFMAX[...])
+            ydi = jnp.where(rdone, YITER[...] + 1, YITER[...])
+            gnm = jnp.where(rdone, was_grow.astype(jnp.int32), GNM[...])
+
+            new_best = rdone & (off_max > BEST[...])
+            save = new_best & (sz < S)
+            # a completed grow re-saves the checkpoint BORDERS even without
+            # a new best (reference: src/scan_block.rs:432-435) so a
+            # consecutive gnm-ladder grow restores the doubled borders
+            bsave = save | (rdone & was_grow & (sz < S))
+
+            @pl.when(jnp.any(bsave))
+            def _():
+                CK_I[...] = jnp.where(save, ST_I[...], CK_I[...])
+                CK_J[...] = jnp.where(save, ST_J[...], CK_J[...])
+                CK_OFF[...] = jnp.where(save, ST_OFF[...], CK_OFF[...])
+                ro = right_or_end
+                CKC_D[...] = jnp.where(
+                    bsave, jnp.where(ro, ACT_D[...], PAS_D[...]), CKC_D[...])
+                CKC_C[...] = jnp.where(
+                    bsave, jnp.where(ro, ACT_C[...], PAS_R[...]), CKC_C[...])
+                CKR_D[...] = jnp.where(
+                    bsave, jnp.where(ro, PAS_D[...], ACT_D[...]), CKR_D[...])
+                CKR_R[...] = jnp.where(
+                    bsave, jnp.where(ro, PAS_R[...], ACT_C[...]), CKR_R[...])
+            gnm = jnp.where(save, 0, gnm)
+            BEST[...] = jnp.where(new_best, off_max, BEST[...])
+            ydi = jnp.where(new_best, 0, ydi)
+
+            i_ = ST_I[...]
+            j_ = ST_J[...]
+            # forced shifts skip the grow/shrink heuristics (the reference
+            # `continue`s, src/scan_block.rs:509-516); the (qlen, rlen)
+            # break is subsumed by the in-column freeze
+            forced_down = rdone & ((j_ + sz) > rlen)
+            forced_right = rdone & ~forced_down & ((i_ + sz) > qlen)
+            free = rdone & ~forced_down & ~forced_right
+
+            grow_trig = free & (2 * sz <= S) & (
+                (ydi > (sz // STEP) - 1) | (gnm == 1)
+            )
+
+            @pl.when(jnp.any(grow_trig))
+            def _():
+                PSZ[...] = jnp.where(grow_trig, sz, PSZ[...])
+                SZ[...] = jnp.where(grow_trig, 2 * sz, SZ[...])
+                ST_I[...] = jnp.where(grow_trig, CK_I[...], ST_I[...])
+                ST_J[...] = jnp.where(grow_trig, CK_J[...], ST_J[...])
+                ST_OFF[...] = jnp.where(grow_trig, CK_OFF[...], ST_OFF[...])
+                REST[...] = jnp.where(grow_trig, 1, REST[...])
+            ST_DIR[...] = jnp.where(grow_trig, DIR_GD, ST_DIR[...])
+            ydi = jnp.where(grow_trig, 0, ydi)
+
+            # ---- shrink (reference: src/scan_block.rs:534-559): on an
+            # improving rect whose border suffix carries the rect max,
+            # halve and advance into the suffix corner ----
+            canshrink = free & ~grow_trig & (sz > MIN) & (ydi == 0)
+            sufw = (rows_k >= sz - SHRINK_SUFFIX_LEN) & (rows_k < sz)
+            sufmax = jnp.maximum(
+                jnp.max(jnp.where(sufw, ACT_D[...], NEG_I32), axis=1,
+                        keepdims=True),
+                jnp.max(jnp.where(sufw, PAS_D[...], NEG_I32), axis=1,
+                        keepdims=True),
+            )
+            shrink_do = canshrink & (sufmax >= cur_max)
+
+            @pl.when(jnp.any(shrink_do))
+            def _():
+                half = sz // 2
+                for v in HALF_SIZES:
+                    vm = shrink_do & (half == v)
+                    ACT_D[...] = jnp.where(
+                        vm, shift_down_rows(ACT_D[...], v, NEG32), ACT_D[...])
+                    ACT_C[...] = jnp.where(
+                        vm, shift_down_rows(ACT_C[...], v, NEG32), ACT_C[...])
+                    PAS_D[...] = jnp.where(
+                        vm, shift_down_rows(PAS_D[...], v, NEG32), PAS_D[...])
+                    PAS_R[...] = jnp.where(
+                        vm, shift_down_rows(PAS_R[...], v, NEG32), PAS_R[...])
+                    SCQ[...] = jnp.where(
+                        vm[None], shift_down_rows(SCQ[...], v, 0), SCQ[...])
+                    SCR[...] = jnp.where(
+                        vm[None], shift_down_rows(SCR[...], v, 0), SCR[...])
+                SZ[...] = jnp.where(shrink_do, half, SZ[...])
+                ST_I[...] = jnp.where(shrink_do, ST_I[...] + half, ST_I[...])
+                ST_J[...] = jnp.where(shrink_do, ST_J[...] + half, ST_J[...])
+                CK_I[...] = jnp.where(shrink_do, ST_I[...], CK_I[...])
+                CK_J[...] = jnp.where(shrink_do, ST_J[...], CK_J[...])
+                CK_OFF[...] = jnp.where(shrink_do, ST_OFF[...], CK_OFF[...])
+                ro = right_or_end
+                CKC_D[...] = jnp.where(
+                    shrink_do, jnp.where(ro, ACT_D[...], PAS_D[...]), CKC_D[...])
+                CKC_C[...] = jnp.where(
+                    shrink_do, jnp.where(ro, ACT_C[...], PAS_R[...]), CKC_C[...])
+                CKR_D[...] = jnp.where(
+                    shrink_do, jnp.where(ro, PAS_D[...], ACT_D[...]), CKR_D[...])
+                CKR_R[...] = jnp.where(
+                    shrink_do, jnp.where(ro, PAS_R[...], ACT_C[...]), CKR_R[...])
+            ydi = jnp.where(shrink_do, 0, ydi)
+
+            YITER[...] = jnp.where(rdone, ydi, YITER[...])
+            GNM[...] = jnp.where(rdone, gnm, GNM[...])
+            # prev_dir records the completed rect; a shrink forces Grow to
+            # kill the next rect's corner (reference: src/scan_block.rs:541)
+            pdir_new = jnp.where(shrink_do, DIR_GD, dirn)
+            ST_PDIR[...] = jnp.where(rdone, pdir_new, ST_PDIR[...])
+
+            # ---- direction choice (post-shrink borders; reference:
+            # src/scan_block.rs:560-565) ----
+            free_ng = free & ~grow_trig
+            act8 = ACT_D[...][:, :STEP, :]
+            pas8 = PAS_D[...][:, :STEP, :]
+            dcol8 = jnp.where(right_or_end, act8, pas8)
+            drow8 = jnp.where(right_or_end, pas8, act8)
+            right_max = jnp.max(dcol8, axis=1, keepdims=True)
+            down_max = jnp.max(drow8, axis=1, keepdims=True)
+            godown = forced_down | (free_ng & (down_max > right_max))
+            goright = (forced_right | free_ng) & ~godown
+            ST_I[...] = jnp.where(godown, ST_I[...] + STEP, ST_I[...])
+            ST_J[...] = jnp.where(goright, ST_J[...] + STEP, ST_J[...])
+            choose = godown | goright
+            new_dir = jnp.where(godown, DIR_D, DIR_R)
+            ST_DIR[...] = jnp.where(choose, new_dir, ST_DIR[...])
+
+            # physical ACT/PAS swap on orientation flips
+            new_q = new_dir != DIR_D
+            swap = choose & (right_or_end != new_q)
+
+            @pl.when(jnp.any(swap))
+            def _():
+                ad, ac = ACT_D[...], ACT_C[...]
+                pd2, pr2 = PAS_D[...], PAS_R[...]
+                ACT_D[...] = jnp.where(swap, pd2, ad)
+                ACT_C[...] = jnp.where(swap, pr2, ac)
+                PAS_D[...] = jnp.where(swap, ad, pd2)
+                PAS_R[...] = jnp.where(swap, ac, pr2)
+
+        def body(carry):
+            s_idx, _ = carry
+            pre_step()
+            for w in range(STEP):
+                column(w)
+            post_step()
+            return (s_idx + 1, jnp.min(ST_DONE[...]))
+
+        def cond(carry):
+            s_idx, alldone = carry
+            return (s_idx < MAX_STEPS) & (alldone == 0)
+
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        # row 1: cap-overrun diagnostic (1 = this pair never finished)
+        score_ref[0] = jnp.concatenate([OUT[...], 1 - ST_DONE[...]], axis=1)
+
+    # ------------------------------------------------------------------
+    def engine(qlen, rlen, scq0, scr0, M, codes, gaps):
+        n_progs = cfg.n_programs
+        in_specs = [
+            pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        out_specs = pl.BlockSpec(
+            (1, K, 2, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((n_progs, K, 2, P), jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_progs,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((K, 2 * NCH, 128, P), jnp.int8),  # CODES
+                pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCQ
+                pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCR
+                pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCACT
+                pltpu.VMEM((NG, K, STEP, P), jnp.int32),  # NR
+                pltpu.VMEM((K, STEP, P), jnp.int32),  # EC8
+            ]
+            + [pltpu.VMEM((K, S, P), jnp.int32) for _ in range(11)]
+            + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(24)]
+            + [pltpu.SemaphoreType.DMA],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=cfg.interpret,
+        )(qlen, rlen, scq0, scr0, M, codes, gaps)
+
+    return jax.jit(engine)

@@ -1,0 +1,87 @@
+"""Adaptive Pallas kernel vs the scalar oracle (reference-exact
+grow/shrink/checkpoint; reference: src/scan_block.rs:101-593)."""
+
+import numpy as np
+import pytest
+
+from block_aligner_tpu import BLOSUM62, BlockOracle, Gaps, PaddedBytes
+from block_aligner_tpu.api import BatchAligner
+
+AA = b"ACDEFGHIKLMNPQRSTVWY"
+GAPS = Gaps(open=-11, extend=-1)
+
+
+def rand_seq(rng, n):
+    return bytes(rng.choice(list(AA), size=n).tolist())
+
+
+def mutate(rng, s, k, indel=0):
+    r = bytearray(s)
+    for _ in range(k):
+        r[int(rng.integers(0, len(r)))] = int(rng.choice(list(AA)))
+    r = bytes(r)
+    for _ in range(indel):
+        ln = int(rng.integers(8, max(9, len(s) // 3)))
+        pos = int(rng.integers(0, max(len(r) - ln, 1)))
+        if rng.integers(0, 2) and len(r) > ln + 8:
+            r = r[:pos] + r[pos + ln:]
+        else:
+            r = r[:pos] + rand_seq(rng, ln) + r[pos:]
+    return r
+
+
+def oracle_scores(pairs, size):
+    orc = BlockOracle()
+    out = []
+    for q, r in pairs:
+        pq = PaddedBytes.from_bytes(q, size[1], BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, size[1], BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, size, 0)
+        out.append(orc.res().score)
+    return out
+
+
+def test_adaptive_vs_oracle_mixed():
+    """Easy + structural-indel pairs through the (16, 64) ladder: scores
+    must match the scalar oracle bit-for-bit (grow, shrink, checkpoint
+    restore, freeze extraction)."""
+    rng = np.random.default_rng(11)
+    pairs = []
+    for _ in range(12):
+        q = rand_seq(rng, int(rng.integers(20, 120)))
+        pairs.append((q, mutate(rng, q, 5)))
+    for _ in range(16):
+        q = rand_seq(rng, int(rng.integers(40, 150)))
+        pairs.append((q, mutate(rng, q, 20, indel=2)))
+    for _ in range(4):
+        q = rand_seq(rng, int(rng.integers(5, 20)))
+        pairs.append((q, mutate(rng, q, 2)))
+    pairs.append((b"A", b"A"))
+    pairs.append((b"", b"CAT"))
+
+    al = BatchAligner(BLOSUM62, GAPS, (16, 64), batch=128, seq_cap=260)
+    assert al._adaptive
+    got = al.align_batch(pairs)
+    want = oracle_scores(pairs, (16, 64))
+    for k in range(len(pairs)):
+        assert got[k].score == want[k], (k, got[k].score, want[k])
+
+
+def test_adaptive_deep_ladder_and_staged():
+    """Long pairs with large indels force multi-level grows (and shrinks);
+    staged re-execution must agree with align_batch and the oracle."""
+    rng = np.random.default_rng(29)
+    pairs = []
+    for _ in range(10):
+        q = rand_seq(rng, int(rng.integers(100, 200)))
+        pairs.append((q, mutate(rng, q, 40, indel=3)))
+    al = BatchAligner(BLOSUM62, GAPS, (16, 128), batch=128, seq_cap=560)
+    assert al._adaptive
+    got = al.align_batch(pairs)
+    got2 = al.align_staged(al.stage(pairs))
+    want = oracle_scores(pairs, (16, 128))
+    for k in range(len(pairs)):
+        assert got[k].score == want[k] == got2[k].score, (
+            k, got[k].score, got2[k].score, want[k])
+        assert (got2[k].query_idx, got2[k].reference_idx) == (
+            len(pairs[k][0]), len(pairs[k][1]))
