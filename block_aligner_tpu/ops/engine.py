@@ -846,32 +846,45 @@ def pack_pairs(pairs, matrix, cfg: EngineConfig):
     qlen = np.zeros(B, dtype=np.int32)
     rlen = np.zeros(B, dtype=np.int32)
 
-    if not is_byte:
-        tab = matrix.dense().astype(np.int8)
     null_code = int(matrix.convert(bytes([matrix.NULL]))[0])
 
-    for b, (q, r) in enumerate(pairs):
-        qc = matrix.convert(q)
-        rc = matrix.convert(r)
-        qlen[b] = len(qc)
-        rlen[b] = len(rc)
-        qp = np.full(Lmax, null_code, dtype=np.int64)
-        rp = np.full(Lmax, null_code, dtype=np.int64)
-        qp[1 : 1 + len(qc)] = qc
-        rp[1 : 1 + len(rc)] = rc
-        if is_byte:
-            # bytes >= 128 wrap to negative i8, consistently on both sides
-            Sprof[b, 0, 0] = qp.astype(np.uint8).astype(np.int8)
-            Sprof[b, 1, 0] = rp.astype(np.uint8).astype(np.int8)
-            CRow[b, 0] = rp.astype(np.uint8).astype(np.int8)
-            CRow[b, 1] = qp.astype(np.uint8).astype(np.int8)
-        else:
-            cols_q = matrix.col_index(qp.astype(np.uint8)).astype(np.int64)
-            cols_r = matrix.col_index(rp.astype(np.uint8)).astype(np.int64)
-            Sprof[b, 0, :, :] = tab[:nr, cols_q]
-            Sprof[b, 1, :, :] = tab[:nr, cols_r]
-            CRow[b, 0] = matrix.row_index(rp.astype(np.uint8)).astype(np.int64)
-            CRow[b, 1] = matrix.row_index(qp.astype(np.uint8)).astype(np.int64)
+    # batch-wide code matrices: one conversion pass over the concatenation
+    # plus per-pair memcpy slices, then single whole-batch gathers (the
+    # per-pair fancy-indexing loop this replaces dominated short-sequence
+    # end-to-end time)
+    def as_bytes(s):
+        return s.encode("ascii") if isinstance(s, str) else bytes(s)
+
+    qs = [as_bytes(q) for q, _ in pairs]
+    rs = [as_bytes(r) for _, r in pairs]
+    qlen[: len(pairs)] = np.fromiter((len(x) for x in qs), np.int32, len(qs))
+    rlen[: len(pairs)] = np.fromiter((len(x) for x in rs), np.int32, len(rs))
+    QP = np.full((B, Lmax), null_code, dtype=np.uint8)
+    RP = np.full((B, Lmax), null_code, dtype=np.uint8)
+    qcat = matrix.convert(b"".join(qs)) if qlen.sum() else None
+    rcat = matrix.convert(b"".join(rs)) if rlen.sum() else None
+    qoff = np.concatenate([[0], np.cumsum(qlen[: len(pairs)])])
+    roff = np.concatenate([[0], np.cumsum(rlen[: len(pairs)])])
+    for b in range(len(pairs)):
+        if qlen[b]:
+            QP[b, 1 : 1 + qlen[b]] = qcat[qoff[b] : qoff[b + 1]]
+        if rlen[b]:
+            RP[b, 1 : 1 + rlen[b]] = rcat[roff[b] : roff[b + 1]]
+
+    if is_byte:
+        # bytes >= 128 wrap to negative i8, consistently on both sides
+        Sprof[:, 0, 0] = QP.astype(np.int8)
+        Sprof[:, 1, 0] = RP.astype(np.int8)
+        CRow[:, 0] = RP.astype(np.int8)
+        CRow[:, 1] = QP.astype(np.int8)
+    else:
+        tab = matrix.dense().astype(np.int8)
+        cols_q = matrix.col_index(QP).astype(np.int64)
+        cols_r = matrix.col_index(RP).astype(np.int64)
+        Sprof[:, 0] = tab[:nr, cols_q].transpose(1, 0, 2)
+        Sprof[:, 1] = tab[:nr, cols_r].transpose(1, 0, 2)
+        CRow[:, 0] = matrix.row_index(RP).astype(np.int64)
+        CRow[:, 1] = matrix.row_index(QP).astype(np.int64)
     return Sprof, CRow, qlen, rlen
 
 

@@ -1275,6 +1275,12 @@ def pack_lane_profile(pairs, cfg: LaneKernelConfig):
     qlen = np.zeros(B, np.int32)
     rlen = np.zeros(B, np.int32)
     ge = None
+    # batch-wide packing: concatenate every profile's used rows, bias/pack
+    # them in single vector passes, then memcpy the per-pair slices back
+    # (the per-pair arithmetic loop this replaces dominated PSSM
+    # end-to-end time)
+    cls = np.zeros(B, np.int64)
+    ps_parts, gv_parts = [], []
     for b, (q, prof) in enumerate(pairs):
         if prof is None:  # batch padding entry
             continue
@@ -1290,23 +1296,30 @@ def pack_lane_profile(pairs, cfg: LaneKernelConfig):
         assert 1 + len(qc) + S + 16 <= cap, "query too long"
         qcodes[b, 1 : 1 + len(qc)] = qc
         cl = min(prof.curr_len, prof.str_len + S + 1, cap)
-        ps = np.asarray(prof.pos_scores[:cl], dtype=np.int64)
-        assert ps.min() >= -128 and ps.max() <= 127, "profile score overflow"
-        pb = (ps + 128).T  # (32, cl) biased bytes
-        for g in range(NGP):
-            words[b, g, :cl] = (
-                pb[4 * g]
-                | (pb[4 * g + 1] << 8)
-                | (pb[4 * g + 2] << 16)
-                | (pb[4 * g + 3] << 24)
-            )
-        gv = [
-            np.asarray(a[:cl], dtype=np.int64) + 128
-            for a in (prof.gap_open_C, prof.gap_open_R, prof.gap_close_C)
-        ]
-        for a in gv:
-            assert a.min() >= 0 and a.max() <= 255, "gap cost overflow"
-        words[b, NGP, :cl] = gv[0] | (gv[1] << 8) | (gv[2] << 16)
+        cls[b] = cl
+        ps_parts.append(np.asarray(prof.pos_scores[:cl], dtype=np.int64))
+        gv_parts.append(np.stack([
+            np.asarray(prof.gap_open_C[:cl], dtype=np.int64),
+            np.asarray(prof.gap_open_R[:cl], dtype=np.int64),
+            np.asarray(prof.gap_close_C[:cl], dtype=np.int64),
+        ], axis=1))
+    if ps_parts:
+        ps_cat = np.concatenate(ps_parts, axis=0)  # (sum_cl, 32)
+        gv_cat = np.concatenate(gv_parts, axis=0) + 128  # (sum_cl, 3)
+        assert ps_cat.min() >= -128 and ps_cat.max() <= 127, (
+            "profile score overflow")
+        assert gv_cat.min() >= 0 and gv_cat.max() <= 255, (
+            "gap cost overflow")
+        pb = (ps_cat[:, : 4 * NGP] + 128).reshape(-1, NGP, 4)
+        w7 = (pb[..., 0] | (pb[..., 1] << 8) | (pb[..., 2] << 16)
+              | (pb[..., 3] << 24))  # (sum_cl, NGP)
+        wg = gv_cat[:, 0] | (gv_cat[:, 1] << 8) | (gv_cat[:, 2] << 16)
+        off = np.concatenate([[0], np.cumsum(cls)])
+        for b in range(B):
+            cl = int(cls[b])
+            if cl:
+                words[b, :NGP, :cl] = w7[off[b] : off[b + 1]].T
+                words[b, NGP, :cl] = wg[off[b] : off[b + 1]]
     words = words.astype(np.uint32).astype(np.int32)
 
     qc_t = np.ascontiguousarray(

@@ -73,7 +73,19 @@ def bench_uc():
     row("uc30_0.95 7000p 32-32 end-to-end", len(pairs), dt, 8.14, None,
         "incl. host pack + tunnel sync/transfer")
 
-    # adaptive 32-256 via exponential rescue (reference 32-256: 0.089 s)
+    # reference-exact adaptive 32-256 (the grow/shrink/ckpt kernel;
+    # reference uc_bench 32-256: 0.0886 s / 7000 = 12.7 us/pair)
+    ad2 = BatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=8192,
+                       seq_cap=max_len + 32)
+    assert ad2._adaptive
+    st2 = ad2.stage(spairs)
+    res2 = ad2.align_staged(st2)
+    wrong = sum(1 for k, g in zip(order, res2) if g.score != want[k])
+    dt = device_reps(ad2._lane_fn, st2[1])
+    row("uc30_0.95 7000p adaptive 32-256", len(pairs), dt, 12.7, wrong,
+        "reference-exact grow/shrink/ckpt; staged, pipelined dispatch")
+
+    # adaptive via exponential rescue (the flag-driven batch strategy)
     ad = AdaptiveBatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=8192,
                               seq_cap=max_len + 32)
     for s in ad.sizes:  # compile every rescue level up front
@@ -83,7 +95,7 @@ def bench_uc():
     dt = time.perf_counter() - t0
     wrong = sum(1 for w, g in zip(want, res) if g.score != w)
     row("uc30_0.95 7000p rescue 32..256", len(pairs), dt, 12.7, wrong,
-        "vs reference adaptive 32-256")
+        "batch rescue strategy, end-to-end")
 
     # fixed 32-32 with traceback (reference with trace: 0.170 s)
     alt = BatchAligner(BLOSUM62, BL_GAPS, (32, 32), batch=2048,
@@ -125,6 +137,16 @@ def bench_accuracy_hard():
     row("uc30-hard 7000p fixed 32-32", len(pairs), dt, None, wrong,
         "ref uc30 @32-32: 1271 wrong")
 
+    ad2 = BatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=8192,
+                       seq_cap=max_len + 32)
+    assert ad2._adaptive
+    st2 = ad2.stage(pairs)
+    res2 = ad2.align_staged(st2)
+    wrong = sum(1 for w, g in zip(want, res2) if g.score != w)
+    dt = device_reps(ad2._lane_fn, st2[1], reps=4)
+    row("uc30-hard 7000p adaptive 32-256", len(pairs), dt, None, wrong,
+        "reference-exact; ref uc30 adaptive 32-256: 224 wrong")
+
     ad = AdaptiveBatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=8192,
                               seq_cap=max_len + 32)
     for s in ad.sizes:
@@ -134,7 +156,7 @@ def bench_accuracy_hard():
     dt = time.perf_counter() - t0
     wrong = sum(1 for w, g in zip(want, res) if g.score != w)
     row("uc30-hard 7000p rescue 32..256", len(pairs), dt, None, wrong,
-        "ref uc30 adaptive 32-256: 224 wrong")
+        "batch rescue strategy; ref: 224 wrong")
 
 
 def bench_nanopore():

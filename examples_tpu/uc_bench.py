@@ -20,7 +20,7 @@ from block_aligner_tpu import BLOSUM62, BatchAligner, Gaps
 def bench(pairs, size, trace, max_len):
     al = BatchAligner(
         BLOSUM62, Gaps(open=-11, extend=-1), size=size,
-        batch=1024 if size[0] == size[1] and not trace else 256,
+        batch=256 if trace else 1024,
         seq_cap=max_len + 32, trace=trace,
     )
     # warmup (compile)
@@ -49,7 +49,7 @@ def main():
     max_len = max(max(len(q), len(r)) for q, r in pairs)
     print(f"# {len(pairs)} pairs, max len {max_len} ({args.dataset})")
 
-    for size in ((32, 32), (256, 256)):
+    for size in ((32, 32), (32, 256), (256, 256)):
         dt, _ = bench(pairs, size, False, max_len)
         print(f"size {size[0]}-{size[1]} no trace: {dt:.3f}s "
               f"({dt / len(pairs) * 1e6:.1f} us/pair)")
