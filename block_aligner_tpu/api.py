@@ -93,9 +93,12 @@ class BatchAligner:
         # reference-exact adaptive sizing (grow/shrink/ckpt) runs in its
         # own Pallas kernel for the global configuration; other adaptive
         # modes stay on the general engine
+        ndev = 1
+        if mesh is not None:
+            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         self._adaptive = (
             lane_ok and min_size < max_size and 16 <= min_size
-            and max_size <= 512 and mesh is None and not trace
+            and max_size <= 512 and not trace
             and x_drop is None and not local_start
             and not free_query_start_gaps and not free_query_end_gaps
             and use_lane_kernel is not False
@@ -119,7 +122,7 @@ class BatchAligner:
             ) > 14 * 2**20:
                 banks //= 2
             self._lane_cfg = AdaptiveKernelConfig(
-                batch=round_up(max(batch, 128), 128 * banks),
+                batch=round_up(max(batch, 128), 128 * banks * ndev),
                 min_size=min_size,
                 max_size=max_size,
                 seq_cap=cap,
@@ -127,14 +130,19 @@ class BatchAligner:
                 banks=banks,
                 interpret=jax.default_backend() != "tpu",
             )
-            self._lane_fn = build_adaptive_engine(self._lane_cfg)
+            if mesh is not None:
+                from .parallel.mesh import data_parallel_adaptive
+
+                self._lane_fn = data_parallel_adaptive(
+                    self._lane_cfg, mesh, data_axis)
+            else:
+                self._lane_fn = build_adaptive_engine(self._lane_cfg)
             self._lane = False
             self.cfg = None
             return
         if use_lane_kernel is None:
             use_lane_kernel = (
                 lane_ok and min_size == max_size and 16 <= min_size <= 512
-                and mesh is None
             )
         self._lane = use_lane_kernel
         if self._lane:
@@ -159,7 +167,7 @@ class BatchAligner:
             ) > 14 * 2**20:
                 banks //= 2
             self._lane_cfg = LaneKernelConfig(
-                batch=round_up(max(batch, 128), 128 * banks),
+                batch=round_up(max(batch, 128), 128 * banks * ndev),
                 block=min_size,
                 seq_cap=cap,
                 alpha=32 if matrix.kind != "nuc" else 16,
@@ -172,7 +180,13 @@ class BatchAligner:
                 # Mosaic compiles only on TPU; elsewhere run interpreted
                 interpret=jax.default_backend() != "tpu",
             )
-            self._lane_fn = build_lane_engine(self._lane_cfg)
+            if mesh is not None:
+                from .parallel.mesh import data_parallel_lane
+
+                self._lane_fn = data_parallel_lane(
+                    self._lane_cfg, mesh, data_axis)
+            else:
+                self._lane_fn = build_lane_engine(self._lane_cfg)
             self.cfg = None
             return
         if mesh is not None:

@@ -58,8 +58,15 @@ def data_parallel_lane(cfg, mesh: Mesh, axis: str = "data"):
     Each device runs ``cfg.n_programs / n_devices`` independent pallas
     programs on its local batch shard; scoring tables and gap parameters
     replicate.  There is no cross-chip communication at all (per-pair
-    outputs stay sharded), so scaling is embarrassingly parallel over ICI
-    -- the TPU analogue of running the reference's serial loop on N cores.
+    outputs -- scores, and in trace mode the packed trace/descriptor
+    streams -- stay sharded until the host gathers them), so scaling is
+    embarrassingly parallel over ICI -- the TPU analogue of running the
+    reference's serial loop on N cores.
+
+    Covers every non-segmented lane configuration: global, x-drop, trace,
+    profile, local-start and free-gap modes (segmented execution feeds
+    per-launch device state and stays single-chip per batch shard; shard
+    the LongBatchAligner batches across hosts instead).
     """
     import dataclasses
 
@@ -68,29 +75,61 @@ def data_parallel_lane(cfg, mesh: Mesh, axis: str = "data"):
     from ..ops.lane_kernel import build_lane_engine
 
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert not cfg.segmented, "segmented mode is per-chip; shard batches"
     assert cfg.n_programs % ndev == 0, (
         "batch must split evenly across devices"
     )
     local_cfg = dataclasses.replace(cfg, batch=cfg.batch // ndev)
     fn = build_lane_engine(local_cfg)
 
-    P_ = P(axis)
     shard0 = P(axis, None, None, None)
-    specs_in = (
-        shard0,  # qlen (n_progs, K, 1, 128)
-        shard0,  # rlen
-        P(axis, None, None, None, None),  # scq0
-        P(axis, None, None, None, None),  # scr0
-        P(),  # M
-        P(axis, None, None, None, None),  # codes
-        P(),  # gaps
+    shard5 = P(axis, None, None, None, None)
+    rep = P()
+    if cfg.profile:
+        specs_in = (shard0, shard0, shard0, shard5, shard0,
+                    P(axis, None, None, None, None, None), rep, shard5)
+    else:
+        specs_in = (shard0, shard0, shard5, shard5, rep, shard5, rep)
+    # outputs are program-leading: scores (n_progs, K, OW, P); trace mode
+    # adds the packed word stream and descriptor stream (both n_progs-led)
+    out_specs = (shard0, shard5, shard5) if cfg.trace else shard0
+    wrapped = shard_map(
+        fn, mesh=mesh, in_specs=specs_in, out_specs=out_specs,
+        check_rep=False,
     )
+
+    def run(*args):
+        return wrapped(*args)
+
+    return run
+
+
+def data_parallel_adaptive(cfg, mesh: Mesh, axis: str = "data"):
+    """Shard the adaptive (grow/shrink/ckpt) kernel's program grid over a
+    device mesh; same embarrassingly-parallel structure as
+    ``data_parallel_lane``."""
+    import dataclasses
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.adaptive_kernel import build_adaptive_engine
+
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert cfg.n_programs % ndev == 0, (
+        "batch must split evenly across devices"
+    )
+    local_cfg = dataclasses.replace(cfg, batch=cfg.batch // ndev)
+    fn = build_adaptive_engine(local_cfg)
+
+    shard0 = P(axis, None, None, None)
+    shard5 = P(axis, None, None, None, None)
+    specs_in = (shard0, shard0, shard5, shard5, P(), shard5, P())
     wrapped = shard_map(
         fn, mesh=mesh, in_specs=specs_in, out_specs=shard0,
         check_rep=False,
     )
 
-    def run(qlen, rlen, scq0, scr0, M, codes, gaps):
-        return wrapped(qlen, rlen, scq0, scr0, M, codes, gaps)
+    def run(*args):
+        return wrapped(*args)
 
     return run

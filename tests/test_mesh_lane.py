@@ -33,3 +33,115 @@ def test_lane_kernel_on_mesh():
         pr = PaddedBytes.from_bytes(r, S, BLOSUM62)
         a.align(pq, pr, BLOSUM62, gaps, (S, S), 0)
         assert int(out[k]) == a.res().score, k
+
+
+def test_lane_kernel_trace_on_mesh():
+    """Trace mode sharded over the mesh: packed word/descriptor streams
+    stay program-sharded; CIGARs must match the oracle bit-for-bit."""
+    from block_aligner_tpu.core.traceback import lane_trace
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(7)
+    S = 16
+    cfg = LaneKernelConfig(batch=8 * 128, block=S, seq_cap=256, alpha=32,
+                           banks=1, trace=True, interpret=True)
+    run = data_parallel_lane(cfg, mesh)
+    pairs = []
+    for _ in range(16):
+        n = int(rng.integers(10, 70))
+        q = bytes(rng.choice(list(AA), size=n).tolist())
+        r = bytearray(q)
+        for _ in range(n // 5):
+            r[int(rng.integers(0, len(r)))] = int(rng.choice(list(AA)))
+        pairs.append((q, bytes(r)))
+    gaps = Gaps(open=-11, extend=-1)
+    args = pack_lane(pairs, BLOSUM62, cfg, gaps)
+    out, thbm, mhbm = run(*args)
+    out = np.asarray(out)
+    steps = out[:, 0, 1, 0]
+    nsteps = int(steps.max())
+    et = lane_trace(np.asarray(thbm[:, :nsteps]),
+                    np.asarray(mhbm[:, :nsteps]), steps, S)
+    scores = out[:, :, 0, :].reshape(cfg.batch)
+    a = BlockOracle(trace=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, S, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, S, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (S, S), 0)
+        w = a.res()
+        assert int(scores[k]) == w.score, k
+        assert str(et.cigar(k, w.query_idx, w.reference_idx)) == \
+            str(a.cigar(w.query_idx, w.reference_idx)), k
+
+
+def test_lane_kernel_xdrop_on_mesh():
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(13)
+    S = 16
+    cfg = LaneKernelConfig(batch=8 * 128, block=S, seq_cap=256, alpha=32,
+                           banks=1, x_drop=True, interpret=True)
+    run = data_parallel_lane(cfg, mesh)
+    pairs = []
+    for _ in range(12):
+        n = int(rng.integers(20, 80))
+        q = bytes(rng.choice(list(AA), size=n).tolist())
+        r = bytearray(q)
+        for _ in range(n // 6):
+            r[int(rng.integers(0, len(r)))] = int(rng.choice(list(AA)))
+        pairs.append((q, bytes(r)))
+    gaps = Gaps(open=-11, extend=-1)
+    args = pack_lane(pairs, BLOSUM62, cfg, gaps, x_drop=50)
+    out = np.asarray(run(*args))
+    o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(cfg.batch, 3)
+    a = BlockOracle(x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, S, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, S, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (S, S), 50)
+        w = a.res()
+        assert (int(o2[k, 0]), int(o2[k, 1]), int(o2[k, 2])) == \
+            (w.score, w.query_idx, w.reference_idx), k
+
+
+def test_adaptive_kernel_on_mesh():
+    """Reference-exact adaptive kernel via BatchAligner(mesh=...)."""
+    from block_aligner_tpu.api import BatchAligner
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(21)
+    pairs = []
+    for _ in range(20):
+        n = int(rng.integers(20, 100))
+        q = bytes(rng.choice(list(AA), size=n).tolist())
+        r = bytearray(q)
+        for _ in range(n // 4):
+            r[int(rng.integers(0, len(r)))] = int(rng.choice(list(AA)))
+        pairs.append((q, bytes(r)))
+    gaps = Gaps(open=-11, extend=-1)
+    al = BatchAligner(BLOSUM62, gaps, (16, 32), batch=8 * 128, seq_cap=160,
+                      mesh=mesh)
+    assert al._adaptive
+    got = al.align_batch(pairs)
+    a = BlockOracle()
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 32, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (16, 32), 0)
+        assert got[k].score == a.res().score, k
+
+
+def test_multihost_dryrun_subprocess():
+    """N-host topology end to end: 2 processes x 4 virtual CPU devices,
+    jax.distributed + per-host feeding (scripts_tpu/multihost_dryrun.py)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent.parent / "scripts_tpu" / \
+        "multihost_dryrun.py"
+    env = dict(__import__("os").environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device counts
+    p = subprocess.run([sys.executable, str(script)], capture_output=True,
+                       text=True, timeout=560, env=env)
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "multihost dryrun: OK" in p.stdout
