@@ -46,9 +46,10 @@ typedef struct AlignResult {
   size_t reference_idx;
 } AlignResult;
 
-/* cigar op encoding (reference FFI: ' ', 'M', 'I', 'D') */
+/* cigar op encoding, identical to the reference Operation enum
+ * (reference: src/cigar.rs:10-31) */
 typedef struct OpLen {
-  uint32_t op; /* 0 sentinel, 1 M, 2 I, 3 D */
+  uint32_t op; /* 0 sentinel, 1 M, 2 =, 3 X, 4 I, 5 D */
   size_t len;
 } OpLen;
 
@@ -67,6 +68,9 @@ void block_free_aamatrix(AAMatrixHandle m);
 PaddedBytesHandle block_new_padded_aa(size_t len, size_t max_size);
 void block_set_bytes_padded_aa(PaddedBytesHandle pb, const uint8_t* s,
                                size_t len, size_t max_size);
+/* set reversed bytes (reference: src/ffi.rs block_set_bytes_rev_padded_aa) */
+void block_set_bytes_rev_padded_aa(PaddedBytesHandle pb, const uint8_t* s,
+                                   size_t len, size_t max_size);
 void block_free_padded_aa(PaddedBytesHandle pb);
 
 /* ---- aligner (seq-seq, amino acids) ---- */
@@ -107,17 +111,46 @@ void block_set_gap_open_R_aaprofile(AAProfileHandle p, size_t i, int8_t gap);
 void block_set_all_gap_open_C_aaprofile(AAProfileHandle p, int8_t gap);
 void block_set_all_gap_close_C_aaprofile(AAProfileHandle p, int8_t gap);
 void block_set_all_gap_open_R_aaprofile(AAProfileHandle p, int8_t gap);
+/* bulk position-major score fill with i8 shift-scaling; row r of
+ * scores (str_len x order_len, row-major) sets position r+1's entries
+ * for the amino acids in `order` (reference: src/ffi.rs:101-127) */
+void block_set_all_aaprofile(AAProfileHandle p, const uint8_t* order,
+                             size_t order_len, const int8_t* scores,
+                             size_t scores_len, size_t left_shift,
+                             size_t right_shift);
+/* like block_set_all_aaprofile but rows fill positions str_len..1 */
+void block_set_all_rev_aaprofile(AAProfileHandle p, const uint8_t* order,
+                                 size_t order_len, const int8_t* scores,
+                                 size_t scores_len, size_t left_shift,
+                                 size_t right_shift);
+int8_t block_get_aaprofile(AAProfileHandle p, size_t i, uint8_t b);
+int8_t block_get_gap_extend_aaprofile(AAProfileHandle p);
 void block_free_aaprofile(AAProfileHandle p);
 
 void block_align_profile_aa(BlockHandle b, PaddedBytesHandle q,
                             AAProfileHandle p, SizeRange s, int32_t x_drop);
 void block_align_profile_aa_trace(BlockHandle b, PaddedBytesHandle q,
                                   AAProfileHandle p, SizeRange s, int32_t x_drop);
+void block_align_profile_aa_xdrop(BlockHandle b, PaddedBytesHandle q,
+                                  AAProfileHandle p, SizeRange s, int32_t x_drop);
+void block_align_profile_aa_trace_xdrop(BlockHandle b, PaddedBytesHandle q,
+                                        AAProfileHandle p, SizeRange s,
+                                        int32_t x_drop);
 
 /* ---- cigar ---- */
 CigarHandle block_new_cigar(size_t query_len, size_t reference_len);
 void block_cigar_aa_trace(BlockHandle b, size_t query_idx, size_t reference_idx,
                           CigarHandle c);
+void block_cigar_aa_trace_xdrop(BlockHandle b, size_t query_idx,
+                                size_t reference_idx, CigarHandle c);
+/* CIGARs with =/X resolved against the sequences (reference:
+ * src/ffi.rs block_cigar_eq_aa_trace[_xdrop]) */
+void block_cigar_eq_aa_trace(BlockHandle b, PaddedBytesHandle q,
+                             PaddedBytesHandle r, size_t query_idx,
+                             size_t reference_idx, CigarHandle c);
+void block_cigar_eq_aa_trace_xdrop(BlockHandle b, PaddedBytesHandle q,
+                                   PaddedBytesHandle r, size_t query_idx,
+                                   size_t reference_idx, CigarHandle c);
 size_t block_len_cigar(CigarHandle c);
 OpLen block_get_cigar(CigarHandle c, size_t i);
 void block_free_cigar(CigarHandle c);

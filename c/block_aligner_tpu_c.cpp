@@ -193,6 +193,18 @@ void block_set_bytes_padded_aa(PaddedBytesHandle pb, const uint8_t* s,
   Py_DECREF(r);
 }
 
+void block_set_bytes_rev_padded_aa(PaddedBytesHandle pb, const uint8_t* s,
+                                   size_t len, size_t max_size) {
+  Gil g;
+  PyObject* mat = PyObject_GetAttrString(mod(), "BLOSUM62");
+  PyObject* r = PyObject_CallMethod((PyObject*)pb, "set_bytes_rev", "y#nO",
+                                    (const char*)s, (Py_ssize_t)len,
+                                    (Py_ssize_t)max_size, mat);
+  Py_DECREF(mat);
+  if (!r) die("set_bytes_rev");
+  Py_DECREF(r);
+}
+
 void block_free_padded_aa(PaddedBytesHandle pb) { free_obj(pb); }
 
 /* ---- aligners ---- */
@@ -283,6 +295,60 @@ GAP_ALL_SETTER(block_set_all_gap_close_C_aaprofile, "set_all_gap_close_C")
 GAP_ALL_SETTER(block_set_all_gap_open_R_aaprofile, "set_all_gap_open_R")
 #undef GAP_ALL_SETTER
 
+static void set_all_profile(AAProfileHandle p, const uint8_t* order,
+                            size_t order_len, const int8_t* scores,
+                            size_t scores_len, size_t left_shift,
+                            size_t right_shift, const char* method) {
+  Gil g;
+  PyObject* score_list = PyList_New((Py_ssize_t)scores_len);
+  if (!score_list) die(method);
+  for (size_t k = 0; k < scores_len; k++) {
+    PyList_SET_ITEM(score_list, (Py_ssize_t)k, PyLong_FromLong(scores[k]));
+  }
+  PyObject* r = PyObject_CallMethod((PyObject*)p, method, "y#Onn",
+                                    (const char*)order, (Py_ssize_t)order_len,
+                                    score_list, (Py_ssize_t)left_shift,
+                                    (Py_ssize_t)right_shift);
+  Py_DECREF(score_list);
+  if (!r) die(method);
+  Py_DECREF(r);
+}
+
+void block_set_all_aaprofile(AAProfileHandle p, const uint8_t* order,
+                             size_t order_len, const int8_t* scores,
+                             size_t scores_len, size_t left_shift,
+                             size_t right_shift) {
+  set_all_profile(p, order, order_len, scores, scores_len, left_shift,
+                  right_shift, "set_all");
+}
+
+void block_set_all_rev_aaprofile(AAProfileHandle p, const uint8_t* order,
+                                 size_t order_len, const int8_t* scores,
+                                 size_t scores_len, size_t left_shift,
+                                 size_t right_shift) {
+  set_all_profile(p, order, order_len, scores, scores_len, left_shift,
+                  right_shift, "set_all_rev");
+}
+
+int8_t block_get_aaprofile(AAProfileHandle p, size_t i, uint8_t b) {
+  Gil g;
+  PyObject* r = PyObject_CallMethod((PyObject*)p, "get", "ni", (Py_ssize_t)i,
+                                    (int)b);
+  if (!r) die("profile.get");
+  long v = PyLong_AsLong(r);
+  Py_DECREF(r);
+  return (int8_t)v;
+}
+
+int8_t block_get_gap_extend_aaprofile(AAProfileHandle p) {
+  Gil g;
+  PyObject* r = PyObject_CallMethod((PyObject*)p, "get_gap_extend", nullptr);
+  if (!r) die("get_gap_extend");
+  long v = PyLong_AsLong(r);
+  Py_DECREF(r);
+  return (int8_t)v;
+}
+
 void block_free_aaprofile(AAProfileHandle p) { free_obj(p); }
 
 static void align_profile(BlockHandle b, PaddedBytesHandle q, AAProfileHandle p,
@@ -302,6 +368,15 @@ void block_align_profile_aa(BlockHandle b, PaddedBytesHandle q,
 }
 void block_align_profile_aa_trace(BlockHandle b, PaddedBytesHandle q,
                                   AAProfileHandle p, SizeRange s, int32_t x) {
+  align_profile(b, q, p, s, x);
+}
+void block_align_profile_aa_xdrop(BlockHandle b, PaddedBytesHandle q,
+                                  AAProfileHandle p, SizeRange s, int32_t x) {
+  align_profile(b, q, p, s, x);
+}
+void block_align_profile_aa_trace_xdrop(BlockHandle b, PaddedBytesHandle q,
+                                        AAProfileHandle p, SizeRange s,
+                                        int32_t x) {
   align_profile(b, q, p, s, x);
 }
 
@@ -326,6 +401,34 @@ void block_cigar_aa_trace(BlockHandle b, size_t qi, size_t ri, CigarHandle c) {
   Py_DECREF(r);
 }
 
+void block_cigar_aa_trace_xdrop(BlockHandle b, size_t qi, size_t ri,
+                                CigarHandle c) {
+  block_cigar_aa_trace(b, qi, ri, c);
+}
+
+static void cigar_eq(BlockHandle b, PaddedBytesHandle q, PaddedBytesHandle r,
+                     size_t qi, size_t ri, CigarHandle c) {
+  Gil g;
+  PyObject* res = PyObject_CallMethod((PyObject*)b, "cigar_eq", "OOnnO",
+                                      (PyObject*)q, (PyObject*)r,
+                                      (Py_ssize_t)qi, (Py_ssize_t)ri,
+                                      (PyObject*)c);
+  if (!res) die("cigar_eq");
+  Py_DECREF(res);
+}
+
+void block_cigar_eq_aa_trace(BlockHandle b, PaddedBytesHandle q,
+                             PaddedBytesHandle r, size_t qi, size_t ri,
+                             CigarHandle c) {
+  cigar_eq(b, q, r, qi, ri, c);
+}
+
+void block_cigar_eq_aa_trace_xdrop(BlockHandle b, PaddedBytesHandle q,
+                                   PaddedBytesHandle r, size_t qi, size_t ri,
+                                   CigarHandle c) {
+  cigar_eq(b, q, r, qi, ri, c);
+}
+
 size_t block_len_cigar(CigarHandle c) {
   Gil g;
   Py_ssize_t n = PyObject_Length((PyObject*)c);
@@ -341,8 +444,9 @@ OpLen block_get_cigar(CigarHandle c, size_t i) {
   long len = getint(ol, "len");
   Py_DECREF(ol);
   OpLen out;
-  // map internal ops (M=1 Eq=2 X=3 I=4 D=5) to the FFI encoding (M=1 I=2 D=3)
-  out.op = (op >= 1 && op <= 3) ? 1u : (op == 4 ? 2u : (op == 5 ? 3u : 0u));
+  // internal ops match the reference Operation enum exactly
+  // (Sentinel=0 M=1 Eq=2 X=3 I=4 D=5): pass through
+  out.op = (uint32_t)op;
   out.len = (size_t)len;
   return out;
 }

@@ -29,4 +29,11 @@ def test_c_example_builds_and_runs():
     out = r.stdout
     assert "score: 12" in out  # reference c/example.c expected score
     assert "7M1I" in out
+    assert "2=1X4=1I" in out  # block_cigar_eq_aa_trace
     assert "batch scores: 77 25 -4" in out
+    # block_set_all / get / get_gap_extend + profile x-drop:
+    # MKVLATAAAA vs consensus MKVIATAAAA = 9 matches * 8 - 2
+    assert "profile len 10, gap extend -1, P[1]['M']=8" in out
+    assert "profile x-drop score: 70 idx: (10, 10)" in out
+    # block_set_bytes_rev_padded_aa: s vs reverse(s) is symmetric
+    assert "rev scores: 22 22" in out
