@@ -812,24 +812,32 @@ class LongBatchAligner:
         batch: int = 256,
         x_drop: Optional[int] = None,
         trace: bool = False,
+        profile: bool = False,
+        local_start: bool = False,
+        free_query_start_gaps: bool = False,
+        free_query_end_gaps: bool = False,
     ):
         import jax
 
-        from .ops.lane_kernel import LaneKernelConfig, build_lane_engine
+        from .ops.lane_kernel import (
+            LaneKernelConfig,
+            build_lane_engine,
+            lane_vmem_bytes,
+        )
 
         self.matrix = matrix
         self.gaps = gaps
         self.x_drop = x_drop
         self._trace_mode = trace
+        self._profile = profile
         self._last_trace: Optional[EngineTrace] = None
         banks = max(2, min(8, round_up(max(batch, 256), 256) // 128))
         while banks & (banks - 1):
             banks -= 1
-        a_ = 32 if matrix.kind != "nuc" else 16
-        while banks > 2 and (
-            banks * (2 * window * 128 + 4 * (a_ // 4) * block * 128 * 4
-                     + 10 * block * 128 * 4
-                     + (4 * block * 128 if trace else 0))
+        a_ = 32 if profile or matrix.kind != "nuc" else 16
+        while banks > (1 if profile else 2) and lane_vmem_bytes(
+            block, window, a_, banks, trace=trace, profile=profile,
+            local_start=local_start,
         ) > 12 * 2**20:
             banks //= 2
         self.cfg = LaneKernelConfig(
@@ -841,75 +849,157 @@ class LongBatchAligner:
             x_drop=x_drop is not None,
             trace=trace,
             segmented=True,
+            profile=profile,
+            local_start=local_start,
+            free_query_start_gaps=free_query_start_gaps,
+            free_query_end_gaps=free_query_end_gaps,
             interpret=jax.default_backend() != "tpu",
         )
         self._fn = build_lane_engine(self.cfg)
+        self._cut = None
 
     @property
     def batch_size(self) -> int:
         return self.cfg.batch
 
+    def _cutter(self):
+        """Jitted on-device window gather: per-pair dynamic slices of the
+        full code (or profile word) arrays, laid out for the kernel.  Keeps
+        every per-segment byte on the device -- the host only queues
+        launches (the round-1 host-side slicing paid a full window
+        transfer plus a dispatch sync per segment)."""
+        if self._cut is not None:
+            return self._cut
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        cfg = self.cfg
+        B, W = cfg.batch, cfg.seq_cap
+        n_progs, K, NCH = cfg.n_programs, cfg.banks, cfg.n_chunks
+
+        if self._profile:
+            from .ops.lane_kernel import PROF_NW
+
+            def cut(qcodes_full, words_full, baseq, baser):
+                bq = baseq.reshape(B)
+                br = baser.reshape(B)
+                qwin = jax.vmap(
+                    lambda c, s: lax.dynamic_slice(c, (s,), (W,))
+                )(qcodes_full, bq)
+                wwin = jax.vmap(
+                    lambda c, s: lax.dynamic_slice(c, (0, s), (PROF_NW, W))
+                )(words_full, br)
+                qc_t = qwin.reshape(n_progs, K, P_LANES, NCH, 128).transpose(
+                    0, 1, 3, 4, 2)
+                words_t = wwin.reshape(
+                    n_progs, K, P_LANES, PROF_NW, NCH, 128
+                ).transpose(0, 1, 3, 4, 5, 2)
+                return qc_t, words_t
+
+            self._cut = jax.jit(cut)
+        else:
+
+            def cut(codes_full, baseq, baser):
+                base = jnp.stack([baseq.reshape(B), baser.reshape(B)], 1)
+                win = jax.vmap(
+                    lambda c, s: jnp.stack([
+                        lax.dynamic_slice(c[0], (s[0],), (W,)),
+                        lax.dynamic_slice(c[1], (s[1],), (W,)),
+                    ])
+                )(codes_full, base)
+                return win.reshape(
+                    n_progs, K, P_LANES, 2 * NCH, 128
+                ).transpose(0, 1, 3, 4, 2)
+
+            self._cut = jax.jit(cut)
+        return self._cut
+
     def align_batch(self, pairs) -> List[AlignResult]:
+        import jax
         import jax.numpy as jnp
 
-        from .ops.lane_kernel import pack_lane_full, window_codes
+        from .ops.lane_kernel import (
+            pack_lane_full,
+            pack_lane_profile_full,
+        )
 
         cfg = self.cfg
         assert len(pairs) <= cfg.batch
-        qlen, rlen, scq0, scr0, M, codes_full, g = pack_lane_full(
-            pairs, self.matrix, cfg, self.gaps, x_drop=self.x_drop or 0
-        )
+        if self._profile:
+            (qlen, rlen, scq0, scr0, M, words_full, g,
+             qcodes_full) = pack_lane_profile_full(
+                pairs, cfg, x_drop=self.x_drop or 0)
+            full = (jax.device_put(qcodes_full), jax.device_put(words_full))
+        else:
+            qlen, rlen, scq0, scr0, M, codes_full, g = pack_lane_full(
+                pairs, self.matrix, cfg, self.gaps, x_drop=self.x_drop or 0
+            )
+            full = (jax.device_put(codes_full),)
         n_progs, K = cfg.n_programs, cfg.banks
         shp = (n_progs, K, 1, P_LANES)
-        baseq = np.zeros(shp, np.int32)
-        baser = np.zeros(shp, np.int32)
-        sb = jnp.zeros((n_progs, 2 * (cfg.alpha // 4), K, cfg.block, P_LANES),
-                       jnp.int32)
+        baseq = jnp.zeros(shp, jnp.int32)
+        baser = jnp.zeros(shp, jnp.int32)
+        # profile state block: PROF_NW (7 score + 1 gap word) rows + the
+        # query-code window stack (see lane_kernel segmented save/restore)
+        sb = jnp.zeros(
+            (n_progs, K, 9, cfg.block, P_LANES) if self._profile
+            else (n_progs, 2 * (cfg.alpha // 4), K, cfg.block, P_LANES),
+            jnp.int32)
         bb = jnp.zeros((n_progs, 4, K, cfg.block, P_LANES), jnp.int32)
         vb = jnp.zeros((n_progs, cfg.n_scalar_rows, K, 1, P_LANES), jnp.int32)
-        g = g.copy()
-        g[0, 3] = 1  # first segment
+        g0 = g.copy()
+        g0[0, 3] = 1  # first segment
+        g1 = g.copy()
+        g1[0, 3] = 0
 
         max_len = max(int(np.max(qlen)), int(np.max(rlen)))
         max_segs = (2 * (max_len + cfg.block) // STEP_) // cfg.seg_steps + 3
-        vb_np = None
         pro_steps = cfg.block // STEP_
-        steps_row = 3 if cfg.x_drop else 1
-        chunks = []  # per launch: (trace cols, descriptors, per-prog counts)
+        steps_row = 3 if (cfg.x_drop or cfg.free_query_end_gaps) else 1
+        cut = self._cutter()
+        chunks = []  # trace mode: per launch (words, descriptors, counts)
         s_start = 0
-        for _ in range(max_segs):
-            codes_t = window_codes(codes_full, baseq, baser, cfg)
+        for seg in range(max_segs):
+            gseg = g0 if seg == 0 else g1
+            codes_t = cut(*full, baseq, baser)
+            if not self._profile:
+                codes_t = (codes_t,)
             res = self._fn(
-                qlen, rlen, scq0, scr0, M, codes_t, g, baseq, baser,
-                sb, bb, vb,
+                qlen, rlen, scq0, scr0, M, codes_t[-1], gseg,
+                *(codes_t[:-1] if self._profile else ()),
+                baseq, baser, sb, bb, vb,
             )
             if cfg.trace:
+                # trace buffers are large: fetch each launch's executed
+                # slice before the next launch reuses HBM
                 score, sb, bb, vb, thbm, mhbm = res
                 score = np.asarray(score)
-                ran = score[:, 0, steps_row, 0] - s_start  # steps per prog
+                ran = score[:, 0, steps_row, 0] - s_start
                 hi = int(ran.max()) + s_start
+                W32 = cfg.trace_words
                 chunks.append((
-                    np.asarray(thbm[:, s_start:hi]),
+                    np.asarray(thbm[:, s_start * W32 : hi * W32]),
                     np.asarray(mhbm[:, s_start:hi]),
                     ran.astype(np.int64),
                 ))
+                if int(np.asarray(vb)[:, 6].min()) == 1:
+                    break
             else:
+                # no host sync at all: window bases flow device-to-device
                 score, sb, bb, vb = res
-            vb_np = np.asarray(vb)
-            done = vb_np[:, 6]
-            if int(done.min()) == 1:
-                break
-            g = g.copy()
-            g[0, 3] = 0
             s_start = pro_steps
-            # slide each pair's window to its current position
-            baseq = np.ascontiguousarray(vb_np[:, 0])
-            baser = np.ascontiguousarray(vb_np[:, 1])
+            baseq = vb[:, 0]
+            baser = vb[:, 1]
 
+        vb_np = np.asarray(vb)
+        assert int(vb_np[:, 6].min()) == 1, (
+            "segmented run exceeded its launch budget; raise window"
+        )
         if cfg.trace:
             self._last_trace = self._assemble_trace(chunks)
         B = cfg.batch
-        if cfg.x_drop:
+        if cfg.x_drop or cfg.free_query_end_gaps:
             sc = vb_np[:, 9].reshape(B)
             bi = vb_np[:, 10].reshape(B)
             bj = vb_np[:, 11].reshape(B)
@@ -918,6 +1008,11 @@ class LongBatchAligner:
                 for b in range(len(pairs))
             ]
         out = vb_np[:, 8].reshape(B)
+        if self._profile:
+            return [
+                AlignResult(int(out[b]), len(q), p.str_len if p else 0)
+                for b, (q, p) in enumerate(pairs)
+            ]
         return [
             AlignResult(int(out[b]), len(q), len(r))
             for b, (q, r) in enumerate(pairs)

@@ -69,7 +69,8 @@ from ..core.oracle import I16_MIN, STEP, ZERO
 
 __all__ = [
     "LaneKernelConfig", "build_lane_engine", "pack_lane", "pack_lane_profile",
-    "lane_vmem_bytes",
+    "pack_lane_profile_full", "window_profile", "pack_lane_full",
+    "window_codes", "lane_vmem_bytes",
 ]
 
 P = 128  # pairs per bank (one per lane)
@@ -138,18 +139,13 @@ class LaneKernelConfig:
         )
         if self.segmented:
             # trace composes with segmented execution: each launch streams
-            # its steps' packed bits at local offsets; the host assembles
+            # its steps' packed words at local offsets; the host assembles
             # the per-program global stream (api.LongBatchAligner)
             assert self.seg_steps > self.block // STEP, (
                 "window too small for the prologue"
             )
-        if self.profile:
-            assert not self.segmented, (
-                "segmented profile mode routes to the general engine"
-            )
         if self.local_start or self.free_query_start_gaps \
                 or self.free_query_end_gaps:
-            assert not self.segmented
             assert not (self.local_start and self.free_query_start_gaps)
         # local-start trace emits a 5th (zero-mask) bit per cell; the host
         # transfer skips nibble packing in that mode (see api.py)
@@ -349,14 +345,28 @@ def build_lane_engine(cfg: LaneKernelConfig):
             @pl.when(seg_first == 0)
             def _():
                 # restore device state from the previous segment launch
-                d1 = pltpu.make_async_copy(
-                    sb_in.at[prog, pl.ds(0, NG)], SCQ, tsem)
-                d1.start()
-                d1.wait()
-                d2 = pltpu.make_async_copy(
-                    sb_in.at[prog, pl.ds(NG, NG)], SCR, tsem)
-                d2.start()
-                d2.wait()
+                if cfg.profile:
+                    d1 = pltpu.make_async_copy(
+                        sb_in.at[prog, :, pl.ds(0, PROF_NGP)], PROFROW, tsem)
+                    d1.start()
+                    d1.wait()
+                    d2 = pltpu.make_async_copy(
+                        sb_in.at[prog, :, PROF_NGP], GAPROW, tsem)
+                    d2.start()
+                    d2.wait()
+                    d2b = pltpu.make_async_copy(
+                        sb_in.at[prog, :, PROF_NGP + 1], QCODE, tsem)
+                    d2b.start()
+                    d2b.wait()
+                else:
+                    d1 = pltpu.make_async_copy(
+                        sb_in.at[prog, pl.ds(0, NG)], SCQ, tsem)
+                    d1.start()
+                    d1.wait()
+                    d2 = pltpu.make_async_copy(
+                        sb_in.at[prog, pl.ds(NG, NG)], SCR, tsem)
+                    d2.start()
+                    d2.wait()
                 for k2, ref in enumerate((ACT_D, ACT_C, PAS_D, PAS_R)):
                     d3 = pltpu.make_async_copy(bb_in.at[prog, k2], ref, tsem)
                     d3.start()
@@ -365,8 +375,9 @@ def build_lane_engine(cfg: LaneKernelConfig):
                     d4 = pltpu.make_async_copy(vb_in.at[prog, k2], ref, tsem)
                     d4.start()
                     d4.wait()
-                right0 = (ST_DIR[...] != 1)[None]
-                SCACT[...] = jnp.where(right0, SCQ[...], SCR[...])
+                if not cfg.profile:
+                    right0 = (ST_DIR[...] != 1)[None]
+                    SCACT[...] = jnp.where(right0, SCQ[...], SCR[...])
 
         for ref in (tempD, tempR):
             ref[...] = zS
@@ -478,16 +489,23 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 jnp.broadcast_to(s_idx * STEP, (K, 1, P)),
                 jnp.where(dirn == 0, ST_J[...], ST_I[...]) + (S - STEP),
             )
+            pos8_prof = pos8
             if cfg.segmented:
-                # positions are window-relative in segmented mode
-                pos8 = pos8 - jnp.where(
-                    in_pro, 0,
-                    jnp.where(dirn == 0, baser_ref[0], baseq_ref[0]),
-                )
+                # positions are window-relative in segmented mode; profile
+                # mode windows the two sides independently (words follow
+                # the reference side, query codes the query side)
+                if cfg.profile:
+                    pos8_prof = pos8 - jnp.where(in_pro, 0, baser_ref[0])
+                    pos8 = pos8 - jnp.where(in_pro, 0, baseq_ref[0])
+                else:
+                    pos8 = pos8 - jnp.where(
+                        in_pro, 0,
+                        jnp.where(dirn == 0, baser_ref[0], baseq_ref[0]),
+                    )
             if cfg.profile:
                 # both fetches run every step; lanes moving the other way
                 # read garbage that the per-lane orientation masks discard
-                extract_prof(pos8)
+                extract_prof(pos8_prof)
             extract8(pos8, side)
 
             @pl.when(jnp.logical_not(in_pro))
@@ -997,7 +1015,29 @@ def build_lane_engine(cfg: LaneKernelConfig):
         else:
             score_ref[0] = jnp.concatenate([OUT[...], SUSP[...]], axis=1)
 
-        if cfg.segmented:
+        if cfg.segmented and cfg.profile:
+            # persist device state for the next segment launch
+            d1 = pltpu.make_async_copy(
+                PROFROW, sb_out.at[prog, :, pl.ds(0, PROF_NGP)], tsem)
+            d1.start()
+            d1.wait()
+            d2 = pltpu.make_async_copy(
+                GAPROW, sb_out.at[prog, :, PROF_NGP], tsem)
+            d2.start()
+            d2.wait()
+            d2b = pltpu.make_async_copy(
+                QCODE, sb_out.at[prog, :, PROF_NGP + 1], tsem)
+            d2b.start()
+            d2b.wait()
+            for k2, ref in enumerate((ACT_D, ACT_C, PAS_D, PAS_R)):
+                d3 = pltpu.make_async_copy(ref, bb_out.at[prog, k2], tsem)
+                d3.start()
+                d3.wait()
+            for k2, ref in enumerate(SCALARS):
+                d4 = pltpu.make_async_copy(ref, vb_out.at[prog, k2], tsem)
+                d4.start()
+                d4.wait()
+        elif cfg.segmented:
             # persist device state for the next segment launch
             d1 = pltpu.make_async_copy(SCQ, sb_out.at[prog, pl.ds(0, NG)], tsem)
             d1.start()
@@ -1063,8 +1103,12 @@ def build_lane_engine(cfg: LaneKernelConfig):
         out_specs_t, out_shape_t = [out_specs], [out_shape]
         if cfg.segmented:
             out_specs_t += [pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+            sb_shape = (
+                (n_progs, K, PROF_NW + 1, S, P) if cfg.profile
+                else (n_progs, 2 * NG, K, S, P)
+            )
             out_shape_t += [
-                jax.ShapeDtypeStruct((n_progs, 2 * NG, K, S, P), jnp.int32),
+                jax.ShapeDtypeStruct(sb_shape, jnp.int32),
                 jax.ShapeDtypeStruct((n_progs, 4, K, S, P), jnp.int32),
                 jax.ShapeDtypeStruct(
                     (n_progs, cfg.n_scalar_rows, K, 1, P), jnp.int32
@@ -1264,6 +1308,44 @@ def pack_lane_profile(pairs, cfg: LaneKernelConfig):
     assert cfg.profile
     B, S, NCH, K = cfg.batch, cfg.block, cfg.n_chunks, cfg.banks
     n_progs, cap = cfg.n_programs, cfg.seq_cap
+    qlen, rlen, qcodes, words, ge = _pack_profile_host(pairs, cfg, cap)
+    NGP, NW = PROF_NGP, PROF_NW
+
+    qc_t = np.ascontiguousarray(
+        qcodes.reshape(n_progs, K, P, NCH, 128).transpose(0, 1, 3, 4, 2)
+    )
+    words_t = np.ascontiguousarray(
+        words.reshape(n_progs, K, P, NW, NCH, 128).transpose(0, 1, 3, 4, 5, 2)
+    )
+    qc0 = np.ascontiguousarray(
+        qcodes[:, :S].astype(np.int32)
+        .reshape(n_progs, K, P, S).transpose(0, 1, 3, 2)
+    )
+    pr0 = np.ascontiguousarray(
+        words[:, :NGP, :S].reshape(n_progs, K, P, NGP, S)
+        .transpose(0, 1, 3, 4, 2)
+    )
+    gr0 = np.ascontiguousarray(
+        words[:, NGP, :S].reshape(n_progs, K, P, S).transpose(0, 1, 3, 2)
+    )
+    g = np.zeros((1, 4), dtype=np.int32)
+    g[0, 1] = ge if ge is not None else -1
+    return (
+        np.ascontiguousarray(qlen.reshape(n_progs, K, 1, P)),
+        np.ascontiguousarray(rlen.reshape(n_progs, K, 1, P)),
+        qc0,
+        pr0,
+        gr0,
+        words_t,
+        g,
+        qc_t,
+    )
+
+
+def _pack_profile_host(pairs, cfg, cap):
+    """Shared profile packing core: per-pair query codes and packed
+    per-position profile words into (B, cap) / (B, NW, cap) arrays."""
+    B, S = cfg.batch, cfg.block
     assert len(pairs) <= B
     pairs = list(pairs) + [(b"", None)] * (B - len(pairs))
     NGP, NW = PROF_NGP, PROF_NW
@@ -1321,13 +1403,24 @@ def pack_lane_profile(pairs, cfg: LaneKernelConfig):
                 words[b, :NGP, :cl] = w7[off[b] : off[b + 1]].T
                 words[b, NGP, :cl] = wg[off[b] : off[b + 1]]
     words = words.astype(np.uint32).astype(np.int32)
+    return qlen, rlen, qcodes, words, ge
 
-    qc_t = np.ascontiguousarray(
-        qcodes.reshape(n_progs, K, P, NCH, 128).transpose(0, 1, 3, 4, 2)
-    )
-    words_t = np.ascontiguousarray(
-        words.reshape(n_progs, K, P, NW, NCH, 128).transpose(0, 1, 3, 4, 5, 2)
-    )
+
+def pack_lane_profile_full(pairs, cfg: LaneKernelConfig, x_drop=0):
+    """Segmented-mode profile packing: keeps the full padded query-code and
+    profile-word arrays host-side (windows are cut per segment by
+    ``window_profile``) and builds the window-0 initial stacks."""
+    assert cfg.profile and cfg.segmented
+    B, S, K = cfg.batch, cfg.block, cfg.banks
+    n_progs = cfg.n_programs
+    NGP, NW = PROF_NGP, PROF_NW
+    max_len = 1
+    for q, prof in pairs:
+        if prof is not None:
+            max_len = max(max_len, len(q), prof.str_len)
+    full_cap = -(-(1 + max_len + S + 16) // 128) * 128 + cfg.seq_cap
+    qlen, rlen, qcodes, words, ge = _pack_profile_host(pairs, cfg, full_cap)
+
     qc0 = np.ascontiguousarray(
         qcodes[:, :S].astype(np.int32)
         .reshape(n_progs, K, P, S).transpose(0, 1, 3, 2)
@@ -1341,16 +1434,41 @@ def pack_lane_profile(pairs, cfg: LaneKernelConfig):
     )
     g = np.zeros((1, 4), dtype=np.int32)
     g[0, 1] = ge if ge is not None else -1
+    g[0, 2] = x_drop
     return (
         np.ascontiguousarray(qlen.reshape(n_progs, K, 1, P)),
         np.ascontiguousarray(rlen.reshape(n_progs, K, 1, P)),
         qc0,
         pr0,
         gr0,
-        words_t,
+        words,
         g,
-        qc_t,
+        qcodes,
     )
+
+
+def window_profile(qcodes_full, words_full, baseq, baser,
+                   cfg: LaneKernelConfig):
+    """Cut per-pair windows of the query codes (at baseq) and profile words
+    (at baser) and lay them out for the kernel: (n_progs, K, NW, NCH, 128,
+    P) int32 words and (n_progs, K, NCH, 128, P) int8 query codes."""
+    B, W = cfg.batch, cfg.seq_cap
+    n_progs, K, NCH = cfg.n_programs, cfg.banks, cfg.n_chunks
+    NW = PROF_NW
+    bq = baseq.reshape(B)
+    br = baser.reshape(B)
+    qwin = np.empty((B, W), dtype=np.int8)
+    wwin = np.empty((B, NW, W), dtype=np.int32)
+    for b in range(B):
+        qwin[b] = qcodes_full[b, bq[b] : bq[b] + W]
+        wwin[b] = words_full[b, :, br[b] : br[b] + W]
+    qc_t = np.ascontiguousarray(
+        qwin.reshape(n_progs, K, P, NCH, 128).transpose(0, 1, 3, 4, 2)
+    )
+    words_t = np.ascontiguousarray(
+        wwin.reshape(n_progs, K, P, NW, NCH, 128).transpose(0, 1, 3, 4, 5, 2)
+    )
+    return qc_t, words_t
 
 
 def pack_lane_full(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):

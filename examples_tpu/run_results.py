@@ -198,6 +198,40 @@ def bench_xdrop():
         "staged, pipelined dispatch")
 
 
+def bench_xdrop_25k():
+    """The reference's 25kbp x-drop benchmark conditions (reference:
+    examples/nanopore_bench.rs:95-120 = NW1, gaps -2/-1, x=50, fixed 32,
+    100-base random tail on each read; baseline 0.991 s for the
+    ~100-pair diff-bench sequences.txt set)."""
+    from block_aligner_tpu import NW1
+    from block_aligner_tpu.api import LongBatchAligner
+
+    rng = np.random.default_rng(1234)
+    pairs = []
+    for _ in range(100):
+        n = int(rng.integers(20000, 25000))
+        r = rand_seq_local(rng, DNA, n)
+        q = bytearray(r)
+        for _ in range(n // 10):
+            q[int(rng.integers(0, len(q)))] = int(rng.choice(list(DNA)))
+        pairs.append((bytes(q) + rand_seq_local(rng, DNA, 100),
+                      r + rand_seq_local(rng, DNA, 100)))
+    gaps = Gaps(open=-2, extend=-1)
+    al = LongBatchAligner(NW1, gaps, block=32, window=4096, batch=128,
+                          x_drop=50)
+    al.align_batch(pairs[:2])  # compile
+    t0 = time.perf_counter()
+    al.align_batch(pairs)
+    dt = time.perf_counter() - t0
+    row("nanopore 25kbp x-drop(50) 32-32", len(pairs), dt, 9910.0, None,
+        "segmented, device-chained launches; ref 0.991s/100 pairs; "
+        "upfront transfer is tunnel-bound here")
+
+
+def rand_seq_local(rng, alpha, n):
+    return bytes(rng.choice(list(alpha), size=n).tolist())
+
+
 def bench_pssm():
     import jax
     import numpy as np
@@ -229,6 +263,7 @@ def main():
     bench_accuracy_hard()
     bench_nanopore()
     bench_xdrop()
+    bench_xdrop_25k()
     bench_pssm()
 
     out = Path(__file__).resolve().parent.parent / "RESULTS.md"

@@ -126,3 +126,119 @@ def test_long_segmented_trace_x_drop():
         wc = str(a.cigar(want[1], want[2]))
         gc = str(al.cigar(k, got[1], got[2]))
         assert gc == wc, (k, gc, wc)
+
+
+def _rand_profile(rng, n, S, ge=-1):
+    from block_aligner_tpu import AAProfile
+
+    prof = AAProfile(n, 2048, ge)
+    base = rng.integers(-4, 3, size=(n, 26))
+    cons = rand_seq(rng, AA, n)
+    base[np.arange(n), np.frombuffer(cons, np.uint8) - 65] = (
+        rng.integers(4, 12, size=n)
+    )
+    prof.pos_scores[1 : n + 1, :26] = base
+    prof.gap_open_C[: n + 1] = rng.integers(-13, -8, size=n + 1)
+    prof.gap_close_C[: n + 1] = 0
+    prof.gap_open_R[: n + 1] = rng.integers(-13, -8, size=n + 1)
+    return prof, cons
+
+
+def test_long_segmented_profile():
+    """Sequence-to-PSSM through the segmented kernel: profiles/queries far
+    beyond the VMEM window, bit-exact vs the scalar oracle."""
+    rng = np.random.default_rng(9)
+    gaps = Gaps(open=-11, extend=-1)
+    S = 16
+    pairs = []
+    for _ in range(6):
+        n = int(rng.integers(300, 700))
+        prof, cons = _rand_profile(rng, n, S)
+        q = bytearray(cons)
+        for _ in range(n // 5):
+            q[int(rng.integers(0, len(q)))] = int(rng.choice(list(AA)))
+        pairs.append((bytes(q), prof))
+    al = LongBatchAligner(BLOSUM62, gaps, block=S, window=256, batch=256,
+                          profile=True)
+    got = al.align_batch(pairs)
+    orc = BlockOracle()
+    for k, (q, prof) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, S, prof)
+        orc.align_profile(pq, prof, (S, S), 0)
+        assert got[k].score == orc.res().score, (k, got[k], orc.res())
+
+
+def test_long_segmented_profile_trace():
+    rng = np.random.default_rng(31)
+    gaps = Gaps(open=-11, extend=-1)
+    S = 16
+    pairs = []
+    for _ in range(4):
+        n = int(rng.integers(300, 500))
+        prof, cons = _rand_profile(rng, n, S)
+        q = bytearray(cons)
+        for _ in range(n // 6):
+            q[int(rng.integers(0, len(q)))] = int(rng.choice(list(AA)))
+        pairs.append((bytes(q), prof))
+    al = LongBatchAligner(BLOSUM62, gaps, block=S, window=256, batch=256,
+                          profile=True, trace=True)
+    got = al.align_batch(pairs)
+    for k, (q, prof) in enumerate(pairs):
+        orc = BlockOracle(trace=True)
+        pq = PaddedBytes.from_bytes(q, S, prof)
+        orc.align_profile(pq, prof, (S, S), 0)
+        w = orc.res()
+        assert got[k].score == w.score, (k, got[k], w)
+        wc = str(orc.cigar(w.query_idx, w.reference_idx))
+        gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
+        assert gc == wc, (k, gc, wc)
+
+
+def test_long_segmented_local_start():
+    rng = np.random.default_rng(43)
+    gaps = Gaps(open=-11, extend=-1)
+    S = 16
+    pairs = []
+    for _ in range(6):
+        n = int(rng.integers(300, 600))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 6, AA)))
+    al = LongBatchAligner(BLOSUM62, gaps, block=S, window=256, batch=256,
+                          local_start=True, x_drop=100)
+    got = al.align_batch(pairs)
+    orc = BlockOracle(local_start=True, x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, S, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, S, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, gaps, (S, S), 100)
+        w = orc.res()
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
+            w.score, w.query_idx, w.reference_idx), (k, got[k], w)
+
+
+def test_long_segmented_free_query_end_gaps():
+    """Short query vs long reference with free trailing query gaps
+    (the reference's semiglobal read-anchoring mode)."""
+    rng = np.random.default_rng(59)
+    gaps = Gaps(open=-11, extend=-1)
+    S = 32
+    pairs = []
+    for _ in range(6):
+        r = rand_seq(rng, AA, int(rng.integers(400, 700)))
+        pos = int(rng.integers(0, len(r) - 40))
+        q = bytearray(r[pos : pos + int(rng.integers(12, 28))])
+        for _ in range(3):
+            q[int(rng.integers(0, len(q)))] = int(rng.choice(list(AA)))
+        pairs.append((bytes(q), r))
+    al = LongBatchAligner(BLOSUM62, gaps, block=S, window=256, batch=256,
+                          free_query_start_gaps=True,
+                          free_query_end_gaps=True)
+    got = al.align_batch(pairs)
+    orc = BlockOracle(free_query_start_gaps=True, free_query_end_gaps=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, S, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, S, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, gaps, (S, S), 0)
+        w = orc.res()
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
+            w.score, w.query_idx, w.reference_idx), (k, got[k], w)
