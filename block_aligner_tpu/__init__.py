@@ -30,7 +30,7 @@ from .core.scores import (
 )
 from .core.seqs import PaddedBytes
 from .api import (AdaptiveBatchAligner, BatchAligner, LongBatchAligner,
-                  ProfileAligner, align_exp_all)
+                  ProfileAligner, align_exp_all, align_profile_exp_all)
 
 __version__ = "0.1.0"
 
@@ -41,6 +41,7 @@ __all__ = [
     "LongBatchAligner",
     "ProfileAligner",
     "align_exp_all",
+    "align_profile_exp_all",
     "BlockOracle",
     "Cigar",
     "Operation",

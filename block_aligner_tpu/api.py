@@ -35,7 +35,9 @@ from .ops.engine import EngineConfig, build_engine, pack_pairs, pack_profiles
 P_LANES = 128  # lane-kernel pairs per bank
 STEP_ = 8
 
-__all__ = ["BatchAligner", "ProfileAligner", "AdaptiveBatchAligner", "LongBatchAligner", "align_exp_all", "round_up"]
+__all__ = ["BatchAligner", "ProfileAligner", "AdaptiveBatchAligner",
+           "LongBatchAligner", "align_exp_all", "align_profile_exp_all",
+           "round_up"]
 
 
 def round_up(x: int, m: int) -> int:
@@ -502,6 +504,8 @@ class ProfileAligner:
         seq_cap: int = 1024,
         trace: bool = False,
         x_drop: Optional[int] = None,
+        mesh=None,
+        data_axis: str = "data",
         use_lane_kernel: Optional[bool] = None,
     ):
         min_size, max_size = size
@@ -511,6 +515,9 @@ class ProfileAligner:
         self._trace_mode = trace
         self._last_trace: Optional[EngineTrace] = None
         self.last_suspect = None
+        ndev = 1
+        if mesh is not None:
+            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         if use_lane_kernel is None:
             use_lane_kernel = min_size == max_size and 16 <= min_size <= 512
         self._lane = use_lane_kernel
@@ -533,13 +540,20 @@ class ProfileAligner:
             ) > 14 * 2**20:
                 banks //= 2
             self._lane_cfg = LaneKernelConfig(
-                batch=round_up(max(batch, 128), 128 * banks),
+                batch=round_up(max(batch, 128), 128 * banks * ndev),
                 block=min_size, seq_cap=cap, profile=True, banks=banks,
                 trace=trace, x_drop=x_drop is not None, interpret=interp,
             )
-            self._fn = build_lane_engine(self._lane_cfg)
+            if mesh is not None:
+                from .parallel.mesh import data_parallel_lane
+
+                self._fn = data_parallel_lane(
+                    self._lane_cfg, mesh, data_axis)
+            else:
+                self._fn = build_lane_engine(self._lane_cfg)
             self.cfg = None
             return
+        assert mesh is None, "mesh requires the lane kernel (fixed sizes)"
         cap = round_up(1 + seq_cap + max_size + 16, 128)
         self.cfg = EngineConfig(
             batch=batch,
@@ -614,6 +628,66 @@ class ProfileAligner:
         rj = np.asarray(rj)
         return [AlignResult(int(score[k]), int(qi[k]), int(rj[k])) for k in range(len(pairs))]
 
+    def align_all(self, pairs, sort: bool = True) -> List[AlignResult]:
+        """Align an arbitrary number of (query, profile) pairs in batches
+        (outside trace mode, length-sorted like BatchAligner.align_all)."""
+        sort = sort and not self._trace_mode and len(pairs) > 1
+        if sort:
+            order = sorted(
+                range(len(pairs)),
+                key=lambda k: len(pairs[k][0]) + (
+                    pairs[k][1].str_len if pairs[k][1] else 0),
+            )
+            work = [pairs[k] for k in order]
+        else:
+            order = None
+            work = pairs
+        got: List[AlignResult] = []
+        for k in range(0, len(work), self.batch_size):
+            got.extend(self.align_batch(work[k : k + self.batch_size]))
+        if order is None:
+            return got
+        out: List[Optional[AlignResult]] = [None] * len(pairs)
+        for pos, k in enumerate(order):
+            out[k] = got[pos]
+        return out
+
+    def stage(self, pairs):
+        """Pack a (query, profile) batch and place it on device; run with
+        ``align_staged`` (lane-kernel, non-trace configurations)."""
+        import jax
+
+        from .ops.lane_kernel import pack_lane_profile
+
+        assert self._lane and not self._trace_mode
+        cfg = self._lane_cfg
+        assert len(pairs) <= cfg.batch
+        args = list(pack_lane_profile(pairs, cfg))
+        if self.x_drop is not None:
+            args[6] = args[6].copy()
+            args[6][0, 2] = self.x_drop
+        ql = np.asarray(args[0]).reshape(cfg.batch).copy()
+        rl = np.asarray(args[1]).reshape(cfg.batch).copy()
+        return (len(pairs), jax.device_put(tuple(args)), (ql, rl))
+
+    def align_staged(self, staged) -> List[AlignResult]:
+        n, args, (ql, rl) = staged
+        cfg = self._lane_cfg
+        out = np.asarray(self._fn(*args))
+        self.last_suspect = (
+            out[:, :, -1, :].reshape(cfg.batch)[:n].astype(bool)
+        )
+        if cfg.x_drop:
+            o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(cfg.batch, 3)
+            return [
+                AlignResult(int(o2[k, 0]), int(o2[k, 1]), int(o2[k, 2]))
+                for k in range(n)
+            ]
+        sc = out[:, :, 0, :].reshape(cfg.batch)
+        return [
+            AlignResult(int(sc[k]), int(ql[k]), int(rl[k])) for k in range(n)
+        ]
+
     def trace(self) -> EngineTrace:
         assert self._trace_mode and self._last_trace is not None
         return self._last_trace
@@ -655,6 +729,46 @@ def align_exp_all(
             aligners[cur] = BatchAligner(
                 matrix, gaps, (cur, max_size), batch=batch, seq_cap=seq_cap,
                 x_drop=x_drop,
+            )
+        al = aligners[cur]
+        sub = [pairs[k] for k in pending]
+        res = al.align_all(sub)
+        still = []
+        for k, got in zip(pending, res):
+            results[k] = got
+            if got.score >= target_scores[k]:
+                min_sizes[k] = cur
+            else:
+                still.append(k)
+        pending = still
+        cur *= 2
+    return results, min_sizes
+
+
+def align_profile_exp_all(
+    pairs,
+    target_scores,
+    size: Tuple[int, int] = (32, 256),
+    *,
+    x_drop: Optional[int] = None,
+    batch: int = 256,
+    seq_cap: int = 1024,
+):
+    """Batched exponential search on the min block size for (query, PSSM)
+    pairs (reference: Block::align_profile_exp, src/scan_block.rs:907-925);
+    same retry structure as ``align_exp_all``."""
+    min_size, max_size = size
+    results: List[Optional[AlignResult]] = [None] * len(pairs)
+    min_sizes: List[Optional[int]] = [None] * len(pairs)
+    pending = list(range(len(pairs)))
+    cur = max(min_size, 16)
+    aligners = {}
+    while pending and cur <= max_size:
+        if cur not in aligners:
+            # the reference retries with the (doubled-min, max) adaptive
+            # range; min == max takes the lane kernel automatically
+            aligners[cur] = ProfileAligner(
+                (cur, max_size), batch=batch, seq_cap=seq_cap, x_drop=x_drop,
             )
         al = aligners[cur]
         sub = [pairs[k] for k in pending]

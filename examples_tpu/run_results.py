@@ -285,8 +285,8 @@ def main():
             "that, not device throughput.  bench.py's repeated-dispatch "
             "methodology isolates device throughput.\n"
             "\nHeadline: see bench.py (1k-protein global 32 block, "
-            "B=65536) and BENCH_r*.json; last recorded 3.39 us/pair = "
-            "7.1x the 24.1 us/pair AVX2 baseline.\n")
+            "B=65536) and BENCH_r*.json; last recorded 2.96 us/pair = "
+            "8.2x the 24.1 us/pair AVX2 baseline.\n")
     print(f"wrote {out}")
 
 
