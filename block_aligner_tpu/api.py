@@ -101,7 +101,7 @@ class BatchAligner:
         self._adaptive = (
             lane_ok and min_size < max_size and 16 <= min_size
             and max_size <= 512 and not trace
-            and x_drop is None and not local_start
+            and not local_start
             and not free_query_start_gaps and not free_query_end_gaps
             and use_lane_kernel is not False
         )
@@ -130,6 +130,7 @@ class BatchAligner:
                 seq_cap=cap,
                 alpha=a_,
                 banks=banks,
+                x_drop=x_drop is not None,
                 interpret=jax.default_backend() != "tpu",
             )
             if mesh is not None:
@@ -253,7 +254,8 @@ class BatchAligner:
         if self._adaptive:
             from .ops.lane_kernel import pack_lane
 
-            args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps)
+            args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps,
+                             x_drop=self.x_drop or 0)
             return self._adaptive_results(
                 np.asarray(self._lane_fn(*args)), pairs
             )
@@ -384,14 +386,21 @@ class BatchAligner:
         return got
 
     def _adaptive_results(self, out, pairs, lens=None) -> List[AlignResult]:
-        """Decode the adaptive kernel's output block (row 0 = score, row 1
-        = step-cap overrun diagnostic, which must be clear)."""
+        """Decode the adaptive kernel's output block (score [+ best i/j in
+        x-drop mode]; the last row is the step-cap overrun diagnostic,
+        which must be clear)."""
         B = self._lane_cfg.batch
-        over = out[:, :, 1, :].reshape(B)
+        over = out[:, :, -1, :].reshape(B)
         n = len(pairs) if lens is None else lens[2]
         assert not over[:n].any(), (
             "adaptive kernel hit its step cap; raise seq_cap/max_steps"
         )
+        if self._lane_cfg.x_drop:
+            o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(B, 3)
+            return [
+                AlignResult(int(o2[b, 0]), int(o2[b, 1]), int(o2[b, 2]))
+                for b in range(n)
+            ]
         sc = out[:, :, 0, :].reshape(B)
         if lens is not None:
             ql, rl, n = lens
@@ -414,7 +423,8 @@ class BatchAligner:
         if self._adaptive:
             from .ops.lane_kernel import pack_lane
 
-            args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps)
+            args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps,
+                             x_drop=self.x_drop or 0)
             ql = np.asarray(args[0]).reshape(self._lane_cfg.batch).copy()
             rl = np.asarray(args[1]).reshape(self._lane_cfg.batch).copy()
             return (len(pairs), jax.device_put(args), (ql, rl))

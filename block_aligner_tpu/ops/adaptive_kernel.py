@@ -36,8 +36,14 @@ col_len), reading lane ``lane_len - lane_start`` -- never inside GROW_D,
 whose partial columns the reference discards in favor of the following
 GROW_R border.
 
-Global mode (the adaptive reference configurations used by uc_bench /
-accuracy); x-drop / trace adaptive configurations stay on the engine.
+Global and x-drop modes (the adaptive reference configurations used by
+uc_bench / accuracy / nanopore_bench).  X-drop reproduces the reference's
+16-residue max tracker with chunk-granular argmax, the X_DROP_ITER=2
+hysteresis, and the grow-rect argmax selection (the GROW_R tracker wins
+ties over the GROW_D tracker, src/scan_block.rs:463-482 /
+oracle.py:463-482); there is no early-exit freeze -- pairs finish at rect
+ends (terminate or reached), exactly like the reference.  Trace adaptive
+configurations stay on the engine.
 """
 
 from __future__ import annotations
@@ -91,6 +97,7 @@ class AdaptiveKernelConfig:
     seq_cap: int  # padded sequence capacity, multiple of 128
     alpha: int = 32
     banks: int = 2
+    x_drop: bool = False  # x-drop termination + best-position tracking
     interpret: bool = False
 
     def __post_init__(self):
@@ -173,17 +180,23 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
          CORN, CVEC, OUT, SZ, PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
          GNM, REST, FRA, FRT, FRIDX) = scr[:24]
         scr = scr[24:]
+        if cfg.x_drop:
+            (XVM, XAI, XAJ, XBI, XBJ, XITER, GDMAX, GDBI, GDBJ) = scr[:9]
+            scr = scr[9:]
         (sem,) = scr
         prog = pl.program_id(0)
 
         open_ = gap_ref[0, 0]
         e = gap_ref[0, 1]
+        xdrop_x = gap_ref[0, 2]
         qlen = qlen_ref[0]  # (K, 1, P)
         rlen = rlen_ref[0]
 
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (S, P), 0)
         rows_k = rows_iota[None]  # (1, S, P): broadcasts against (K, 1, P)
         oh_iota = jax.lax.broadcasted_iota(jnp.int32, (A, K, P), 0)
+        r16_iota = jax.lax.broadcasted_iota(jnp.int32, (K, 16, P), 1)
+        ch_iota = jax.lax.broadcasted_iota(jnp.int32, (K, S // 16, 16, P), 1)
         zc = e * ((rows_iota % STEP) + 1)
         NEG_I32 = jnp.iinfo(jnp.int32).min
 
@@ -215,6 +228,15 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
         CVEC[...] = z1 + NEG32
         for ref in (FRA, FRT, FRIDX):
             ref[...] = z1
+        if cfg.x_drop:
+            XVM[...] = jnp.full((K, 16, P), NEG_I32, jnp.int32)
+            XAI[...] = jnp.zeros((K, 16, P), jnp.int32)
+            XAJ[...] = jnp.zeros((K, 16, P), jnp.int32)
+            for ref in (XBI, XBJ, XITER):
+                ref[...] = z1
+            GDMAX[...] = z1 + NEG_I32
+            GDBI[...] = z1
+            GDBJ[...] = z1
         dma.wait()
 
         Mb = M_ref[...].astype(jnp.bfloat16)
@@ -352,13 +374,22 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                               j_ + psz + cpos),
                 ),
             )
-            lane_len = jnp.where(right_or, qlen, rlen)
-            col_len = jnp.where(right_or, rlen, qlen)
-            # no extraction inside GROW_D: the reference's final grow
-            # border is the GROW_R lane border (src/scan_block.rs:567-575)
-            FRA[...] = ((ls + h > lane_len) & (dirn != DIR_GD)).astype(jnp.int32)
-            FRT[...] = col_len - cstart
-            FRIDX[...] = jnp.clip(lane_len - ls, 0, S - 1)
+            if cfg.x_drop:
+                # x-drop has no early-exit freeze (reference gates it off,
+                # oracle.py:691-693); FRA/FRT double as the rect's absolute
+                # lane/column origins for the argmax tracker
+                FRA[...] = ls
+                FRT[...] = cstart
+            else:
+                lane_len = jnp.where(right_or, qlen, rlen)
+                col_len = jnp.where(right_or, rlen, qlen)
+                # no extraction inside GROW_D: the reference's final grow
+                # border is the GROW_R lane border (src/scan_block.rs:567-575)
+                FRA[...] = (
+                    (ls + h > lane_len) & (dirn != DIR_GD)
+                ).astype(jnp.int32)
+                FRT[...] = col_len - cstart
+                FRIDX[...] = jnp.clip(lane_len - ls, 0, S - 1)
 
             # ---- advance the moved side's score-plane stack ----
             score_new_rows()
@@ -466,6 +497,23 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 PAS_D[...] = jnp.where(gm, bot_d, PAS_D[...])
                 PAS_R[...] = jnp.where(gm, bot_r, PAS_R[...])
 
+            if cfg.x_drop:
+                # 16-lane-residue max tracker with chunk-granular argmax
+                # (reference SIMD bookkeeping; same structure as the lane
+                # kernel's fixed-block tracker), masked to the rect height
+                Dr = jnp.where(rows_k < h, D11, NEG32).reshape(
+                    K, S // 16, 16, P)
+                vm_new = jnp.maximum(XVM[...], Dr.max(axis=1))
+                eqm = Dr == vm_new[:, None]
+                hit = jnp.max(jnp.where(eqm, ch_iota, -1), axis=1)
+                upd = hit >= 0
+                XAI[...] = jnp.where(upd, FRA[...] + hit * 16, XAI[...])
+                # FRT (the per-step column origin) already includes the
+                # grow-phase progress
+                XAJ[...] = jnp.where(upd, FRT[...] + w, XAJ[...])
+                XVM[...] = vm_new
+                return
+
             # freeze + extraction at the reference's early-exit column
             fr_new = (FRA[...] == 1) & (w >= FRT[...]) & (done == 0)
 
@@ -517,6 +565,24 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 ACT_C[...] = jnp.where(gd_done, pr2, ac)
                 PAS_D[...] = jnp.where(gd_done, ad, pd2)
                 PAS_R[...] = jnp.where(gd_done, ac, pr2)
+                if cfg.x_drop:
+                    # bank the GROW_D half's tracker candidate (the
+                    # reference keeps a separate grow_tracker) and reset
+                    # the tracker for the GROW_R half
+                    vm = XVM[...]
+                    cm = jnp.max(vm, axis=1, keepdims=True)
+                    ridx = jnp.min(jnp.where(vm == cm, r16_iota, 16),
+                                   axis=1, keepdims=True)
+                    sel = r16_iota == ridx
+                    ai = jnp.max(jnp.where(sel, XAI[...] + r16_iota, NEG_I32),
+                                 axis=1, keepdims=True)
+                    aj = jnp.max(jnp.where(sel, XAJ[...], NEG_I32),
+                                 axis=1, keepdims=True)
+                    GDMAX[...] = jnp.where(gd_done, cm, GDMAX[...])
+                    # down-oriented: lanes are the reference axis
+                    GDBI[...] = jnp.where(gd_done, aj, GDBI[...])
+                    GDBJ[...] = jnp.where(gd_done, ai, GDBJ[...])
+                    XVM[...] = jnp.where(gd_done, NEG_I32, XVM[...])
             ST_DIR[...] = jnp.where(gd_done, DIR_GR, ST_DIR[...])
 
             # ---- rect completion: tracker/offset bookkeeping + the
@@ -558,9 +624,43 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
 
             i_ = ST_I[...]
             j_ = ST_J[...]
+            if cfg.x_drop:
+                # best-position bookkeeping: the rect tracker's candidate,
+                # or for grow rects the GROW_D half's banked candidate when
+                # it strictly beats the GROW_R half (reference ties favor
+                # the right tracker, oracle.py:475)
+                vm = XVM[...]
+                cmr = jnp.max(vm, axis=1, keepdims=True)
+                ridx = jnp.min(jnp.where(vm == cmr, r16_iota, 16),
+                               axis=1, keepdims=True)
+                sel = r16_iota == ridx
+                ai = jnp.max(jnp.where(sel, XAI[...] + r16_iota, NEG_I32),
+                             axis=1, keepdims=True)
+                aj = jnp.max(jnp.where(sel, XAJ[...], NEG_I32),
+                             axis=1, keepdims=True)
+                bi_r = jnp.where(right_or_end, ai, aj)
+                bj_r = jnp.where(right_or_end, aj, ai)
+                use_right = (~was_grow) | (cmr >= GDMAX[...])
+                XBI[...] = jnp.where(
+                    new_best, jnp.where(use_right, bi_r, GDBI[...]), XBI[...])
+                XBJ[...] = jnp.where(
+                    new_best, jnp.where(use_right, bj_r, GDBJ[...]), XBJ[...])
+                XVM[...] = jnp.where(rdone, NEG_I32, XVM[...])
+                GDMAX[...] = jnp.where(rdone, NEG_I32, GDMAX[...])
+                # termination: X_DROP_ITER = 2 hysteresis + both-ends reach
+                # (reference: src/scan_block.rs:497-507)
+                xfail = rdone & (off_max < BEST[...] - xdrop_x)
+                terminate = xfail & (XITER[...] >= 1)
+                XITER[...] = jnp.where(
+                    xfail, XITER[...] + 1,
+                    jnp.where(rdone, 0, XITER[...]))
+                reached = rdone & ((i_ + sz) > qlen) & ((j_ + sz) > rlen)
+                done_now = terminate | reached
+                ST_DONE[...] = jnp.where(done_now, 1, ST_DONE[...])
+                rdone = rdone & ~done_now
             # forced shifts skip the grow/shrink heuristics (the reference
-            # `continue`s, src/scan_block.rs:509-516); the (qlen, rlen)
-            # break is subsumed by the in-column freeze
+            # `continue`s, src/scan_block.rs:509-516); in global mode the
+            # (qlen, rlen) break is subsumed by the in-column freeze
             forced_down = rdone & ((j_ + sz) > rlen)
             forced_right = rdone & ~forced_down & ((i_ + sz) > qlen)
             free = rdone & ~forced_down & ~forced_right
@@ -677,8 +777,15 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             return (s_idx < MAX_STEPS) & (alldone == 0)
 
         lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
-        # row 1: cap-overrun diagnostic (1 = this pair never finished)
-        score_ref[0] = jnp.concatenate([OUT[...], 1 - ST_DONE[...]], axis=1)
+        # last row: cap-overrun diagnostic (1 = this pair never finished)
+        if cfg.x_drop:
+            score_ref[0] = jnp.concatenate(
+                [BEST[...], XBI[...], XBJ[...], 1 - ST_DONE[...]], axis=1
+            )
+        else:
+            score_ref[0] = jnp.concatenate(
+                [OUT[...], 1 - ST_DONE[...]], axis=1
+            )
 
     # ------------------------------------------------------------------
     def engine(qlen, rlen, scq0, scr0, M, codes, gaps):
@@ -692,10 +799,11 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
+        OW = 4 if cfg.x_drop else 2
         out_specs = pl.BlockSpec(
-            (1, K, 2, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, K, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
-        out_shape = jax.ShapeDtypeStruct((n_progs, K, 2, P), jnp.int32)
+        out_shape = jax.ShapeDtypeStruct((n_progs, K, OW, P), jnp.int32)
         return pl.pallas_call(
             kernel,
             grid=(n_progs,),
@@ -712,6 +820,11 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             ]
             + [pltpu.VMEM((K, S, P), jnp.int32) for _ in range(11)]
             + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(24)]
+            + (
+                [pltpu.VMEM((K, 16, P), jnp.int32) for _ in range(3)]
+                + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(6)]
+                if cfg.x_drop else []
+            )
             + [pltpu.SemaphoreType.DMA],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,

@@ -178,6 +178,16 @@ def bench_nanopore():
     row("nanopore <10kbp global 128-128", len(pairs), dt, 246.0, wrong,
         f"staged; accuracy sampled {len(list(sample))} pairs; ref 1%-1% band")
 
+    # with trace: the reference's 1.233s/5000 row records the trace during
+    # alignment without building CIGARs; ours streams packed words to HBM
+    alt = BatchAligner(matrix, gaps, (128, 128), batch=256, seq_cap=max_len,
+                       trace=True)
+    stt = alt.stage(pairs[: alt.batch_size])
+    dt = device_reps(alt._lane_fn, stt[1], reps=3)
+    row("nanopore <10kbp 128-128 + trace", alt.batch_size, dt, 246.0, None,
+        "staged, pipelined dispatch; trace stream stays in HBM (the "
+        "reference keeps its trace in RAM without building CIGARs)")
+
 
 def bench_xdrop():
     rng = np.random.default_rng(7)

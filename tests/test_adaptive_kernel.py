@@ -85,3 +85,31 @@ def test_adaptive_deep_ladder_and_staged():
             k, got[k].score, got2[k].score, want[k])
         assert (got2[k].query_idx, got2[k].reference_idx) == (
             len(pairs[k][0]), len(pairs[k][1]))
+
+
+def test_adaptive_xdrop_vs_oracle():
+    """Adaptive x-drop (grow/shrink + 16-residue argmax tracker +
+    X_DROP_ITER hysteresis): scores AND best positions must match the
+    scalar oracle (reference: src/scan_block.rs:463-507)."""
+    rng = np.random.default_rng(17)
+    pairs = []
+    for _ in range(10):
+        q = rand_seq(rng, int(rng.integers(30, 140)))
+        pairs.append((q, mutate(rng, q, 8)))
+    for _ in range(10):  # unrelated: x-drop terminates early
+        pairs.append((rand_seq(rng, 100), rand_seq(rng, 100)))
+    for _ in range(10):  # indel-heavy: grows mid-run
+        q = rand_seq(rng, int(rng.integers(50, 150)))
+        pairs.append((q, mutate(rng, q, 25, indel=2)))
+    al = BatchAligner(BLOSUM62, GAPS, (16, 64), batch=128, seq_cap=300,
+                      x_drop=50)
+    assert al._adaptive and al._lane_cfg.x_drop
+    got = al.align_batch(pairs)
+    orc = BlockOracle(x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 64, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 64, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (16, 64), 50)
+        w = orc.res()
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
+            w.score, w.query_idx, w.reference_idx), (k, got[k], w)

@@ -226,3 +226,58 @@ def test_profile_aligner_lane_trace_and_xdrop():
         gc = str(lane.cigar(k, got[k].query_idx, got[k].reference_idx))
         wc = str(eng.cigar(k, want[k].query_idx, want[k].reference_idx))
         assert gc == wc, (k, gc, wc)
+
+
+def test_profile_aligner_staged_and_align_all():
+    """ProfileAligner stage/align_staged and sorted align_all agree with
+    align_batch; align_profile_exp_all matches the oracle's
+    align_profile_exp min sizes (reference: src/scan_block.rs:907-925)."""
+    import numpy as np
+
+    from block_aligner_tpu import (AAProfile, BlockOracle, PaddedBytes,
+                                   ProfileAligner, align_profile_exp_all)
+
+    rng = np.random.default_rng(4)
+    AA = b"ACDEFGHIKLMNPQRSTVWY"
+
+    def rand_profile(n):
+        prof = AAProfile(n, 2048, -1)
+        base = rng.integers(-4, 3, size=(n, 26))
+        cons = bytes(rng.choice(list(AA), size=n).tolist())
+        base[np.arange(n), np.frombuffer(cons, np.uint8) - 65] = (
+            rng.integers(4, 12, size=n)
+        )
+        prof.pos_scores[1 : n + 1, :26] = base
+        prof.gap_open_C[: n + 1] = -11
+        prof.gap_close_C[: n + 1] = 0
+        prof.gap_open_R[: n + 1] = -11
+        return prof, cons
+
+    pairs = []
+    for _ in range(8):
+        n = int(rng.integers(30, 100))
+        prof, cons = rand_profile(n)
+        q = bytearray(cons)
+        for _ in range(n // 4):
+            q[int(rng.integers(0, len(q)))] = int(rng.choice(list(AA)))
+        pairs.append((bytes(q), prof))
+
+    pa = ProfileAligner((16, 16), batch=128, seq_cap=200)
+    r1 = pa.align_batch(pairs)
+    r2 = pa.align_staged(pa.stage(pairs))
+    r3 = pa.align_all(pairs)
+    assert [x.score for x in r1] == [x.score for x in r2] \
+        == [x.score for x in r3]
+
+    orc = BlockOracle()
+    tg = []
+    for q, prof in pairs:
+        pq = PaddedBytes.from_bytes(q, 64, prof)
+        orc.align_profile(pq, prof, (64, 64), 0)
+        tg.append(orc.res().score)
+    res, ms = align_profile_exp_all(pairs, tg, (16, 64), batch=128,
+                                    seq_cap=200)
+    for k, (q, prof) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 64, prof)
+        want_ms = orc.align_profile_exp(pq, prof, (16, 64), 0, tg[k])
+        assert ms[k] == want_ms, (k, ms[k], want_ms)
