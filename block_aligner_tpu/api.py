@@ -100,8 +100,7 @@ class BatchAligner:
             ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         self._adaptive = (
             lane_ok and min_size < max_size and 16 <= min_size
-            and max_size <= 512 and not trace
-            and not local_start
+            and max_size <= 512 and not local_start
             and not free_query_start_gaps and not free_query_end_gaps
             and use_lane_kernel is not False
         )
@@ -131,6 +130,7 @@ class BatchAligner:
                 alpha=a_,
                 banks=banks,
                 x_drop=x_drop is not None,
+                trace=trace,
                 interpret=jax.default_backend() != "tpu",
             )
             if mesh is not None:
@@ -256,9 +256,22 @@ class BatchAligner:
 
             args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps,
                              x_drop=self.x_drop or 0)
-            return self._adaptive_results(
-                np.asarray(self._lane_fn(*args)), pairs
-            )
+            res = self._lane_fn(*args)
+            if self._lane_cfg.trace:
+                from .core.traceback import adaptive_trace
+
+                out, thbm, mhbm = res
+                out = np.asarray(out)
+                steps_row = 3 if self._lane_cfg.x_drop else 1
+                steps = out[:, 0, steps_row, 0]
+                nsteps = int(steps.max())
+                self._last_trace = adaptive_trace(
+                    np.asarray(thbm[:, :nsteps]),
+                    np.asarray(mhbm[:, :nsteps]), steps,
+                    self._lane_cfg.max_size,
+                )
+                return self._adaptive_results(out, pairs)
+            return self._adaptive_results(np.asarray(res), pairs)
         if self._lane:
             from .ops.lane_kernel import pack_lane
 
@@ -423,6 +436,9 @@ class BatchAligner:
         if self._adaptive:
             from .ops.lane_kernel import pack_lane
 
+            assert not self._trace_mode, (
+                "use align_batch for adaptive trace (per-batch trace state)"
+            )
             args = pack_lane(pairs, self.matrix, self._lane_cfg, self.gaps,
                              x_drop=self.x_drop or 0)
             ql = np.asarray(args[0]).reshape(self._lane_cfg.batch).copy()

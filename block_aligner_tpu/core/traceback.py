@@ -529,6 +529,70 @@ class LaneTrace:
         return cigars
 
 
+def adaptive_trace(thbm, mhbm, steps, block: int) -> "EngineTrace":
+    """Decode the adaptive kernel's trace stream into an ``EngineTrace``.
+
+    Unlike the fixed-block lane stream, rects vary per pair (8-column
+    shifts, multi-step grow halves) and the checkpoint machine emits
+    save/restore events, so the stream decodes into the ENGINE's
+    (T, B, H) trace / (T, B, 2) meta format, whose replay (and native
+    walker) already implements the stack-like checkpoint semantics
+    (reference: src/scan_block.rs:1451-1462).
+
+    thbm: (n_progs, nsteps, 1, K, S, P) int32, 8 columns per word;
+    mhbm: (n_progs, nsteps, K, 6, P): right, lane start, column start,
+    height, flags (valid | rectstart<<1 | save<<2 | restore<<3), unused;
+    steps: per-program executed step counts.
+    """
+    raw = np.asarray(thbm)
+    mh = np.asarray(mhbm)
+    steps = np.asarray(steps).reshape(-1)
+    n_progs, _, _, K, S, P_ = raw.shape
+    assert S == block
+    B = n_progs * K * P_
+    nsteps = int(steps.max())
+    ncols = nsteps * STEP_
+
+    pk = raw[:, :nsteps, 0].transpose(1, 0, 2, 4, 3).reshape(nsteps, B, S)
+    trace_arr = np.empty((ncols, B, S), dtype=np.int8)
+    for c in range(STEP_):
+        trace_arr[c::STEP_] = ((pk >> (4 * c)) & 15).astype(np.int8)
+
+    m = mh[:, :nsteps].transpose(1, 0, 2, 4, 3)  # (nsteps, n_progs, K, P, 6)
+    right = m[..., 0].astype(np.int32)
+    ls = m[..., 1].astype(np.int32)
+    cstart = m[..., 2].astype(np.int32)
+    h = m[..., 3].astype(np.int32)
+    fl = m[..., 4].astype(np.int32)
+    ran = (
+        np.arange(nsteps)[:, None, None, None] < steps[None, :, None, None]
+    ).astype(np.int32)
+    valid = (fl & 1) * ran
+    rectstart = ((fl >> 1) & 1) * valid
+    save = ((fl >> 2) & 1) * ran
+    restore = ((fl >> 3) & 1) * ran
+
+    w = np.arange(STEP_)[None, :, None, None, None]
+    valid8 = valid[:, None] * np.ones_like(w)
+    first = (w == 0).astype(np.int32)
+    meta1 = (
+        ls[:, None]
+        | (right[:, None] << 25)
+        | (valid8 << 26)
+        | ((save[:, None] * first) << 27)
+        | ((restore[:, None] * first) << 28)
+        | ((rectstart[:, None] * first) << 29)
+    )
+    meta2 = (cstart[:, None] + w) | (h[:, None] << 17)
+    live = (valid8 == 1) | ((save[:, None] | restore[:, None]) * first == 1)
+    meta1 = np.where(live, meta1, 0)
+    meta2 = np.where(valid8 == 1, meta2, 0)
+    meta = np.stack(
+        [meta1.reshape(ncols, B), meta2.reshape(ncols, B)], axis=-1
+    ).astype(np.int32)
+    return EngineTrace(trace_arr, np.ascontiguousarray(meta), ncols)
+
+
 def lane_trace(thbm, mhbm, steps, block: int, *, local_start=False,
                free_query_start_gaps=False, words: Optional[int] = None,
                ) -> "LaneTrace":

@@ -98,6 +98,7 @@ class AdaptiveKernelConfig:
     alpha: int = 32
     banks: int = 2
     x_drop: bool = False  # x-drop termination + best-position tracking
+    trace: bool = False  # stream packed trace words + rect/ckpt events
     interpret: bool = False
 
     def __post_init__(self):
@@ -172,6 +173,9 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
 
     def kernel(qlen_ref, rlen_ref, scq0_ref, scr0_ref, M_ref, codes_hbm,
                gap_ref, score_ref, *scr):
+        if cfg.trace:
+            thbm, mhbm = scr[0], scr[1]
+            scr = scr[2:]
         (CODES, SCQ, SCR, SCACT, NR, EC8,
          ACT_D, ACT_C, PAS_D, PAS_R, tempD, tempR, DMAX,
          CKC_D, CKC_C, CKR_D, CKR_R) = scr[:17]
@@ -183,8 +187,25 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
         if cfg.x_drop:
             (XVM, XAI, XAJ, XBI, XBJ, XITER, GDMAX, GDBI, GDBJ) = scr[:9]
             scr = scr[9:]
-        (sem,) = scr
+        if cfg.trace:
+            (TST, MST, PEND_SV, PEND_RS) = scr[:4]
+            scr = scr[4:]
+            sem, tsems, msems = scr
+        else:
+            (sem,) = scr
         prog = pl.program_id(0)
+        if cfg.trace:
+            # double-buffered trace staging, same scheme as the lane kernel
+
+            def t_dma(slot, step):
+                return pltpu.make_async_copy(
+                    TST.at[slot], thbm.at[prog, step], tsems.at[slot]
+                )
+
+            def m_dma(slot, step):
+                return pltpu.make_async_copy(
+                    MST.at[slot], mhbm.at[prog, step], msems.at[slot]
+                )
 
         open_ = gap_ref[0, 0]
         e = gap_ref[0, 1]
@@ -237,6 +258,9 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             GDMAX[...] = z1 + NEG_I32
             GDBI[...] = z1
             GDBJ[...] = z1
+        if cfg.trace:
+            PEND_SV[...] = z1
+            PEND_RS[...] = z1
         dma.wait()
 
         Mb = M_ref[...].astype(jnp.bfloat16)
@@ -278,7 +302,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             8-aligned target window picks up the entering rows in order."""
             return jnp.tile(NR[...], (1, 1, S // STEP, 1))
 
-        def pre_step():
+        def pre_step(slot=None):
             dirn = ST_DIR[...]
             done = ST_DONE[...]
             sz = SZ[...]
@@ -374,6 +398,22 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                               j_ + psz + cpos),
                 ),
             )
+            if cfg.trace:
+                # this step's rect descriptor + deferred ckpt events (the
+                # save/restore decided at the END of the previous step must
+                # precede this step's rect in the decoder's event order)
+                flags = (
+                    (done == 0).astype(jnp.int32)
+                    | (newrect.astype(jnp.int32) << 1)
+                    | (PEND_SV[...] << 2)
+                    | (PEND_RS[...] << 3)
+                )
+                MST[pl.ds(slot, 1)] = jnp.concatenate(
+                    [right_or.astype(jnp.int32), ls, cstart, h, flags, z1],
+                    axis=1,
+                )[None]
+                PEND_SV[...] = z1
+                PEND_RS[...] = z1
             if cfg.x_drop:
                 # x-drop has no early-exit freeze (reference gates it off,
                 # oracle.py:691-693); FRA/FRT double as the rect's absolute
@@ -416,7 +456,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             SCR[...] = sr_new
             SCACT[...] = jnp.where(right_or[None], sq_new, sr_new)
 
-        def column(w):
+        def column(w, slot=None, tr_pend=None):
             done = ST_DONE[...]
             dirn = ST_DIR[...]
             sz = SZ[...]
@@ -462,6 +502,26 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 k *= 2
             R11 = jnp.maximum(t, zc)
             D11 = jnp.maximum(D11, R11)
+
+            if cfg.trace:
+                # packed 2+2-bit trace emission (identical bit semantics to
+                # the lane kernel / reference src/scan_block.rs:1166-1190);
+                # all 8 columns of the step pack into one i32 per cell
+                tb = (D11 == C11).astype(jnp.int32) | (
+                    (D11 == R11).astype(jnp.int32) << 1
+                )
+                temp_tr = (R11 == D11_open).astype(jnp.int32)
+                tr_R = jnp.concatenate(
+                    [jnp.zeros((K, 1, P), jnp.int32), temp_tr[:, : S - 1, :]],
+                    axis=1,
+                )
+                t2b = (C11 == C11_open).astype(jnp.int32) | (tr_R << 1)
+                word = tb | (t2b << 2)
+                acc_t = word if w == 0 else tr_pend[0] | (word << (4 * w))
+                if w == STEP - 1:
+                    TST[pl.ds(slot, 1), 0] = acc_t[None]
+                else:
+                    tr_pend[0] = acc_t
 
             # the tracker only sees rows inside the pair's current rect
             # height: rows past h hold the recurrence's continuation (the
@@ -764,11 +824,31 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 PAS_D[...] = jnp.where(swap, ad, pd2)
                 PAS_R[...] = jnp.where(swap, ac, pr2)
 
+            if cfg.trace:
+                # checkpoint trace events, emitted with the NEXT step's
+                # descriptor (reference: src/scan_block.rs:1451-1462; the
+                # oracle's ckpt_rects bookkeeping)
+                PEND_SV[...] = jnp.where(bsave | shrink_do, 1, PEND_SV[...])
+                PEND_RS[...] = jnp.where(grow_trig, 1, PEND_RS[...])
+
         def body(carry):
             s_idx, _ = carry
-            pre_step()
+            if cfg.trace:
+                slot = lax.rem(s_idx, 2)
+
+                @pl.when(s_idx >= 2)
+                def _():
+                    t_dma(slot, s_idx - 2).wait()
+                    m_dma(slot, s_idx - 2).wait()
+            else:
+                slot = None
+            pre_step(slot)
+            tr_pend = [None]
             for w in range(STEP):
-                column(w)
+                column(w, slot, tr_pend)
+            if cfg.trace:
+                t_dma(slot, s_idx).start()
+                m_dma(slot, s_idx).start()
             post_step()
             return (s_idx + 1, jnp.min(ST_DONE[...]))
 
@@ -776,16 +856,30 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             s_idx, alldone = carry
             return (s_idx < MAX_STEPS) & (alldone == 0)
 
-        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
-        # last row: cap-overrun diagnostic (1 = this pair never finished)
+        final = lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        if cfg.trace:
+            last = final[0]
+
+            @pl.when(last >= 2)
+            def _():
+                t_dma(lax.rem(last - 2, 2), last - 2).wait()
+                m_dma(lax.rem(last - 2, 2), last - 2).wait()
+
+            @pl.when(last >= 1)
+            def _():
+                t_dma(lax.rem(last - 1, 2), last - 1).wait()
+                m_dma(lax.rem(last - 1, 2), last - 1).wait()
+        # last row: cap-overrun diagnostic (1 = this pair never finished);
+        # trace mode also reports the executed step count for the decoder
+        rows = []
         if cfg.x_drop:
-            score_ref[0] = jnp.concatenate(
-                [BEST[...], XBI[...], XBJ[...], 1 - ST_DONE[...]], axis=1
-            )
+            rows += [BEST[...], XBI[...], XBJ[...]]
         else:
-            score_ref[0] = jnp.concatenate(
-                [OUT[...], 1 - ST_DONE[...]], axis=1
-            )
+            rows += [OUT[...]]
+        if cfg.trace:
+            rows += [jnp.full((K, 1, P), final[0], jnp.int32)]
+        rows += [1 - ST_DONE[...]]
+        score_ref[0] = jnp.concatenate(rows, axis=1)
 
     # ------------------------------------------------------------------
     def engine(qlen, rlen, scq0, scr0, M, codes, gaps):
@@ -799,11 +893,24 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        OW = 4 if cfg.x_drop else 2
+        OW = (3 if cfg.x_drop else 1) + (1 if cfg.trace else 0) + 1
         out_specs = pl.BlockSpec(
             (1, K, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((n_progs, K, OW, P), jnp.int32)
+        if cfg.trace:
+            out_specs = (
+                out_specs,
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            )
+            out_shape = (
+                out_shape,
+                jax.ShapeDtypeStruct(
+                    (n_progs, MAX_STEPS, 1, K, S, P), jnp.int32
+                ),
+                jax.ShapeDtypeStruct((n_progs, MAX_STEPS, K, 6, P), jnp.int32),
+            )
         return pl.pallas_call(
             kernel,
             grid=(n_progs,),
@@ -825,7 +932,20 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(6)]
                 if cfg.x_drop else []
             )
-            + [pltpu.SemaphoreType.DMA],
+            + (
+                [
+                    pltpu.VMEM((2, 1, K, S, P), jnp.int32),  # TST x2 slots
+                    pltpu.VMEM((2, K, 6, P), jnp.int32),  # MST x2 slots
+                    pltpu.VMEM((K, 1, P), jnp.int32),  # PEND_SV
+                    pltpu.VMEM((K, 1, P), jnp.int32),  # PEND_RS
+                ]
+                if cfg.trace else []
+            )
+            + [pltpu.SemaphoreType.DMA]
+            + (
+                [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+                if cfg.trace else []
+            ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),

@@ -1,0 +1,109 @@
+"""Render the measured-results figures (the TPU analogue of the
+reference's ``vis/block_aligner_bench_vis.ipynb`` output cells).
+
+Parses RESULTS.md and draws a single-axis grouped bar comparison of
+us/pair (log scale) for every row with a reference baseline, plus an
+accuracy summary table, into ``vis/``.
+
+Chart conventions: one axis; two fixed-order categorical series (palette
+slots 1 and 2 of the validated reference palette -- blue #2a78d6 = this
+framework, orange #eb6834 = reference single-core AVX2); thin marks with
+baseline-anchored bars; labels and values in ink, not series color;
+legend present.  Static SVG artifacts, so the interactive hover layer
+does not apply.
+
+Usage: python examples_tpu/vis_results.py
+"""
+
+import re
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+ROOT = Path(__file__).resolve().parent.parent
+OURS = "#2a78d6"  # categorical slot 1 (validated reference palette)
+REF = "#eb6834"  # categorical slot 2
+INK = "#1a1a19"
+MUTED = "#6b6a63"
+
+
+def parse_results():
+    rows = []
+    for line in (ROOT / "RESULTS.md").read_text().splitlines():
+        m = re.match(r"\| ([^|]+) \| (\d+) \| ([\d.]+) \| ([\d.-]+) \|", line)
+        if not m:
+            continue
+        name, n, us, ref = m.groups()
+        rows.append((name.strip(), int(n), float(us),
+                     None if ref == "-" else float(ref)))
+    return rows
+
+
+def bench_figure(rows):
+    # device-throughput rows only: end-to-end / rescue / trace+cigar rows
+    # are bounded by this dev machine's tunnel, not the chip (RESULTS.md
+    # environment caveat)
+    comp = [(n, us, ref) for n, _, us, ref in rows
+            if ref is not None and "end-to-end" not in n
+            and "rescue" not in n and "trace+cigar" not in n]
+    comp = comp[::-1]  # top row first after barh
+    names = [c[0] for c in comp]
+    ours = [c[1] for c in comp]
+    refs = [c[2] for c in comp]
+    y = range(len(comp))
+    fig, ax = plt.subplots(figsize=(9.5, 0.52 * len(comp) + 1.6))
+    h = 0.34
+    ax.barh([i + h / 2 + 0.02 for i in y], ours, height=h, color=OURS,
+            label="this framework (1 TPU chip)", zorder=3)
+    ax.barh([i - h / 2 - 0.02 for i in y], refs, height=h, color=REF,
+            label="block-aligner (1 AVX2 core)", zorder=3)
+    ax.set_xscale("log")
+    ax.set_yticks(list(y), names, fontsize=8.5, color=INK)
+    ax.set_xlabel("microseconds per pair (log scale; lower is better)",
+                  fontsize=9, color=MUTED)
+    for i, (a, b) in enumerate(zip(ours, refs)):
+        ax.annotate(f"{b / a:.1f}x", (max(a, b) * 1.15, i), va="center",
+                    fontsize=8.5, color=INK)
+    ax.legend(loc="lower right", fontsize=8.5, frameon=False)
+    for s in ("top", "right", "left"):
+        ax.spines[s].set_visible(False)
+    ax.tick_params(length=0)
+    ax.grid(axis="x", color="#e4e3dd", linewidth=0.75, zorder=0)
+    ax.set_title("Measured device throughput vs the reference baseline",
+                 fontsize=11, color=INK, loc="left")
+    fig.tight_layout()
+    out = ROOT / "vis" / "bench_comparison.svg"
+    out.parent.mkdir(exist_ok=True)
+    fig.savefig(out)
+    fig.savefig(out.with_suffix(".png"), dpi=130)
+    print("wrote", out)
+
+
+def accuracy_table(rows):
+    acc = []
+    for line in (ROOT / "RESULTS.md").read_text().splitlines():
+        m = re.match(r"\| ([^|]+) \|[^|]+\|[^|]+\|[^|]+\|[^|]+\| "
+                     r"(\d+)/(\d+) \|", line)
+        if m:
+            acc.append((m.group(1).strip(), int(m.group(2)), int(m.group(3))))
+    out = ROOT / "vis" / "accuracy.md"
+    out.parent.mkdir(exist_ok=True)
+    with open(out, "w") as f:
+        f.write("# Score exactness vs the full-DP oracle\n\n")
+        f.write("| workload | wrong | fraction |\n|---|---|---|\n")
+        for name, w, n in acc:
+            f.write(f"| {name} | {w}/{n} | {w / n:.2%} |\n")
+    print("wrote", out)
+
+
+def main():
+    rows = parse_results()
+    bench_figure(rows)
+    accuracy_table(rows)
+
+
+if __name__ == "__main__":
+    main()
