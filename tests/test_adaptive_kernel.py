@@ -113,3 +113,31 @@ def test_adaptive_xdrop_vs_oracle():
         w = orc.res()
         assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
             w.score, w.query_idx, w.reference_idx), (k, got[k], w)
+
+
+def test_adaptive_trace_cigars():
+    """Adaptive trace: the kernel's packed word stream + rect descriptors +
+    save/restore checkpoint events decode into CIGARs matching the scalar
+    oracle exactly (reference trace ckpt: src/scan_block.rs:1451-1462)."""
+    rng = np.random.default_rng(67)
+    pairs = []
+    for _ in range(5):
+        q = rand_seq(rng, int(rng.integers(20, 70)))
+        pairs.append((q, mutate(rng, q, 5)))
+    for _ in range(5):  # indel-heavy: grow/restore events in the stream
+        q = rand_seq(rng, int(rng.integers(30, 70)))
+        pairs.append((q, mutate(rng, q, 12, indel=1)))
+    al = BatchAligner(BLOSUM62, GAPS, (16, 32), batch=128, seq_cap=160,
+                      trace=True)
+    assert al._adaptive and al._lane_cfg.trace
+    got = al.align_batch(pairs)
+    orc = BlockOracle(trace=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 32, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (16, 32), 0)
+        w = orc.res()
+        assert got[k].score == w.score, (k, got[k], w)
+        wc = str(orc.cigar(w.query_idx, w.reference_idx))
+        gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
+        assert gc == wc, (k, gc, wc)
