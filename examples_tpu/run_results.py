@@ -118,6 +118,19 @@ def bench_uc():
     row("uc30_0.95 trace kernel (device rate)", alt.batch_size, dtk, 24.3,
         None, "staged, pipelined dispatch; trace stream stays in HBM")
 
+    # adaptive 32-256 WITH trace (reference uc_bench traced 32-256:
+    # 0.152 s / 7000 = 21.7 us/pair for uc30_0.95)
+    at2 = BatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=2048,
+                       seq_cap=max_len + 32, trace=True)
+    assert at2._adaptive and at2._lane_cfg.trace
+    from block_aligner_tpu.ops.lane_kernel import pack_lane
+
+    args = jax.device_put(pack_lane(spairs[:2048], BLOSUM62, at2._lane_cfg,
+                                    at2.gaps))
+    dtk = device_reps(at2._lane_fn, args, reps=4)
+    row("uc30_0.95 adaptive 32-256 + trace kernel", 2048, dtk, 21.7, None,
+        "staged, pipelined dispatch; trace + ckpt events stay in HBM")
+
 
 def bench_accuracy_hard():
     """Adaptivity accuracy on the harder set (structural indels; the
