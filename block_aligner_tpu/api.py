@@ -91,10 +91,10 @@ class BatchAligner:
         # per-pair y-drop suspect flags from the last lane-kernel batch
         # (True = the reference's adaptive heuristic would have grown)
         self.last_suspect = None
-        lane_ok = not isinstance(matrix, ByteMatrix)
+        lane_ok = True
+        is_byte = isinstance(matrix, ByteMatrix)
         # reference-exact adaptive sizing (grow/shrink/ckpt) runs in its
-        # own Pallas kernel for the global configuration; other adaptive
-        # modes stay on the general engine
+        # own Pallas kernel; profile-adaptive stays on the general engine
         ndev = 1
         if mesh is not None:
             ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -113,7 +113,7 @@ class BatchAligner:
                 build_adaptive_engine,
             )
 
-            a_ = 32 if matrix.kind != "nuc" else 16
+            a_ = 4 if is_byte else (32 if matrix.kind != "nuc" else 16)
             cap = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
             banks = max(1, min(16, round_up(max(batch, 128), 128) // 128))
             while banks & (banks - 1):
@@ -131,6 +131,7 @@ class BatchAligner:
                 banks=banks,
                 x_drop=x_drop is not None,
                 trace=trace,
+                byte_mode=is_byte,
                 interpret=jax.default_backend() != "tpu",
             )
             if mesh is not None:
@@ -163,7 +164,7 @@ class BatchAligner:
                 banks -= 1
             # VMEM-resident codes/stacks: shrink banks to fit the ~16 MiB
             # core budget (long sequences, trace staging)
-            a_ = 32 if matrix.kind != "nuc" else 16
+            a_ = 4 if is_byte else (32 if matrix.kind != "nuc" else 16)
             while banks > 2 and lane_vmem_bytes(
                 min_size, cap, a_, banks, trace=trace,
                 local_start=local_start,
@@ -173,7 +174,8 @@ class BatchAligner:
                 batch=round_up(max(batch, 128), 128 * banks * ndev),
                 block=min_size,
                 seq_cap=cap,
-                alpha=32 if matrix.kind != "nuc" else 16,
+                alpha=a_,
+                byte_mode=is_byte,
                 banks=banks,
                 x_drop=x_drop is not None,
                 trace=trace,
@@ -965,6 +967,9 @@ class LongBatchAligner:
             lane_vmem_bytes,
         )
 
+        assert getattr(matrix, "kind", "") != "byte", (
+            "segmented ByteMatrix routes to the general engine"
+        )
         self.matrix = matrix
         self.gaps = gaps
         self.x_drop = x_drop

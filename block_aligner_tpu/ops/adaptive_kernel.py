@@ -99,6 +99,7 @@ class AdaptiveKernelConfig:
     banks: int = 2
     x_drop: bool = False  # x-drop termination + best-position tracking
     trace: bool = False  # stream packed trace words + rect/ckpt events
+    byte_mode: bool = False  # ByteMatrix equality scoring (alpha = 4)
     interpret: bool = False
 
     def __post_init__(self):
@@ -281,7 +282,11 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
         def score_new_rows():
             """NR[g, k, r, b] = packed scores of EC8 codes (one one-hot MXU
             matmul per entering row; identical packing to the host/lane
-            kernel paths, so device-built rows are bit-equal)."""
+            kernel paths, so device-built rows are bit-equal).  Byte mode
+            carries the raw codes instead of packed scores."""
+            if cfg.byte_mode:
+                NR[0] = EC8[...]
+                return
             ec = EC8[...]
             for r in range(STEP):
                 oh = (oh_iota == ec[:, r, :][None]).astype(jnp.bfloat16)
@@ -464,12 +469,18 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             cpos = CPOS[...]
 
             c_w = EC8[:, w, :][:, None, :]
-            grp = c_w >> 2
-            sub = (c_w & 3) << 3
-            acc = SCACT[0]
-            for g in range(1, NG):
-                acc = jnp.where(grp == g, SCACT[g], acc)
-            scores = ((acc >> sub) & 255) - 128
+            if cfg.byte_mode:
+                # equality scoring (reference ByteMatrix)
+                scores = jnp.where(
+                    SCACT[0] == c_w, gap_ref[0, 4], gap_ref[0, 5]
+                )
+            else:
+                grp = c_w >> 2
+                sub = (c_w & 3) << 3
+                acc = SCACT[0]
+                for g in range(1, NG):
+                    acc = jnp.where(grp == g, SCACT[g], acc)
+                scores = ((acc >> sub) & 255) - 128
 
             D10 = ACT_D[...]
             C10 = ACT_C[...]

@@ -119,6 +119,8 @@ class LaneKernelConfig:
     # seq_cap becomes a per-segment code *window*; DP state round-trips
     # through HBM between segment launches (see LongBatchAligner)
     profile: bool = False  # sequence-to-PSSM scoring (reference align_profile)
+    byte_mode: bool = False  # ByteMatrix equality scoring (no score table:
+    # alpha=4 collapses the packed stacks to one code word per position)
     local_start: bool = False  # alignment may start anywhere (local prefix)
     free_query_start_gaps: bool = False  # leading query gaps are free
     free_query_end_gaps: bool = False  # trailing query gaps are free
@@ -147,6 +149,11 @@ class LaneKernelConfig:
         if self.local_start or self.free_query_start_gaps \
                 or self.free_query_end_gaps:
             assert not (self.local_start and self.free_query_start_gaps)
+        if self.byte_mode:
+            assert self.alpha == 4 and not self.profile
+            assert not self.segmented, (
+                "segmented byte mode routes to the general engine"
+            )
         # local-start trace emits a 5th (zero-mask) bit per cell; the host
         # transfer skips nibble packing in that mode (see api.py)
         if self.free_query_end_gaps:
@@ -441,7 +448,11 @@ def build_lane_engine(cfg: LaneKernelConfig):
             per byte: one one-hot matmul per entering row (exact: one-hot x
             small-int table, bf16 -> f32).  The host pre-biases (+128) and
             byte-plane-orders the table rows so packing is 4 contiguous row
-            slices + shifts."""
+            slices + shifts.  Byte mode skips the table entirely: the
+            "stack" rows ARE the entering codes."""
+            if cfg.byte_mode:
+                NR[0] = EC8[...]
+                return
             ec = EC8[...]
             for r in range(STEP):
                 oh = (oh_iota == ec[:, r, :][None]).astype(jnp.bfloat16)
@@ -620,12 +631,19 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 # score column: NG-way select over the packed plane stack,
                 # then per-lane byte extraction ((v+128) biased little-endian)
                 rightm = None
-                grp = c_w >> 2
-                sub = (c_w & 3) << 3
-                acc = SCACT[0]
-                for g in range(1, NG):
-                    acc = jnp.where(grp == g, SCACT[g], acc)
-                scores = ((acc >> sub) & 255) - 128
+                if cfg.byte_mode:
+                    # equality scoring (reference ByteMatrix): compare the
+                    # lane-code window against the entering byte
+                    scores = jnp.where(
+                        SCACT[0] == c_w, gap_ref[0, 4], gap_ref[0, 5]
+                    )
+                else:
+                    grp = c_w >> 2
+                    sub = (c_w & 3) << 3
+                    acc = SCACT[0]
+                    for g in range(1, NG):
+                        acc = jnp.where(grp == g, SCACT[g], acc)
+                    scores = ((acc >> sub) & 255) - 128
 
             D10 = ACT_D[...]
             C10 = ACT_C[...]
@@ -1208,9 +1226,14 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
     assert len(pairs) <= B
     pairs = list(pairs) + [(b"", b"")] * (B - len(pairs))
 
-    tab = matrix.dense()
     M = np.full((A, A), -128, dtype=np.int32)
-    if matrix.kind == "nuc":
+    if getattr(cfg, "byte_mode", False):
+        assert matrix.kind == "byte"
+        M[:] = 0  # equality scoring needs no table
+        conv = matrix.convert
+        null_code = matrix.NULL
+    elif matrix.kind == "nuc":
+        tab = matrix.dense()
         assert A >= 16
         for x in range(16):
             for y in range(16):
@@ -1221,6 +1244,7 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
 
         null_code = matrix.NULL & 15
     else:
+        tab = matrix.dense()
         M[: tab.shape[0], : tab.shape[1]] = tab
         conv = matrix.convert
         null_code = int(matrix.convert(bytes([matrix.NULL]))[0])
@@ -1271,19 +1295,33 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
 
     # initial lane-window score stacks: rows = positions 0..S-1
     first = codes.reshape(n_progs, K, P, 2, NCH * 128)[..., :S].astype(np.int64)
-    # scq0[t, g, k, s, p] = packed_tab[g, qcode[t, k, p, s]]
-    scq0 = np.ascontiguousarray(
-        packed_tab[:, first[:, :, :, 0, :]].transpose(1, 0, 2, 4, 3)
-    )
-    scr0 = np.ascontiguousarray(
-        packed_tab[:, first[:, :, :, 1, :]].transpose(1, 0, 2, 4, 3)
-    )
+    if getattr(cfg, "byte_mode", False):
+        # byte mode: the stacks carry the raw codes, one word per row
+        scq0 = np.ascontiguousarray(
+            first[:, :, :, 0, :].astype(np.int32)
+            .transpose(0, 1, 3, 2)[:, None]
+        )
+        scr0 = np.ascontiguousarray(
+            first[:, :, :, 1, :].astype(np.int32)
+            .transpose(0, 1, 3, 2)[:, None]
+        )
+    else:
+        # scq0[t, g, k, s, p] = packed_tab[g, qcode[t, k, p, s]]
+        scq0 = np.ascontiguousarray(
+            packed_tab[:, first[:, :, :, 0, :]].transpose(1, 0, 2, 4, 3)
+        )
+        scr0 = np.ascontiguousarray(
+            packed_tab[:, first[:, :, :, 1, :]].transpose(1, 0, 2, 4, 3)
+        )
 
-    g = np.zeros((1, 4), dtype=np.int32)
+    g = np.zeros((1, 6), dtype=np.int32)
     if gaps is not None:
         g[0, 0] = gaps.open
         g[0, 1] = gaps.extend
     g[0, 2] = x_drop
+    if getattr(cfg, "byte_mode", False):
+        g[0, 4] = matrix.match_score
+        g[0, 5] = matrix.mismatch_score
     return (
         np.ascontiguousarray(qlen.reshape(n_progs, K, 1, P)),
         np.ascontiguousarray(rlen.reshape(n_progs, K, 1, P)),

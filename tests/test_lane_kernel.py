@@ -535,3 +535,49 @@ def test_lane_local_start_trace_cigars():
             want[k][:3], (k, got[k], want[k])
         gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
         assert gc == want[k][3], (k, gc, want[k][3])
+
+
+def test_lane_byte_matrix_modes():
+    """ByteMatrix equality scoring through the lane + adaptive kernels
+    (fixed, adaptive range, and trace CIGARs) vs the scalar oracle
+    (reference: ByteMatrix/BYTES1, src/scores.rs)."""
+    from block_aligner_tpu import BYTES1
+    from block_aligner_tpu.api import BatchAligner
+
+    rng = np.random.default_rng(5)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(12):
+        n = int(rng.integers(10, 90))
+        q = bytes(rng.integers(0, 256, size=n, dtype=np.uint8).tolist())
+        r = bytearray(q)
+        for _ in range(n // 4):
+            r[int(rng.integers(0, len(r)))] = int(rng.integers(0, 256))
+        pairs.append((q, bytes(r)))
+    pairs.append((b"AAAAAA", b"AAAaaA"))  # golden: case-sensitive bytes
+
+    al = BatchAligner(BYTES1, gaps, (16, 16), batch=128, seq_cap=128)
+    assert al._lane and al._lane_cfg.byte_mode
+    al2 = BatchAligner(BYTES1, gaps, (16, 32), batch=128, seq_cap=128)
+    assert al2._adaptive and al2._lane_cfg.byte_mode
+    al3 = BatchAligner(BYTES1, gaps, (16, 16), batch=128, seq_cap=128,
+                       trace=True)
+    g1 = al.align_batch(pairs)
+    g2 = al2.align_batch(pairs)
+    g3 = al3.align_batch(pairs)
+    orc = BlockOracle()
+    orc3 = BlockOracle(trace=True)
+    for k, (q, r) in enumerate(pairs):
+        pq16 = PaddedBytes.from_bytes(q, 16, BYTES1)
+        pr16 = PaddedBytes.from_bytes(r, 16, BYTES1)
+        orc.align(pq16, pr16, BYTES1, gaps, (16, 16), 0)
+        assert g1[k].score == orc.res().score, k
+        pq32 = PaddedBytes.from_bytes(q, 32, BYTES1)
+        pr32 = PaddedBytes.from_bytes(r, 32, BYTES1)
+        orc.align(pq32, pr32, BYTES1, gaps, (16, 32), 0)
+        assert g2[k].score == orc.res().score, k
+        orc3.align(pq16, pr16, BYTES1, gaps, (16, 16), 0)
+        w = orc3.res()
+        assert g3[k].score == w.score, k
+        assert str(al3.cigar(k, w.query_idx, w.reference_idx)) == \
+            str(orc3.cigar(w.query_idx, w.reference_idx)), k
