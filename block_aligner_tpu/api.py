@@ -6,13 +6,16 @@ multi-chip data parallelism -- the TPU analogue of scaling the reference's
 serial harness loop, reference: examples/uc_bench.rs:89-104), and returns
 ``AlignResult``s (plus CIGARs in trace mode).
 
-Two device backends sit underneath:
+Three device backends sit underneath, picked automatically:
 
-* the general lockstep engine (ops/engine.py) -- adaptive block sizes,
-  x-drop, traceback, PSSM profiles, local-start / free-end-gap modes;
-* the lane kernel (ops/lane_kernel.py) -- the speed-of-light path for the
-  fixed-block global no-trace configuration (min_size == max_size), picked
-  automatically when eligible.
+* the lane kernel (ops/lane_kernel.py) -- every fixed-block configuration
+  (min_size == max_size): global, x-drop, trace, profiles, local-start,
+  free-gap modes, ByteMatrix;
+* the adaptive kernel (ops/adaptive_kernel.py) -- reference-exact
+  grow/shrink/checkpoint sizing (min_size < max_size) in global, x-drop,
+  and trace modes;
+* the general lockstep engine (ops/engine.py) -- the remaining
+  configurations (profile-adaptive).
 
 ``ProfileAligner`` is the sequence-to-PSSM counterpart of ``BatchAligner``
 (reference: Block::align_profile, src/scan_block.rs:942-995).

@@ -42,8 +42,11 @@ uc_bench / accuracy / nanopore_bench).  X-drop reproduces the reference's
 hysteresis, and the grow-rect argmax selection (the GROW_R tracker wins
 ties over the GROW_D tracker, src/scan_block.rs:463-482 /
 oracle.py:463-482); there is no early-exit freeze -- pairs finish at rect
-ends (terminate or reached), exactly like the reference.  Trace adaptive
-configurations stay on the engine.
+ends (terminate or reached), exactly like the reference.  Trace mode
+streams packed words + rect descriptors with checkpoint save/restore
+event bits, decoded into the engine trace format (core/traceback.py's
+``adaptive_trace``).  ByteMatrix equality scoring rides the same paths
+with alpha=4.  Only profile-adaptive configurations stay on the engine.
 """
 
 from __future__ import annotations

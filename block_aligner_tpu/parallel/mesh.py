@@ -16,7 +16,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "data_parallel_engine"]
+__all__ = ["make_mesh", "shard_batch", "data_parallel_engine",
+           "data_parallel_lane", "data_parallel_adaptive"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -124,8 +125,13 @@ def data_parallel_adaptive(cfg, mesh: Mesh, axis: str = "data"):
     shard0 = P(axis, None, None, None)
     shard5 = P(axis, None, None, None, None)
     specs_in = (shard0, shard0, shard5, shard5, P(), shard5, P())
+    out_specs = shard0
+    if cfg.trace:
+        # trace adds the packed word stream (n_progs, steps, 1, K, S, P)
+        # and descriptor stream (n_progs, steps, K, 6, P)
+        out_specs = (shard0, P(axis, None, None, None, None, None), shard5)
     wrapped = shard_map(
-        fn, mesh=mesh, in_specs=specs_in, out_specs=shard0,
+        fn, mesh=mesh, in_specs=specs_in, out_specs=out_specs,
         check_rep=False,
     )
 

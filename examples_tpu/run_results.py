@@ -158,7 +158,8 @@ def bench_accuracy_hard():
     wrong = sum(1 for w, g in zip(want, res2) if g.score != w)
     dt = device_reps(ad2._lane_fn, st2[1], reps=4)
     row("uc30-hard 7000p adaptive 32-256", len(pairs), dt, None, wrong,
-        "reference-exact; ref uc30 adaptive 32-256: 224 wrong")
+        "reference-exact (wrong = adaptive approximation, bit-matching "
+        "the oracle); ref uc30 adaptive 32-256: 224 wrong")
 
     ad = AdaptiveBatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=8192,
                               seq_cap=max_len + 32)
