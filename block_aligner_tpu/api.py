@@ -549,6 +549,43 @@ class ProfileAligner:
         ndev = 1
         if mesh is not None:
             ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        # reference-exact profile-adaptive sizing runs in the adaptive
+        # kernel for the global configuration
+        self._adaptive = (
+            min_size < max_size and 16 <= min_size and max_size <= 512
+            and not trace and x_drop is None and mesh is None
+            and use_lane_kernel is not False
+        )
+        if self._adaptive:
+            import jax
+
+            from .ops.adaptive_kernel import (
+                AdaptiveKernelConfig,
+                adaptive_vmem_bytes,
+                build_adaptive_engine,
+            )
+
+            cap = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
+            banks = max(1, min(16, round_up(max(batch, 128), 128) // 128))
+            while banks & (banks - 1):
+                banks -= 1
+            while banks > 1 and adaptive_vmem_bytes(
+                max_size, cap, 32, banks, profile=True
+            ) > 14 * 2**20:
+                banks //= 2
+            self._lane_cfg = AdaptiveKernelConfig(
+                batch=round_up(max(batch, 128), 128 * banks),
+                min_size=min_size,
+                max_size=max_size,
+                seq_cap=cap,
+                banks=banks,
+                profile=True,
+                interpret=jax.default_backend() != "tpu",
+            )
+            self._fn = build_adaptive_engine(self._lane_cfg)
+            self._lane = False
+            self.cfg = None
+            return
         if use_lane_kernel is None:
             use_lane_kernel = min_size == max_size and 16 <= min_size <= 512
         self._lane = use_lane_kernel
@@ -600,9 +637,27 @@ class ProfileAligner:
 
     @property
     def batch_size(self) -> int:
-        return self._lane_cfg.batch if self._lane else self.cfg.batch
+        if self._lane or self._adaptive:
+            return self._lane_cfg.batch
+        return self.cfg.batch
 
     def align_batch(self, pairs) -> List[AlignResult]:
+        if self._adaptive:
+            from .ops.lane_kernel import pack_lane_profile
+
+            cfg = self._lane_cfg
+            assert len(pairs) <= cfg.batch
+            args = pack_lane_profile(pairs, cfg)
+            out = np.asarray(self._fn(*args))
+            over = out[:, :, 1, :].reshape(cfg.batch)
+            assert not over[: len(pairs)].any(), (
+                "adaptive kernel hit its step cap; raise seq_cap/max_steps"
+            )
+            sc = out[:, :, 0, :].reshape(cfg.batch)
+            return [
+                AlignResult(int(sc[k]), len(q), p.str_len if p else 0)
+                for k, (q, p) in enumerate(pairs)
+            ]
         if self._lane:
             from .ops.lane_kernel import pack_lane_profile
 

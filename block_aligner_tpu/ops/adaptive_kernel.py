@@ -46,7 +46,11 @@ ends (terminate or reached), exactly like the reference.  Trace mode
 streams packed words + rect descriptors with checkpoint save/restore
 event bits, decoded into the engine trace format (core/traceback.py's
 ``adaptive_trace``).  ByteMatrix equality scoring rides the same paths
-with alpha=4.  Only profile-adaptive configurations stay on the engine.
+with alpha=4, and profile mode (sequence-to-PSSM with position-specific
+gap costs) swaps in the lane kernel's asymmetric profile fetch -- every
+reference configuration now has a kernel path (the engine remains as
+the trace/x-drop profile-adaptive fallback and the oracle-chain
+cross-check).
 """
 
 from __future__ import annotations
@@ -61,20 +65,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.oracle import I16_MIN, STEP, ZERO
+from .lane_kernel import PROF_NGP, PROF_NW
 
 __all__ = ["AdaptiveKernelConfig", "build_adaptive_engine",
            "adaptive_vmem_bytes"]
 
 
 def adaptive_vmem_bytes(max_size: int, seq_cap: int, alpha: int,
-                        banks: int) -> int:
+                        banks: int, profile: bool = False) -> int:
     """VMEM scratch footprint of one adaptive-kernel program (matches the
     scratch_shapes in ``build_adaptive_engine``); usable for bank-budget
     searches without constructing (and assert-checking) a config."""
     K, S = banks, max_size
     NG = alpha // 4
-    codes = K * 2 * seq_cap * 128
-    stacks = 3 * NG * K * S * 128 * 4 + NG * K * STEP * 128 * 4
+    if profile:
+        codes = K * seq_cap * 128 + 8 * K * seq_cap * 128 * 4
+        stacks = 9 * K * S * 128 * 4 + 8 * K * STEP * 128 * 4
+    else:
+        codes = K * 2 * seq_cap * 128
+        stacks = 3 * NG * K * S * 128 * 4 + NG * K * STEP * 128 * 4
     borders = 11 * K * S * 128 * 4
     scalars = 24 * K * 128 * 4
     return codes + stacks + borders + scalars + K * STEP * 128 * 4
@@ -103,6 +112,7 @@ class AdaptiveKernelConfig:
     x_drop: bool = False  # x-drop termination + best-position tracking
     trace: bool = False  # stream packed trace words + rect/ckpt events
     byte_mode: bool = False  # ByteMatrix equality scoring (alpha = 4)
+    profile: bool = False  # sequence-to-PSSM scoring (global mode only)
     interpret: bool = False
 
     def __post_init__(self):
@@ -113,6 +123,10 @@ class AdaptiveKernelConfig:
         assert self.seq_cap <= 16384
         assert self.banks in (1, 2, 4, 8, 16)
         assert self.batch % (P * self.banks) == 0
+        if self.profile:
+            # profile-adaptive covers the reference's global accuracy
+            # configurations; x-drop/trace profile-adaptive -> engine
+            assert not (self.x_drop or self.trace or self.byte_mode)
         assert self.vmem_bytes <= 15 * 2**20, (
             f"~{self.vmem_bytes >> 20} MiB VMEM scratch exceeds the core "
             "budget; lower banks or seq_cap"
@@ -143,7 +157,7 @@ class AdaptiveKernelConfig:
     @property
     def vmem_bytes(self) -> int:
         return adaptive_vmem_bytes(self.max_size, self.seq_cap, self.alpha,
-                                   self.banks)
+                                   self.banks, profile=self.profile)
 
 
 def build_adaptive_engine(cfg: AdaptiveKernelConfig):
@@ -176,14 +190,27 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
         )
 
     def kernel(qlen_ref, rlen_ref, scq0_ref, scr0_ref, M_ref, codes_hbm,
-               gap_ref, score_ref, *scr):
+               gap_ref, *rest):
+        if cfg.profile:
+            qcodes_hbm = rest[0]
+            rest = rest[1:]
+        score_ref = rest[0]
+        scr = rest[1:]
         if cfg.trace:
             thbm, mhbm = scr[0], scr[1]
             scr = scr[2:]
-        (CODES, SCQ, SCR, SCACT, NR, EC8,
-         ACT_D, ACT_C, PAS_D, PAS_R, tempD, tempR, DMAX,
-         CKC_D, CKC_C, CKR_D, CKR_R) = scr[:17]
-        scr = scr[17:]
+        if cfg.profile:
+            (QCODES, PROF, QCODE, PROFROW, GAPROW, PG8, EC8,
+             ACT_D, ACT_C, PAS_D, PAS_R, tempD, tempR, DMAX,
+             CKC_D, CKC_C, CKR_D, CKR_R) = scr[:18]
+            scr = scr[18:]
+            CODES = SCQ = SCR = SCACT = NR = None
+        else:
+            (CODES, SCQ, SCR, SCACT, NR, EC8,
+             ACT_D, ACT_C, PAS_D, PAS_R, tempD, tempR, DMAX,
+             CKC_D, CKC_C, CKR_D, CKR_R) = scr[:17]
+            scr = scr[17:]
+            QCODES = PROF = QCODE = PROFROW = GAPROW = PG8 = None
         (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_OA, ST_DIR, ST_PDIR, ST_DONE,
          CORN, CVEC, OUT, SZ, PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
          GNM, REST, FRA, FRT, FRIDX) = scr[:24]
@@ -225,18 +252,29 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
         zc = e * ((rows_iota % STEP) + 1)
         NEG_I32 = jnp.iinfo(jnp.int32).min
 
-        dma = pltpu.make_async_copy(codes_hbm.at[prog], CODES, sem)
-        dma.start()
+        if cfg.profile:
+            dma = pltpu.make_async_copy(codes_hbm.at[prog], PROF, sem)
+            dma.start()
+            dma_q = pltpu.make_async_copy(qcodes_hbm.at[prog], QCODES, sem)
+        else:
+            dma = pltpu.make_async_copy(codes_hbm.at[prog], CODES, sem)
+            dma.start()
+            dma_q = None
         zS = jnp.zeros((K, S, P), jnp.int32)
         z1 = jnp.zeros((K, 1, P), jnp.int32)
         negS = jnp.full((K, S, P), NEG32, jnp.int32)
 
         # ---- init: reference start state (src/scan_block.rs:291-317):
         # direction = Grow, prev_size = 0, best_max = 0, virgin checkpoint
-        SCQ[...] = scq0_ref[0]
-        SCR[...] = scr0_ref[0]
-        SCACT[...] = scr0_ref[0]  # initial rect lanes = q, but SCACT is
-        # rewritten from orientation each pre_step; seed matches GROW_R
+        if cfg.profile:
+            QCODE[...] = scq0_ref[0]
+            PROFROW[...] = scr0_ref[0]
+            GAPROW[...] = M_ref[0]
+        else:
+            SCQ[...] = scq0_ref[0]
+            SCR[...] = scr0_ref[0]
+            SCACT[...] = scr0_ref[0]  # initial rect lanes = q, but SCACT
+            # is rewritten from orientation each pre_step
         for ref in (ACT_D, ACT_C, PAS_D, PAS_R, tempD, tempR):
             ref[...] = zS
         DMAX[...] = negS
@@ -266,21 +304,46 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             PEND_SV[...] = z1
             PEND_RS[...] = z1
         dma.wait()
+        if dma_q is not None:
+            dma_q.start()
+            dma_q.wait()
 
-        Mb = M_ref[...].astype(jnp.bfloat16)
+        Mb = None if cfg.profile else M_ref[...].astype(jnp.bfloat16)
 
         def extract8(pos8, side):
-            """EC8[k, w, b] = code at pos8[k,0,b] + w on side (0=q, 1=r)."""
-            cu = side * NCH + pos8 // 128
+            """EC8[k, w, b] = code at pos8[k,0,b] + w on side (0=q, 1=r;
+            profile mode reads the query-code block, side ignored)."""
+            if cfg.profile:
+                cu = pos8 // 128
+                blk, n_ch = QCODES, NCH
+            else:
+                cu = side * NCH + pos8 // 128
+                blk, n_ch = CODES, 2 * NCH
             lo = pos8 % 128
             acc = jnp.zeros((K, 128, P), jnp.int8)
-            for c in range(2 * NCH):
-                acc = jnp.where(cu == c, CODES[:, c], acc)
+            for c in range(n_ch):
+                acc = jnp.where(cu == c, blk[:, c], acc)
             acc = acc.astype(jnp.int32)
             out = jnp.zeros((K, STEP, P), jnp.int32)
             for v in range(128 // STEP):
                 out = jnp.where(lo == v * STEP, acc[:, v * STEP : v * STEP + STEP], out)
             EC8[...] = out
+
+        def extract_prof(pos8):
+            """PG8[k, n, w, b] = packed profile word n at position
+            pos8[k,0,b] + w (words 0..6 = biased score bytes, word 7 =
+            packed gap costs); same layout as the lane kernel."""
+            cu = (pos8 // 128)[:, None]
+            lo = (pos8 % 128)[:, None]
+            acc = jnp.zeros((K, PROF_NW, 128, P), jnp.int32)
+            for c in range(NCH):
+                acc = jnp.where(cu == c, PROF[:, :, c], acc)
+            out = jnp.zeros((K, PROF_NW, STEP, P), jnp.int32)
+            for v in range(128 // STEP):
+                out = jnp.where(
+                    lo == v * STEP, acc[:, :, v * STEP : v * STEP + STEP], out
+                )
+            PG8[...] = out
 
         def score_new_rows():
             """NR[g, k, r, b] = packed scores of EC8 codes (one one-hot MXU
@@ -331,7 +394,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 ACT_C[...] = jnp.where(rest, CKR_R[...], ACT_C[...])
                 PAS_D[...] = jnp.where(rest, CKC_D[...], PAS_D[...])
                 PAS_R[...] = jnp.where(rest, CKC_C[...], PAS_R[...])
-                # rebuild both score stacks for rows 0..prev at the
+                # rebuild both lane-window stacks for rows 0..prev at the
                 # restored anchors; rows past prev are appended by the
                 # grow phases themselves as their columns enter
                 for c8 in range((S // 2) // STEP):
@@ -342,16 +405,33 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                         win = (rows_k >= c8 * STEP) & (
                             rows_k < c8 * STEP + STEP
                         )
-                        extract8(CK_I[...] + c8 * STEP, jnp.int32(0))
-                        score_new_rows()
-                        SCQ[...] = jnp.where(
-                            (live & win)[None], nr_tiled(), SCQ[...]
-                        )
-                        extract8(CK_J[...] + c8 * STEP, jnp.int32(1))
-                        score_new_rows()
-                        SCR[...] = jnp.where(
-                            (live & win)[None], nr_tiled(), SCR[...]
-                        )
+                        if cfg.profile:
+                            extract8(CK_I[...] + c8 * STEP, jnp.int32(0))
+                            QCODE[...] = jnp.where(
+                                live & win,
+                                jnp.tile(EC8[...], (1, S // STEP, 1)),
+                                QCODE[...])
+                            extract_prof(CK_J[...] + c8 * STEP)
+                            PROFROW[...] = jnp.where(
+                                (live & win)[:, None],
+                                jnp.tile(PG8[:, :PROF_NGP],
+                                         (1, 1, S // STEP, 1)),
+                                PROFROW[...])
+                            GAPROW[...] = jnp.where(
+                                live & win,
+                                jnp.tile(PG8[:, PROF_NGP], (1, S // STEP, 1)),
+                                GAPROW[...])
+                        else:
+                            extract8(CK_I[...] + c8 * STEP, jnp.int32(0))
+                            score_new_rows()
+                            SCQ[...] = jnp.where(
+                                (live & win)[None], nr_tiled(), SCQ[...]
+                            )
+                            extract8(CK_J[...] + c8 * STEP, jnp.int32(1))
+                            score_new_rows()
+                            SCR[...] = jnp.where(
+                                (live & win)[None], nr_tiled(), SCR[...]
+                            )
                 REST[...] = jnp.where(rest, 0, REST[...])
 
             # ---- shift-rect start: offset rebase (reference:
@@ -382,16 +462,26 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             # its DMAX starts at the init value anyway
 
             # ---- entering codes ----
-            pos8 = jnp.where(
-                dirn == DIR_R, ST_J[...] + sz - STEP,
-                jnp.where(
-                    dirn == DIR_D, ST_I[...] + sz - STEP,
-                    jnp.where(dirn == DIR_GD, ST_I[...] + psz + cpos,
-                              ST_J[...] + psz + cpos),
-                ),
-            )
-            side = jnp.where((dirn == DIR_R) | (dirn == DIR_GR), 1, 0)
-            extract8(pos8, side)
+            if cfg.profile:
+                # two per-side fetches (garbage lanes masked by orientation
+                # in the column, like the lane kernel's profile path)
+                pos8_prof = jnp.where(dirn == DIR_R, ST_J[...] + sz - STEP,
+                                      ST_J[...] + psz + cpos)
+                pos8_q = jnp.where(dirn == DIR_D, ST_I[...] + sz - STEP,
+                                   ST_I[...] + psz + cpos)
+                extract_prof(pos8_prof)
+                extract8(pos8_q, jnp.int32(0))
+            else:
+                pos8 = jnp.where(
+                    dirn == DIR_R, ST_J[...] + sz - STEP,
+                    jnp.where(
+                        dirn == DIR_D, ST_I[...] + sz - STEP,
+                        jnp.where(dirn == DIR_GD, ST_I[...] + psz + cpos,
+                                  ST_J[...] + psz + cpos),
+                    ),
+                )
+                side = jnp.where((dirn == DIR_R) | (dirn == DIR_GR), 1, 0)
+                extract8(pos8, side)
 
             # ---- per-step rect geometry: freeze predicates ----
             i_ = ST_I[...]
@@ -439,17 +529,41 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 FRT[...] = col_len - cstart
                 FRIDX[...] = jnp.clip(lane_len - ls, 0, S - 1)
 
-            # ---- advance the moved side's score-plane stack ----
+            # ---- advance the moved side's lane-window stacks ----
+            # shifts: the moved side shifts down 8 and the entering rows
+            # land at rows sz-8..sz (sz is a multiple of 8, so the tiled
+            # rows align); grow halves append at rows prev+cpos..+8
+            winp = (rows_k >= sz - STEP) & (rows_k < sz)  # (K, S, P)
+            wina = (rows_k >= psz + cpos) & (rows_k < psz + cpos + STEP)
+            act = done == 0
+            if cfg.profile:
+                q_shift = (dirn == DIR_D) & act
+                r_shift = (dirn == DIR_R) & act
+                q_app = (dirn == DIR_GD) & act
+                r_app = (dirn == DIR_GR) & act
+                qc_t8 = jnp.tile(EC8[...], (1, S // STEP, 1))
+                pr_t8 = jnp.tile(PG8[:, :PROF_NGP], (1, 1, S // STEP, 1))
+                gr_t8 = jnp.tile(PG8[:, PROF_NGP], (1, S // STEP, 1))
+                QCODE[...] = jnp.where(
+                    q_shift,
+                    jnp.where(winp, qc_t8,
+                              shift_down_rows(QCODE[...], STEP, 26)),
+                    jnp.where(q_app & wina, qc_t8, QCODE[...]))
+                PROFROW[...] = jnp.where(
+                    r_shift[:, None],
+                    jnp.where(winp[:, None], pr_t8,
+                              shift_down_rows(PROFROW[...], STEP, 0)),
+                    jnp.where((r_app & wina)[:, None], pr_t8, PROFROW[...]))
+                GAPROW[...] = jnp.where(
+                    r_shift,
+                    jnp.where(winp, gr_t8,
+                              shift_down_rows(GAPROW[...], STEP, 0)),
+                    jnp.where(r_app & wina, gr_t8, GAPROW[...]))
+                return
             score_new_rows()
             nrt = nr_tiled()
             sq = SCQ[...]
             sr = SCR[...]
-            # shifts: the moved side shifts down 8 and the entering rows
-            # land at rows sz-8..sz (sz is a multiple of 8, so the tiled
-            # NR rows align); grow halves append at rows prev+cpos..+8
-            winp = (rows_k >= sz - STEP) & (rows_k < sz)  # (K, S, P)
-            wina = (rows_k >= psz + cpos) & (rows_k < psz + cpos + STEP)
-            act = done == 0
             q_shift = ((dirn == DIR_D) & act)[None]
             r_shift = ((dirn == DIR_R) & act)[None]
             q_app = ((dirn == DIR_GD) & act)[None]
@@ -472,7 +586,32 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             cpos = CPOS[...]
 
             c_w = EC8[:, w, :][:, None, :]
-            if cfg.byte_mode:
+            if cfg.profile:
+                # asymmetric profile fetch (same scheme as the lane
+                # kernel): right rects select the entering position's
+                # column word by each lane's query code, down rects select
+                # bytes from the lane-window profile-row stack by the
+                # entering query char
+                rightm = (dirn == DIR_R) | (dirn == DIR_GR)
+                qc = QCODE[...]
+                sel = jnp.where(rightm, qc >> 2, c_w >> 2)
+                acc = jnp.zeros((K, S, P), jnp.int32)
+                for g in range(PROF_NGP):
+                    opg = jnp.where(
+                        rightm, PG8[:, g, w : w + 1, :], PROFROW[:, g]
+                    )
+                    acc = jnp.where(sel == g, opg, acc)
+                sub = jnp.where(rightm, (qc & 3) << 3, (c_w & 3) << 3)
+                scores = ((acc >> sub) & 255) - 128
+                gw = PG8[:, PROF_NGP, w : w + 1, :]
+                gr_ = GAPROW[...]
+                goc_c = (gw & 255) - 128
+                gor_c = ((gw >> 8) & 255) - 128
+                gcc_c = ((gw >> 16) & 255) - 128
+                goc_r = (gr_ & 255) - 128
+                gor_r = ((gr_ >> 8) & 255) - 128
+                gcc_r = ((gr_ >> 16) & 255) - 128
+            elif cfg.byte_mode:
                 # equality scoring (reference ByteMatrix)
                 scores = jnp.where(
                     SCACT[0] == c_w, gap_ref[0, 4], gap_ref[0, 5]
@@ -504,10 +643,24 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 )
                 D11 = jnp.concatenate([row0, D11[:, 1:, :]], axis=1)
 
-            C11_open = jnp.maximum(D10 + open_, NEG32)
-            C11 = jnp.maximum(jnp.maximum(C10 + e, NEG32), C11_open)
-            D11 = jnp.maximum(D11, C11)
-            D11_open = D11 + (open_ - e)
+            if cfg.profile:
+                # position-specific gap costs; down rects swap the C<->R
+                # roles; close applies on the D-merge only (the persisted
+                # C/R planes stay pre-close, like the lane kernel/engine)
+                goc = jnp.where(rightm, goc_c, gor_r) + e
+                C11_open = jnp.maximum(D10 + goc, NEG32)
+                C11 = jnp.maximum(jnp.maximum(C10 + e, NEG32), C11_open)
+                C11_end = jnp.where(
+                    rightm, jnp.maximum(C11 + gcc_c, NEG32), C11
+                )
+                D11 = jnp.maximum(D11, C11_end)
+                gor_v = jnp.where(rightm, gor_c, goc_r)
+                D11_open = jnp.maximum(D11 + gor_v, NEG32)
+            else:
+                C11_open = jnp.maximum(D10 + open_, NEG32)
+                C11 = jnp.maximum(jnp.maximum(C10 + e, NEG32), C11_open)
+                D11 = jnp.maximum(D11, C11)
+                D11_open = D11 + (open_ - e)
 
             t = D11_open
             k = 1
@@ -515,7 +668,15 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 t = jnp.maximum(t, shift_up_rows(t, k, NEG32) + e * k)
                 k *= 2
             R11 = jnp.maximum(t, zc)
-            D11 = jnp.maximum(D11, R11)
+            if cfg.profile:
+                # gap close when leaving R (down rects only)
+                D11 = jnp.maximum(
+                    D11,
+                    jnp.where(rightm, R11,
+                              jnp.maximum(R11 + gcc_r, NEG32)),
+                )
+            else:
+                D11 = jnp.maximum(D11, R11)
 
             if cfg.trace:
                 # packed 2+2-bit trace emission (identical bit semantics to
@@ -780,10 +941,24 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                         vm, shift_down_rows(PAS_D[...], v, NEG32), PAS_D[...])
                     PAS_R[...] = jnp.where(
                         vm, shift_down_rows(PAS_R[...], v, NEG32), PAS_R[...])
-                    SCQ[...] = jnp.where(
-                        vm[None], shift_down_rows(SCQ[...], v, 0), SCQ[...])
-                    SCR[...] = jnp.where(
-                        vm[None], shift_down_rows(SCR[...], v, 0), SCR[...])
+                    if cfg.profile:
+                        QCODE[...] = jnp.where(
+                            vm, shift_down_rows(QCODE[...], v, 26),
+                            QCODE[...])
+                        PROFROW[...] = jnp.where(
+                            vm[:, None],
+                            shift_down_rows(PROFROW[...], v, 0),
+                            PROFROW[...])
+                        GAPROW[...] = jnp.where(
+                            vm, shift_down_rows(GAPROW[...], v, 0),
+                            GAPROW[...])
+                    else:
+                        SCQ[...] = jnp.where(
+                            vm[None], shift_down_rows(SCQ[...], v, 0),
+                            SCQ[...])
+                        SCR[...] = jnp.where(
+                            vm[None], shift_down_rows(SCR[...], v, 0),
+                            SCR[...])
                 SZ[...] = jnp.where(shrink_do, half, SZ[...])
                 ST_I[...] = jnp.where(shrink_do, ST_I[...] + half, ST_I[...])
                 ST_J[...] = jnp.where(shrink_do, ST_J[...] + half, ST_J[...])
@@ -896,17 +1071,29 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
         score_ref[0] = jnp.concatenate(rows, axis=1)
 
     # ------------------------------------------------------------------
-    def engine(qlen, rlen, scq0, scr0, M, codes, gaps):
+    def engine(qlen, rlen, scq0, scr0, M, codes, gaps, *prof_args):
         n_progs = cfg.n_programs
-        in_specs = [
-            pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ]
+        if cfg.profile:
+            in_specs = [
+                pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, S, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, PROF_NGP, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, S, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),  # query codes
+            ]
+        else:
+            in_specs = [
+                pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ]
         OW = (3 if cfg.x_drop else 1) + (1 if cfg.trace else 0) + 1
         out_specs = pl.BlockSpec(
             (1, K, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
@@ -931,14 +1118,25 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((K, 2 * NCH, 128, P), jnp.int8),  # CODES
-                pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCQ
-                pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCR
-                pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCACT
-                pltpu.VMEM((NG, K, STEP, P), jnp.int32),  # NR
-                pltpu.VMEM((K, STEP, P), jnp.int32),  # EC8
-            ]
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((K, NCH, 128, P), jnp.int8),  # QCODES
+                    pltpu.VMEM((K, PROF_NW, NCH, 128, P), jnp.int32),  # PROF
+                    pltpu.VMEM((K, S, P), jnp.int32),  # QCODE
+                    pltpu.VMEM((K, PROF_NGP, S, P), jnp.int32),  # PROFROW
+                    pltpu.VMEM((K, S, P), jnp.int32),  # GAPROW
+                    pltpu.VMEM((K, PROF_NW, STEP, P), jnp.int32),  # PG8
+                    pltpu.VMEM((K, STEP, P), jnp.int32),  # EC8
+                ]
+                if cfg.profile else [
+                    pltpu.VMEM((K, 2 * NCH, 128, P), jnp.int8),  # CODES
+                    pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCQ
+                    pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCR
+                    pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCACT
+                    pltpu.VMEM((NG, K, STEP, P), jnp.int32),  # NR
+                    pltpu.VMEM((K, STEP, P), jnp.int32),  # EC8
+                ]
+            )
             + [pltpu.VMEM((K, S, P), jnp.int32) for _ in range(11)]
             + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(24)]
             + (
@@ -964,6 +1162,6 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=cfg.interpret,
-        )(qlen, rlen, scq0, scr0, M, codes, gaps)
+        )(qlen, rlen, scq0, scr0, M, codes, gaps, *prof_args)
 
     return jax.jit(engine)

@@ -141,3 +141,51 @@ def test_adaptive_trace_cigars():
         wc = str(orc.cigar(w.query_idx, w.reference_idx))
         gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
         assert gc == wc, (k, gc, wc)
+
+
+def test_adaptive_profile_vs_oracle():
+    """Profile-adaptive (grow/shrink over position-specific gap costs):
+    scores must match the scalar oracle (reference: align_profile with an
+    adaptive range, src/scan_block.rs:942-995 + 101-593)."""
+    from block_aligner_tpu import AAProfile, ProfileAligner
+
+    rng = np.random.default_rng(31)
+
+    def rand_profile(n):
+        prof = AAProfile(n, 2048, -1)
+        base = rng.integers(-4, 3, size=(n, 26))
+        cons = rand_seq(rng, n)
+        base[np.arange(n), np.frombuffer(cons, np.uint8) - 65] = (
+            rng.integers(4, 12, size=n)
+        )
+        prof.pos_scores[1 : n + 1, :26] = base
+        prof.gap_open_C[: n + 1] = rng.integers(-13, -8, size=n + 1)
+        prof.gap_close_C[: n + 1] = 0
+        prof.gap_open_R[: n + 1] = rng.integers(-13, -8, size=n + 1)
+        return prof, cons
+
+    pairs = []
+    for _ in range(6):
+        n = int(rng.integers(30, 90))
+        prof, cons = rand_profile(n)
+        q = bytearray(cons)
+        for _ in range(n // 4):
+            q[int(rng.integers(0, len(q)))] = int(rng.choice(list(AA)))
+        pairs.append((bytes(q), prof))
+    for _ in range(6):  # inserted block: forces grow/restore
+        n = int(rng.integers(40, 90))
+        prof, cons = rand_profile(n)
+        q = bytes(cons)
+        ln = int(rng.integers(10, 25))
+        pos = int(rng.integers(0, max(len(q) - ln, 1)))
+        q = q[:pos] + rand_seq(rng, ln) + q[pos:]
+        pairs.append((q, prof))
+
+    pa = ProfileAligner((16, 64), batch=128, seq_cap=200)
+    assert pa._adaptive
+    got = pa.align_batch(pairs)
+    orc = BlockOracle()
+    for k, (q, prof) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 64, prof)
+        orc.align_profile(pq, prof, (16, 64), 0)
+        assert got[k].score == orc.res().score, (k, got[k], orc.res())
