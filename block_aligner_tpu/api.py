@@ -517,7 +517,7 @@ class BatchAligner:
                  cigar: Optional[Cigar] = None) -> Cigar:
         from .core.seqs import PaddedBytes
 
-        blk = self.cfg.max_size
+        blk = self.cfg.max_size if self.cfg else self._lane_cfg.block
         pq = q if isinstance(q, PaddedBytes) else PaddedBytes.from_bytes(q, blk, self.matrix)
         pr = r if isinstance(r, PaddedBytes) else PaddedBytes.from_bytes(r, blk, self.matrix)
         return self.trace().cigar_eq(k, pq, pr, i, j, cigar)
