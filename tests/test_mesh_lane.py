@@ -145,3 +145,34 @@ def test_multihost_dryrun_subprocess():
                        text=True, timeout=560, env=env)
     assert p.returncode == 0, p.stdout + p.stderr
     assert "multihost dryrun: OK" in p.stdout
+
+
+def test_adaptive_trace_on_mesh():
+    """Adaptive trace (ckpt event stream) sharded over the mesh: CIGARs
+    must stay bit-exact per shard."""
+    from block_aligner_tpu.api import BatchAligner
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(8):
+        n = int(rng.integers(20, 60))
+        q = bytes(rng.choice(list(AA), size=n).tolist())
+        r = bytearray(q)
+        for _ in range(n // 4):
+            r[int(rng.integers(0, len(r)))] = int(rng.choice(list(AA)))
+        pairs.append((q, bytes(r)))
+    al = BatchAligner(BLOSUM62, gaps, (16, 32), batch=8 * 128, seq_cap=160,
+                      trace=True, mesh=mesh)
+    assert al._adaptive and al._lane_cfg.trace
+    got = al.align_batch(pairs)
+    orc = BlockOracle(trace=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 32, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, gaps, (16, 32), 0)
+        w = orc.res()
+        assert got[k].score == w.score, k
+        assert str(al.cigar(k, w.query_idx, w.reference_idx)) == \
+            str(orc.cigar(w.query_idx, w.reference_idx)), k
