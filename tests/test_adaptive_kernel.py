@@ -189,3 +189,28 @@ def test_adaptive_profile_vs_oracle():
         pq = PaddedBytes.from_bytes(q, 64, prof)
         orc.align_profile(pq, prof, (16, 64), 0)
         assert got[k].score == orc.res().score, (k, got[k], orc.res())
+
+
+def test_adaptive_trace_blocks_telemetry():
+    """blocks() telemetry from the adaptive trace matches the oracle's
+    computed-rect list (modulo the reference's initial zero-area grow
+    half, which contributes nothing to the DP fraction)."""
+    rng = np.random.default_rng(9)
+    pairs = []
+    for _ in range(5):
+        q = rand_seq(rng, int(rng.integers(30, 70)))
+        pairs.append((q, mutate(rng, q, 8)))
+    al = BatchAligner(BLOSUM62, GAPS, (16, 32), batch=128, seq_cap=160,
+                      trace=True)
+    assert al._adaptive
+    al.align_batch(pairs)
+    orc = BlockOracle(trace=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 32, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (16, 32), 0)
+        want = [(b.row, b.col, b.width, b.height)
+                for b in orc.trace_blocks() if b.width * b.height > 0]
+        got = [(b.row, b.col, b.width, b.height)
+               for b in al.trace().blocks(k)]
+        assert got == want, (k, got[:4], want[:4])
