@@ -92,3 +92,35 @@ def test_fuzz_engine_vs_oracle(round_seed):
                 want = str(a.cigar(res.query_idx, res.reference_idx))
                 got = str(et.cigar(k, int(qi[k]), int(rj[k])))
                 assert got == want, ctx
+
+
+@pytest.mark.parametrize("round_seed", [101, 202])
+def test_fuzz_adaptive_kernel_vs_oracle(round_seed):
+    """Randomized adaptive-kernel sweeps: random matrices/gaps/ranges and
+    shape corners (empty, single-char, strongly asymmetric, unrelated)
+    checked against the oracle's grow/shrink machine."""
+    from block_aligner_tpu.api import BatchAligner
+
+    rng = np.random.default_rng(round_seed)
+    for it in range(3):
+        matrix, alpha, (go, ge) = MATRICES[int(rng.integers(len(MATRICES)))]
+        mins = int(2 ** rng.integers(4, 6))  # 16 or 32
+        maxs = mins * int(2 ** rng.integers(1, 3))  # x2 or x4
+        gaps = Gaps(open=go, extend=ge)
+        pairs = [
+            (b"", b""), (b"A", b"A"), (b"", bytes(alpha[:3])),
+            (bytes(alpha[:1]) * 60, bytes(alpha[:1])),
+        ]
+        for _ in range(12):
+            pairs.append(rand_pair(rng, alpha, 1, 120,
+                                   bool(rng.integers(0, 2))))
+        al = BatchAligner(matrix, gaps, (mins, maxs), batch=128, seq_cap=200)
+        assert al._adaptive
+        got = al.align_batch(pairs)
+        orc = BlockOracle()
+        for k, (q, r) in enumerate(pairs):
+            pq = PaddedBytes.from_bytes(q, maxs, matrix)
+            pr = PaddedBytes.from_bytes(r, maxs, matrix)
+            orc.align(pq, pr, matrix, gaps, (mins, maxs), 0)
+            assert got[k].score == orc.res().score, (
+                it, k, mins, maxs, got[k].score, orc.res().score)
