@@ -553,8 +553,7 @@ class ProfileAligner:
         # kernel for the global configuration
         self._adaptive = (
             min_size < max_size and 16 <= min_size and max_size <= 512
-            and not trace and x_drop is None and mesh is None
-            and use_lane_kernel is not False
+            and mesh is None and use_lane_kernel is not False
         )
         if self._adaptive:
             import jax
@@ -580,6 +579,8 @@ class ProfileAligner:
                 seq_cap=cap,
                 banks=banks,
                 profile=True,
+                trace=trace,
+                x_drop=x_drop is not None,
                 interpret=jax.default_backend() != "tpu",
             )
             self._fn = build_adaptive_engine(self._lane_cfg)
@@ -647,12 +648,36 @@ class ProfileAligner:
 
             cfg = self._lane_cfg
             assert len(pairs) <= cfg.batch
-            args = pack_lane_profile(pairs, cfg)
-            out = np.asarray(self._fn(*args))
-            over = out[:, :, 1, :].reshape(cfg.batch)
+            args = list(pack_lane_profile(pairs, cfg))
+            if self.x_drop is not None:
+                args[6] = args[6].copy()
+                args[6][0, 2] = self.x_drop
+            res = self._fn(*args)
+            if cfg.trace:
+                from .core.traceback import adaptive_trace
+
+                out, thbm, mhbm = res
+                out = np.asarray(out)
+                steps_row = 3 if cfg.x_drop else 1
+                steps = out[:, 0, steps_row, 0]
+                nsteps = int(steps.max())
+                self._last_trace = adaptive_trace(
+                    np.asarray(thbm[:, :nsteps]),
+                    np.asarray(mhbm[:, :nsteps]), steps, cfg.max_size,
+                )
+            else:
+                out = np.asarray(res)
+            over = out[:, :, -1, :].reshape(cfg.batch)
             assert not over[: len(pairs)].any(), (
                 "adaptive kernel hit its step cap; raise seq_cap/max_steps"
             )
+            if cfg.x_drop:
+                o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
+                    cfg.batch, 3)
+                return [
+                    AlignResult(int(o2[k, 0]), int(o2[k, 1]), int(o2[k, 2]))
+                    for k in range(len(pairs))
+                ]
             sc = out[:, :, 0, :].reshape(cfg.batch)
             return [
                 AlignResult(int(sc[k]), len(q), p.str_len if p else 0)

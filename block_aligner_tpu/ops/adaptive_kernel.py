@@ -124,9 +124,7 @@ class AdaptiveKernelConfig:
         assert self.banks in (1, 2, 4, 8, 16)
         assert self.batch % (P * self.banks) == 0
         if self.profile:
-            # profile-adaptive covers the reference's global accuracy
-            # configurations; x-drop/trace profile-adaptive -> engine
-            assert not (self.x_drop or self.trace or self.byte_mode)
+            assert not self.byte_mode
         assert self.vmem_bytes <= 15 * 2**20, (
             f"~{self.vmem_bytes >> 20} MiB VMEM scratch exceeds the core "
             "budget; lower banks or seq_cap"
@@ -650,15 +648,16 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 goc = jnp.where(rightm, goc_c, gor_r) + e
                 C11_open = jnp.maximum(D10 + goc, NEG32)
                 C11 = jnp.maximum(jnp.maximum(C10 + e, NEG32), C11_open)
-                C11_end = jnp.where(
+                c_end = jnp.where(
                     rightm, jnp.maximum(C11 + gcc_c, NEG32), C11
                 )
-                D11 = jnp.maximum(D11, C11_end)
+                D11 = jnp.maximum(D11, c_end)
                 gor_v = jnp.where(rightm, gor_c, goc_r)
                 D11_open = jnp.maximum(D11 + gor_v, NEG32)
             else:
                 C11_open = jnp.maximum(D10 + open_, NEG32)
                 C11 = jnp.maximum(jnp.maximum(C10 + e, NEG32), C11_open)
+                c_end = C11
                 D11 = jnp.maximum(D11, C11)
                 D11_open = D11 + (open_ - e)
 
@@ -670,20 +669,19 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             R11 = jnp.maximum(t, zc)
             if cfg.profile:
                 # gap close when leaving R (down rects only)
-                D11 = jnp.maximum(
-                    D11,
-                    jnp.where(rightm, R11,
-                              jnp.maximum(R11 + gcc_r, NEG32)),
-                )
+                r_end = jnp.where(rightm, R11,
+                                  jnp.maximum(R11 + gcc_r, NEG32))
+                D11 = jnp.maximum(D11, r_end)
             else:
+                r_end = R11
                 D11 = jnp.maximum(D11, R11)
 
             if cfg.trace:
                 # packed 2+2-bit trace emission (identical bit semantics to
                 # the lane kernel / reference src/scan_block.rs:1166-1190);
                 # all 8 columns of the step pack into one i32 per cell
-                tb = (D11 == C11).astype(jnp.int32) | (
-                    (D11 == R11).astype(jnp.int32) << 1
+                tb = (D11 == c_end).astype(jnp.int32) | (
+                    (D11 == r_end).astype(jnp.int32) << 1
                 )
                 temp_tr = (R11 == D11_open).astype(jnp.int32)
                 tr_R = jnp.concatenate(

@@ -132,6 +132,65 @@ def bench_uc():
         "staged, pipelined dispatch; trace + ckpt events stay in HBM")
 
 
+def bench_uc_256():
+    """The reference's uc_bench 256-256 row (0.1994 s / 7000 = 28.5
+    us/pair) through the fixed lane kernel at block 256."""
+    data = load_uc_pairs("uc30_0.95", per_bucket=1000)
+    pairs = sorted([(q, r) for q, r, _ in data],
+                   key=lambda p: len(p[0]) + len(p[1]))
+    max_len = max(max(len(q), len(r)) for q, r in pairs)
+    al = BatchAligner(BLOSUM62, BL_GAPS, (256, 256), batch=8192,
+                      seq_cap=max_len + 32)
+    assert al._lane
+    st = al.stage(pairs)
+    al.align_staged(st)
+    dt = device_reps(al._lane_fn, st[1], reps=4)
+    row("uc30_0.95 7000p global 256-256", len(pairs), dt, 28.5, None,
+        "staged, pipelined dispatch")
+
+
+def bench_short_reads():
+    """The reference's short-read traced global rows: Illumina 100k pairs
+    (0.331 s = 3.31 us/pair, 1%-1% band) and nanopore 1kbp 12477 pairs
+    (0.355 s = 28.5 us/pair); both bands resolve to block 32
+    (percent_len <= 150bp/1kbp at 1%)."""
+    rng = np.random.default_rng(77)
+    matrix = NucMatrix.new_simple(2, -4)
+    gaps = Gaps(open=-6, extend=-2)
+
+    def mutated(n, err):
+        r = rand_seq_local(rng, DNA, n)
+        q = bytearray(r)
+        for _ in range(max(1, int(n * err))):
+            op = int(rng.integers(0, 3))
+            pos = int(rng.integers(0, max(len(q), 1)))
+            if op == 0:
+                q[pos % len(q)] = int(rng.choice(list(DNA)))
+            elif op == 1 and len(q) > 1:
+                del q[pos % len(q)]
+            else:
+                q.insert(pos, int(rng.choice(list(DNA))))
+        return bytes(q), r
+
+    ill = [mutated(int(rng.integers(100, 151)), 0.01) for _ in range(16384)]
+    alt = BatchAligner(matrix, gaps, (32, 32), batch=16384, seq_cap=180,
+                       trace=True)
+    st = alt.stage(sorted(ill, key=lambda p: len(p[0]) + len(p[1])))
+    alt.align_staged(st)
+    dt = device_reps(alt._lane_fn, st[1], reps=4)
+    row("illumina 150bp global 32-32 + trace", len(ill), dt, 3.31, None,
+        "staged, pipelined dispatch; ref 0.331s/100k pairs (1%-1%)")
+
+    ont = [mutated(int(rng.integers(800, 1000)), 0.1) for _ in range(8192)]
+    alt2 = BatchAligner(matrix, gaps, (32, 32), batch=8192, seq_cap=1100,
+                        trace=True)
+    st2 = alt2.stage(sorted(ont, key=lambda p: len(p[0]) + len(p[1])))
+    alt2.align_staged(st2)
+    dt = device_reps(alt2._lane_fn, st2[1], reps=3)
+    row("nanopore 1kbp global 32-32 + trace", len(ont), dt, 28.5, None,
+        "staged, pipelined dispatch; ref 0.355s/12477 pairs (1%-1%)")
+
+
 def bench_accuracy_hard():
     """Adaptivity accuracy on the harder set (structural indels; the
     reference's uc30 numbers: 1271 wrong @32-32, 224 @32-256 adaptive)."""
@@ -289,6 +348,8 @@ def main():
     import jax
 
     bench_uc()
+    bench_uc_256()
+    bench_short_reads()
     bench_accuracy_hard()
     bench_nanopore()
     bench_xdrop()

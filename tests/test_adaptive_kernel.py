@@ -214,3 +214,64 @@ def test_adaptive_trace_blocks_telemetry():
         got = [(b.row, b.col, b.width, b.height)
                for b in al.trace().blocks(k)]
         assert got == want, (k, got[:4], want[:4])
+
+
+def _rand_profile(rng, n):
+    from block_aligner_tpu import AAProfile
+
+    prof = AAProfile(n, 2048, -1)
+    base = rng.integers(-4, 3, size=(n, 26))
+    cons = rand_seq(rng, n)
+    base[np.arange(n), np.frombuffer(cons, np.uint8) - 65] = (
+        rng.integers(4, 12, size=n)
+    )
+    prof.pos_scores[1 : n + 1, :26] = base
+    prof.gap_open_C[: n + 1] = rng.integers(-13, -8, size=n + 1)
+    prof.gap_close_C[: n + 1] = 0
+    prof.gap_open_R[: n + 1] = rng.integers(-13, -8, size=n + 1)
+    return prof, cons
+
+
+def test_adaptive_profile_trace_and_xdrop():
+    """Profile-adaptive trace (CIGARs through the ckpt-event stream) and
+    profile-adaptive x-drop (argmax positions) vs the scalar oracle."""
+    from block_aligner_tpu import ProfileAligner
+
+    rng = np.random.default_rng(13)
+    pairs = []
+    for _ in range(6):
+        n = int(rng.integers(25, 70))
+        prof, cons = _rand_profile(rng, n)
+        q = bytearray(cons)
+        for _ in range(n // 4):
+            q[int(rng.integers(0, len(q)))] = int(rng.choice(list(AA)))
+        q = bytes(q)
+        if rng.integers(0, 2):
+            ln = int(rng.integers(8, 20))
+            pos = int(rng.integers(0, max(len(q) - ln, 1)))
+            q = q[:pos] + rand_seq(rng, ln) + q[pos:]
+        pairs.append((q, prof))
+
+    pa = ProfileAligner((16, 32), batch=128, seq_cap=160, trace=True)
+    assert pa._adaptive and pa._lane_cfg.trace
+    got = pa.align_batch(pairs)
+    orc = BlockOracle(trace=True)
+    for k, (q, prof) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, prof)
+        orc.align_profile(pq, prof, (16, 32), 0)
+        w = orc.res()
+        assert got[k].score == w.score, (k, got[k], w)
+        assert str(pa.cigar(k, got[k].query_idx, got[k].reference_idx)) \
+            == str(orc.cigar(w.query_idx, w.reference_idx)), k
+
+    pa2 = ProfileAligner((16, 32), batch=128, seq_cap=160, x_drop=50)
+    assert pa2._adaptive and pa2._lane_cfg.x_drop
+    got2 = pa2.align_batch(pairs)
+    orc2 = BlockOracle(x_drop=True)
+    for k, (q, prof) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, prof)
+        orc2.align_profile(pq, prof, (16, 32), 50)
+        w = orc2.res()
+        assert (got2[k].score, got2[k].query_idx,
+                got2[k].reference_idx) == (w.score, w.query_idx,
+                                           w.reference_idx), (k, got2[k], w)
