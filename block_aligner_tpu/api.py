@@ -472,7 +472,29 @@ class BatchAligner:
                 np.asarray(self._lane_fn(*args)), None, lens=(ql, rl, n)
             )
         if self._lane:
-            out = np.asarray(self._lane_fn(*args))
+            res = self._lane_fn(*args)
+            if self._lane_cfg.trace:
+                from .core.traceback import lane_trace
+
+                res, thbm, mhbm = res
+                out = np.asarray(res)
+                steps_row = 3 if (self._lane_cfg.x_drop
+                                  or self._lane_cfg.free_query_end_gaps) else 1
+                steps = out[:, 0, steps_row, 0]
+                W32 = self._lane_cfg.trace_words
+                nsteps = int(steps.max())
+                self._last_trace = lane_trace(
+                    np.asarray(thbm[:, : nsteps * W32]),
+                    np.asarray(mhbm[:, :nsteps]), steps,
+                    self._lane_cfg.block,
+                    local_start=self._lane_cfg.local_start,
+                    free_query_start_gaps=(
+                        self._lane_cfg.free_query_start_gaps
+                    ),
+                    words=W32,
+                )
+            else:
+                out = np.asarray(res)
             self.last_suspect = (
                 out[:, :, -1, :].reshape(self._lane_cfg.batch)[:n].astype(bool)
             )
