@@ -1085,7 +1085,9 @@ class LongBatchAligner:
         while banks & (banks - 1):
             banks -= 1
         a_ = 32 if profile or matrix.kind != "nuc" else 16
-        while banks > (1 if profile else 2) and lane_vmem_bytes(
+        # banks=1 pessimizes Mosaic layouts but is the only way block 512
+        # (the reference's 1% band for 50 kbp reads) fits the VMEM budget
+        while banks > 1 and lane_vmem_bytes(
             block, window, a_, banks, trace=trace, profile=profile,
             local_start=local_start,
         ) > 12 * 2**20:

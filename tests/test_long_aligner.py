@@ -242,3 +242,34 @@ def test_long_segmented_free_query_end_gaps():
         w = orc.res()
         assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
             w.score, w.query_idx, w.reference_idx), (k, got[k], w)
+
+
+def test_long_segmented_block_512():
+    """Block 512 (the reference's 1% band for 50 kbp reads) through the
+    segmented kernel with trace: scores and CIGARs oracle-exact."""
+    from block_aligner_tpu import NucMatrix
+
+    rng = np.random.default_rng(4)
+    DNA = b"ACGT"
+    matrix = NucMatrix.new_simple(2, -4)
+    gaps = Gaps(open=-6, extend=-2)
+    pairs = []
+    for _ in range(2):
+        n = int(rng.integers(2500, 3000))
+        r = bytes(rng.choice(list(DNA), size=n).tolist())
+        q = bytearray(r)
+        for _ in range(n // 10):
+            q[int(rng.integers(0, len(q)))] = int(rng.choice(list(DNA)))
+        pairs.append((bytes(q), r))
+    al = LongBatchAligner(matrix, gaps, block=512, window=2048, batch=256,
+                          trace=True)
+    got = al.align_batch(pairs)
+    for k, (q, r) in enumerate(pairs):
+        orc = BlockOracle(trace=True)
+        pq = PaddedBytes.from_bytes(q, 512, matrix)
+        pr = PaddedBytes.from_bytes(r, 512, matrix)
+        orc.align(pq, pr, matrix, gaps, (512, 512), 0)
+        w = orc.res()
+        assert got[k].score == w.score, (k, got[k], w)
+        assert str(al.cigar(k, w.query_idx, w.reference_idx)) == \
+            str(orc.cigar(w.query_idx, w.reference_idx)), k
