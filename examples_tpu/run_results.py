@@ -320,6 +320,34 @@ def rand_seq_local(rng, alpha, n):
     return bytes(rng.choice(list(alpha), size=n).tolist())
 
 
+def bench_rand_scan():
+    """The reference's rand_scan micro-benchmark rows (bench notebook
+    cell 11): random protein 100x100 k=10 (3.9 us/pair) and 10000x10000
+    k=1000 (231.7 us/pair), global block 32."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", str(Path(__file__).resolve().parent.parent / "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from block_aligner_tpu.ops.lane_kernel import (
+        LaneKernelConfig, build_lane_engine, pack_lane)
+
+    for B, LEN, KM, BANKS, base in ((131072, 100, 10, 16, 3.9),
+                                    (8192, 10000, 1000, 2, 231.7)):
+        rng = np.random.default_rng(1234)
+        pairs = bench.rand_protein_pairs(rng, B, LEN, KM)
+        cap = max(256, -(-(1 + LEN + LEN // 4 + 48) // 128) * 128)
+        cfg = LaneKernelConfig(batch=B, block=32, seq_cap=cap, alpha=32,
+                               banks=BANKS)
+        fn = build_lane_engine(cfg)
+        args = jax.device_put(pack_lane(pairs, BLOSUM62, cfg,
+                                        Gaps(open=-11, extend=-1)))
+        dt = device_reps(fn, args, reps=4)
+        row(f"random protein {LEN}x{LEN} global 32-32", B, dt, base, None,
+            "staged, pipelined dispatch")
+
+
 def bench_pssm():
     import jax
     import numpy as np
@@ -334,6 +362,12 @@ def bench_pssm():
     dt = device_reps(pa._fn, args)
     row("SCOP-style seq-PSSM 32-32 (lane)", len(data), dt, 13.4, None,
         "staged, pipelined dispatch; ref: 0.149s/11160")
+    pa2 = ProfileAligner(size=(128, 128), batch=8192, seq_cap=cap + 128)
+    assert pa2._lane
+    args2 = jax.device_put(pack_lane_profile(data, pa2._lane_cfg))
+    dt = device_reps(pa2._fn, args2, reps=4)
+    row("SCOP-style seq-PSSM 128-128 (lane)", len(data), dt, 18.6, None,
+        "staged, pipelined dispatch; ref: 0.207s/11160")
     t0 = time.perf_counter()
     pa.align_batch(data)
     dt = time.perf_counter() - t0
@@ -354,6 +388,7 @@ def main():
     bench_nanopore()
     bench_xdrop()
     bench_xdrop_25k()
+    bench_rand_scan()
     bench_pssm()
 
     out = Path(__file__).resolve().parent.parent / "RESULTS.md"
