@@ -13,9 +13,10 @@ Three device backends sit underneath, picked automatically:
   free-gap modes, ByteMatrix;
 * the adaptive kernel (ops/adaptive_kernel.py) -- reference-exact
   grow/shrink/checkpoint sizing (min_size < max_size) in global, x-drop,
-  and trace modes;
-* the general lockstep engine (ops/engine.py) -- the remaining
-  configurations (profile-adaptive).
+  trace, ByteMatrix, and profile modes;
+* the general lockstep engine (ops/engine.py) -- the oracle-chain
+  cross-check and the fallback for explicitly engine-routed runs
+  (use_lane_kernel=False).
 
 ``ProfileAligner`` is the sequence-to-PSSM counterpart of ``BatchAligner``
 (reference: Block::align_profile, src/scan_block.rs:942-995).
@@ -97,7 +98,7 @@ class BatchAligner:
         lane_ok = True
         is_byte = isinstance(matrix, ByteMatrix)
         # reference-exact adaptive sizing (grow/shrink/ckpt) runs in its
-        # own Pallas kernel; profile-adaptive stays on the general engine
+        # own Pallas kernel
         ndev = 1
         if mesh is not None:
             ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
