@@ -275,3 +275,29 @@ def test_adaptive_profile_trace_and_xdrop():
         assert (got2[k].score, got2[k].query_idx,
                 got2[k].reference_idx) == (w.score, w.query_idx,
                                            w.reference_idx), (k, got2[k], w)
+
+
+def test_adaptive_trace_xdrop_combined():
+    """Adaptive trace + x-drop together: positions AND CIGARs vs the
+    scalar oracle (the reference Block<true, true> adaptive config)."""
+    rng = np.random.default_rng(21)
+    pairs = []
+    for _ in range(4):
+        q = rand_seq(rng, int(rng.integers(25, 80)))
+        pairs.append((q, mutate(rng, q, 10)))
+    for _ in range(3):  # unrelated: x-drop terminates mid-run
+        pairs.append((rand_seq(rng, 60), rand_seq(rng, 60)))
+    al = BatchAligner(BLOSUM62, GAPS, (16, 32), batch=128, seq_cap=160,
+                      trace=True, x_drop=50)
+    assert al._adaptive and al._lane_cfg.trace and al._lane_cfg.x_drop
+    got = al.align_batch(pairs)
+    orc = BlockOracle(trace=True, x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 32, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (16, 32), 50)
+        w = orc.res()
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
+            w.score, w.query_idx, w.reference_idx), (k, got[k], w)
+        assert str(al.cigar(k, w.query_idx, w.reference_idx)) == \
+            str(orc.cigar(w.query_idx, w.reference_idx)), k
