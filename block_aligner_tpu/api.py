@@ -97,6 +97,11 @@ class BatchAligner:
         self.last_suspect = None
         lane_ok = True
         is_byte = isinstance(matrix, ByteMatrix)
+        # reference surface: X-drop is not implemented for ByteMatrix
+        # (core/scores.py; reference exposes no byte x-drop FFI/tests)
+        assert not (is_byte and x_drop is not None), (
+            "x-drop with ByteMatrix is not supported (same as the reference)"
+        )
         # reference-exact adaptive sizing (grow/shrink/ckpt) runs in its
         # own Pallas kernel
         ndev = 1
@@ -1278,24 +1283,33 @@ class LongBatchAligner:
         program still burns one no-op step per launch, flagged done in its
         descriptor, which the decoder discards).  Descriptors carry
         absolute (i, j) rect origins, so concatenation is positional only.
-        Streams are packed int32 words (one 8-column word per step).
+        Streams are packed int32 words (``cfg.trace_words`` per step: one
+        8-column word, or two byte-field words in local-start mode whose
+        5th bit is the zero-mask terminator).
         """
         from .core.traceback import lane_trace
 
         cfg = self.cfg
         n_progs, K, S = cfg.n_programs, cfg.banks, cfg.block
+        W32 = cfg.trace_words
         tot = np.sum([c[2] for c in chunks], axis=0).astype(np.int64)
         tmax = int(tot.max())
-        thbm_g = np.zeros((n_progs, max(tmax, 1), K, S, P_LANES), np.int32)
+        thbm_g = np.zeros(
+            (n_progs, max(tmax, 1) * W32, K, S, P_LANES), np.int32)
         mhbm_g = np.zeros((n_progs, max(tmax, 1), K, 4, P_LANES), np.int32)
         pos = np.zeros(n_progs, np.int64)
         for tch, mch, ran in chunks:
             for p in range(n_progs):
                 n = int(ran[p])
-                thbm_g[p, pos[p] : pos[p] + n] = tch[p, :n]
+                thbm_g[p, pos[p] * W32 : (pos[p] + n) * W32] = \
+                    tch[p, : n * W32]
                 mhbm_g[p, pos[p] : pos[p] + n] = mch[p, :n]
                 pos[p] += n
-        return lane_trace(thbm_g, mhbm_g, tot, S, words=1)
+        return lane_trace(
+            thbm_g, mhbm_g, tot, S, words=W32,
+            local_start=cfg.local_start,
+            free_query_start_gaps=cfg.free_query_start_gaps,
+        )
 
     # --- trace accessors (reference: Block::trace, src/scan_block.rs:1241) --
     def trace(self) -> EngineTrace:

@@ -489,7 +489,7 @@ class LaneTrace:
         """
         nb = len(endpoints)
         lib = self._native
-        if lib is None or not hasattr(lib, "ba_lane_cigar_batch"):
+        if lib is None or not hasattr(lib, "ba_lane_cigar_batch_flat"):
             return [self.cigar(b, i, j) for b, (i, j) in enumerate(endpoints)]
         import ctypes
 
@@ -499,10 +499,15 @@ class LaneTrace:
         ij = np.ascontiguousarray(np.asarray(endpoints, dtype=np.int64))
         assert ij.shape == (nb, 2)
         psteps = np.repeat(self.psteps, K * P_)[:nb].copy()
-        cap = 2 * (int(ij.sum(axis=1).max()) + 4) if nb else 8
-        out = np.empty((nb, cap), dtype=np.int32)
+        # per-pair output slices (host memory = sum of per-pair bounds, not
+        # nb * batch-wide max: a 64k batch of 20 kbp pairs would otherwise
+        # allocate tens of GB)
+        caps = 2 * (ij.sum(axis=1) + 4)
+        off = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(caps, out=off[1:])
+        out = np.empty(int(off[-1]), dtype=np.int32)
         out_n = np.empty(nb, dtype=np.int64)
-        lib.ba_lane_cigar_batch(
+        lib.ba_lane_cigar_batch_flat(
             wt.ctypes.data_as(ctypes.c_void_p),
             mt.ctypes.data_as(ctypes.c_void_p),
             nsteps, self.words, S,
@@ -511,9 +516,10 @@ class LaneTrace:
             1 if self.local_start else 0,
             1 if self.free_query_start_gaps else 0,
             0, None, None, 0, 0,
+            off.ctypes.data_as(ctypes.c_void_p),
             out.ctypes.data_as(ctypes.c_void_p),
             out_n.ctypes.data_as(ctypes.c_void_p),
-            cap, nthreads,
+            nthreads,
         )
         cigars: List[Cigar] = []
         for b in range(nb):
@@ -522,7 +528,7 @@ class LaneTrace:
                 cigars.append(self.cigar(b, int(ij[b, 0]), int(ij[b, 1])))
                 continue
             c = Cigar()
-            row = out[b]
+            row = out[int(off[b]) : int(off[b + 1])]
             for k in range(n - 1, -1, -1):  # Cigar stores reversed
                 c.add(Operation(int(row[2 * k])), int(row[2 * k + 1]))
             cigars.append(c)

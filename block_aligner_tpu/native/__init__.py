@@ -122,6 +122,29 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,  # out_cap
             ctypes.c_int32,  # nthreads
         ]
+        if hasattr(lib, "ba_lane_cigar_batch_flat"):
+            lib.ba_lane_cigar_batch_flat.restype = None
+            lib.ba_lane_cigar_batch_flat.argtypes = [
+                ctypes.c_void_p,  # wt (B, nsteps, words, S) int32
+                ctypes.c_void_p,  # mt (B, nsteps, 4) int32
+                ctypes.c_int64,  # nsteps
+                ctypes.c_int64,  # words
+                ctypes.c_int64,  # S
+                ctypes.c_void_p,  # psteps (B,) int64
+                ctypes.c_int64,  # B
+                ctypes.c_void_p,  # ij (B, 2) int64 end positions
+                ctypes.c_int32,  # local_start
+                ctypes.c_int32,  # free_query_start_gaps
+                ctypes.c_int32,  # eq
+                ctypes.c_void_p,  # qcodes (B, qstride) uint8 or None
+                ctypes.c_void_p,  # rcodes (B, rstride) uint8 or None
+                ctypes.c_int64,  # qstride
+                ctypes.c_int64,  # rstride
+                ctypes.c_void_p,  # out_off (B+1,) int64 flat offsets
+                ctypes.c_void_p,  # out_ops (out_off[B],) int32
+                ctypes.c_void_p,  # out_n (B,) int64
+                ctypes.c_int32,  # nthreads
+            ]
         lib.ba_lane_cigar.restype = ctypes.c_int64
         lib.ba_lane_cigar.argtypes = [
             ctypes.c_void_p,  # wt (nsteps, words, S) int32, this pair

@@ -384,4 +384,48 @@ void ba_lane_cigar_batch(const int32_t* wt, const int32_t* mt,
   for (auto& th : threads) th.join();
 }
 
+// Like ba_lane_cigar_batch, but each pair writes into its own slice of one
+// flat out_ops buffer: pair b owns [out_off[b], out_off[b+1]) (out_off has
+// B+1 entries).  Host memory is then the prefix sum of per-pair bounds
+// (2*(i+j+4)) instead of B * batch-wide-max.
+void ba_lane_cigar_batch_flat(const int32_t* wt, const int32_t* mt,
+                              int64_t nsteps, int64_t words, int64_t S,
+                              const int64_t* psteps, int64_t B,
+                              const int64_t* ij, int32_t local_start,
+                              int32_t free_query_start_gaps, int32_t eq,
+                              const uint8_t* qcodes, const uint8_t* rcodes,
+                              int64_t qstride, int64_t rstride,
+                              const int64_t* out_off, int32_t* out_ops,
+                              int64_t* out_n, int32_t nthreads) {
+  const size_t wstride = (size_t)nsteps * (size_t)words * (size_t)S;
+  const size_t mstride = (size_t)nsteps * 4;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; b++) {
+      out_n[b] = lane_cigar_walk(
+          wt + (size_t)b * wstride, mt + (size_t)b * mstride, nsteps, words,
+          S, psteps[b], ij[2 * b], ij[2 * b + 1], local_start,
+          free_query_start_gaps, eq,
+          qcodes ? qcodes + (size_t)b * (size_t)qstride : nullptr,
+          rcodes ? rcodes + (size_t)b * (size_t)rstride : nullptr,
+          out_ops + out_off[b], out_off[b + 1] - out_off[b]);
+    }
+  };
+  int64_t nt = nthreads > 0 ? nthreads : 1;
+  if (nt > B) nt = B > 0 ? B : 1;
+  if (nt <= 1) {
+    work(0, B);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve((size_t)nt);
+  const int64_t chunk = (B + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; t++) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = lo + chunk < B ? lo + chunk : B;
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

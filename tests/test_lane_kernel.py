@@ -199,6 +199,28 @@ def test_lane_trace_cigars():
         assert got == want, (k, got, want, q, r)
 
 
+def test_lane_trace_cigars_all_flat():
+    """Batch CIGAR walk (native flat per-pair-offset buffer) must match the
+    per-pair python walk exactly, including degenerate tiny pairs."""
+    from block_aligner_tpu import BatchAligner
+
+    rng = np.random.default_rng(67)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = [(b"A", b"A"), (b"AAAA", b"AARA")]
+    for _ in range(14):
+        n = int(rng.integers(5, 120))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, max(1, n // 4), AA)))
+    al = BatchAligner(BLOSUM62, gaps, size=(32, 32), batch=256, seq_cap=160,
+                      trace=True)
+    res = al.align_batch(pairs)
+    tr = al.trace()
+    ends = [(r.query_idx, r.reference_idx) for r in res[: len(pairs)]]
+    batch = tr.cigars_all(ends, nthreads=4)
+    for k, (i, j) in enumerate(ends):
+        assert str(batch[k]) == str(tr.cigar(k, i, j)), k
+
+
 def test_lane_trace_xdrop_cigars():
     from block_aligner_tpu import BatchAligner
 

@@ -216,6 +216,60 @@ def test_long_segmented_local_start():
             w.score, w.query_idx, w.reference_idx), (k, got[k], w)
 
 
+def test_long_segmented_local_start_trace():
+    """Segmented local-start trace: 2 byte-field words per step (the
+    zero-mask bit rides bit 4); _assemble_trace must stitch both words per
+    step and pass the mode flags to the walker."""
+    rng = np.random.default_rng(47)
+    gaps = Gaps(open=-11, extend=-1)
+    S = 16
+    pairs = []
+    for _ in range(5):
+        n = int(rng.integers(300, 600))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 6, AA)))
+    al = LongBatchAligner(BLOSUM62, gaps, block=S, window=256, batch=256,
+                          local_start=True, x_drop=100, trace=True)
+    assert al.cfg.trace_words == 2 and al.cfg.seg_steps * 8 < 600
+    got = al.align_batch(pairs)
+    for k, (q, r) in enumerate(pairs):
+        orc = BlockOracle(local_start=True, x_drop=True, trace=True)
+        pq = PaddedBytes.from_bytes(q, S, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, S, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, gaps, (S, S), 100)
+        w = orc.res()
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
+            w.score, w.query_idx, w.reference_idx), (k, got[k], w)
+        wc = str(orc.cigar(w.query_idx, w.reference_idx))
+        gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
+        assert gc == wc, (k, gc, wc)
+
+
+def test_long_segmented_free_query_start_gaps_trace():
+    """Segmented trace with free leading query gaps: the walker must keep
+    its i==0 termination across stitched launches."""
+    rng = np.random.default_rng(53)
+    gaps = Gaps(open=-11, extend=-1)
+    S = 16
+    pairs = []
+    for _ in range(5):  # unrelated pairs: leading query gaps matter
+        pairs.append((rand_seq(rng, AA, int(rng.integers(200, 400))),
+                      rand_seq(rng, AA, int(rng.integers(300, 600)))))
+    al = LongBatchAligner(BLOSUM62, gaps, block=S, window=256, batch=256,
+                          free_query_start_gaps=True, trace=True)
+    got = al.align_batch(pairs)
+    for k, (q, r) in enumerate(pairs):
+        orc = BlockOracle(free_query_start_gaps=True, trace=True)
+        pq = PaddedBytes.from_bytes(q, S, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, S, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, gaps, (S, S), 0)
+        w = orc.res()
+        assert got[k].score == w.score, (k, got[k], w)
+        wc = str(orc.cigar(w.query_idx, w.reference_idx))
+        gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
+        assert gc == wc, (k, gc, wc)
+
+
 def test_long_segmented_free_query_end_gaps():
     """Short query vs long reference with free trailing query gaps
     (the reference's semiglobal read-anchoring mode)."""
