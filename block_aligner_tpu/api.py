@@ -104,6 +104,7 @@ class BatchAligner:
         )
         # reference-exact adaptive sizing (grow/shrink/ckpt) runs in its
         # own Pallas kernel
+        self._big = False
         ndev = 1
         if mesh is not None:
             ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -150,6 +151,41 @@ class BatchAligner:
                     self._lane_cfg, mesh, data_axis)
             else:
                 self._lane_fn = build_adaptive_engine(self._lane_cfg)
+            self._lane = False
+            self.cfg = None
+            return
+        # big-block adaptive sizing (512 < max <= 2048): the row-segmented
+        # kernel with code-keyed score fetch (reference band configs up to
+        # (128, 1024) / (512, 8192), examples/nanopore_accuracy.rs:37-54)
+        self._big = (
+            lane_ok and min_size < max_size and 16 <= min_size
+            and 512 < max_size <= 2048 and not trace and x_drop is None
+            and not local_start and not free_query_start_gaps
+            and not free_query_end_gaps and use_lane_kernel is not False
+        )
+        if self._big:
+            import jax
+
+            from .ops.big_kernel import BigKernelConfig, build_big_engine
+
+            a_ = 4 if is_byte else (32 if matrix.kind != "nuc" else 16)
+            cap = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
+            self._lane_cfg = BigKernelConfig(
+                batch=round_up(max(batch, 128), 128 * ndev),
+                min_size=min_size,
+                max_size=max_size,
+                seq_cap=cap,
+                alpha=a_,
+                byte_mode=is_byte,
+                interpret=jax.default_backend() != "tpu",
+            )
+            if mesh is not None:
+                from .parallel.mesh import data_parallel_big
+
+                self._lane_fn = data_parallel_big(
+                    self._lane_cfg, mesh, data_axis)
+            else:
+                self._lane_fn = build_big_engine(self._lane_cfg)
             self._lane = False
             self.cfg = None
             return
@@ -244,13 +280,13 @@ class BatchAligner:
 
     @property
     def batch_size(self) -> int:
-        if self._lane or self._adaptive:
+        if self._lane or self._adaptive or self._big:
             return self._lane_cfg.batch
         return self.cfg.batch
 
     @property
     def seq_capacity(self) -> int:
-        kern = self._lane or self._adaptive
+        kern = self._lane or self._adaptive or self._big
         cap = self._lane_cfg.seq_cap if kern else self.cfg.seq_cap
         blk = self._lane_cfg.block if kern else self.cfg.max_size
         return cap - blk - 17
@@ -283,6 +319,12 @@ class BatchAligner:
                 )
                 return self._adaptive_results(out, pairs)
             return self._adaptive_results(np.asarray(res), pairs)
+        if self._big:
+            from .ops.big_kernel import pack_big
+
+            args = pack_big(pairs, self.matrix, self._lane_cfg, self.gaps)
+            return self._adaptive_results(
+                np.asarray(self._lane_fn(*args)), pairs)
         if self._lane:
             from .ops.lane_kernel import pack_lane
 
@@ -455,6 +497,13 @@ class BatchAligner:
             ql = np.asarray(args[0]).reshape(self._lane_cfg.batch).copy()
             rl = np.asarray(args[1]).reshape(self._lane_cfg.batch).copy()
             return (len(pairs), jax.device_put(args), (ql, rl))
+        if self._big:
+            from .ops.big_kernel import pack_big
+
+            args = pack_big(pairs, self.matrix, self._lane_cfg, self.gaps)
+            ql = np.asarray(args[0]).reshape(self._lane_cfg.batch).copy()
+            rl = np.asarray(args[1]).reshape(self._lane_cfg.batch).copy()
+            return (len(pairs), jax.device_put(args), (ql, rl))
         if self._lane:
             from .ops.lane_kernel import pack_lane
 
@@ -472,7 +521,7 @@ class BatchAligner:
     def align_staged(self, staged) -> List[AlignResult]:
         """Run a batch previously prepared with ``stage``."""
         n, args = staged[0], staged[1]
-        if self._adaptive:
+        if self._adaptive or self._big:
             ql, rl = staged[2]
             return self._adaptive_results(
                 np.asarray(self._lane_fn(*args)), None, lens=(ql, rl, n)

@@ -17,7 +17,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_batch", "data_parallel_engine",
-           "data_parallel_lane", "data_parallel_adaptive"]
+           "data_parallel_lane", "data_parallel_adaptive",
+           "data_parallel_big"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -97,6 +98,38 @@ def data_parallel_lane(cfg, mesh: Mesh, axis: str = "data"):
     wrapped = shard_map(
         fn, mesh=mesh, in_specs=specs_in, out_specs=out_specs,
         check_rep=False,
+    )
+
+    def run(*args):
+        return wrapped(*args)
+
+    return run
+
+
+def data_parallel_big(cfg, mesh: Mesh, axis: str = "data"):
+    """Shard the big-block (row-segmented, 512 < max <= 2048) adaptive
+    kernel's program grid over a device mesh; embarrassingly parallel like
+    ``data_parallel_lane``.  Inputs: qlen/rlen (n_progs, 1, P), score
+    table (replicated), code block (n_progs, 2*NCH, 128, P), gaps
+    (replicated)."""
+    import dataclasses
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.big_kernel import build_big_engine
+
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert cfg.n_programs % ndev == 0, (
+        "batch must split evenly across devices"
+    )
+    local_cfg = dataclasses.replace(cfg, batch=cfg.batch // ndev)
+    fn = build_big_engine(local_cfg)
+
+    shard3 = P(axis, None, None)
+    specs_in = (shard3, shard3, P(), P(axis, None, None, None), P())
+    wrapped = shard_map(
+        fn, mesh=mesh, in_specs=specs_in,
+        out_specs=P(axis, None, None, None), check_rep=False,
     )
 
     def run(*args):

@@ -1,0 +1,153 @@
+"""Big-block adaptive Pallas kernel vs the scalar oracle (row-segmented
+grow/shrink/checkpoint machine for block sizes past the resident kernels;
+reference: src/scan_block.rs:101-593, examples/nanopore_accuracy.rs:37-54)."""
+
+import numpy as np
+
+from block_aligner_tpu import BLOSUM62, BlockOracle, Gaps, PaddedBytes
+from block_aligner_tpu.ops.big_kernel import (
+    BigKernelConfig,
+    build_big_engine,
+    pack_big,
+)
+
+AA = b"ACDEFGHIKLMNPQRSTVWY"
+GAPS = Gaps(open=-11, extend=-1)
+
+
+def rand_seq(rng, n):
+    return bytes(rng.choice(list(AA), size=n).tolist())
+
+
+def mutate(rng, s, k, indel=0, big=0):
+    r = bytearray(s)
+    for _ in range(k):
+        r[int(rng.integers(0, len(r)))] = int(rng.choice(list(AA)))
+    r = bytes(r)
+    for _ in range(indel):
+        ln = int(rng.integers(8, max(9, len(s) // 3)))
+        pos = int(rng.integers(0, max(len(r) - ln, 1)))
+        if rng.integers(0, 2) and len(r) > ln + 8:
+            r = r[:pos] + r[pos + ln:]
+        else:
+            r = r[:pos] + rand_seq(rng, ln) + r[pos:]
+    for _ in range(big):
+        ln = int(rng.integers(150, 300))
+        pos = int(rng.integers(0, max(len(r) - 1, 1)))
+        r = r[:pos] + rand_seq(rng, ln) + r[pos:]
+    return r
+
+
+def structural_pairs(rng, n, base_lo, base_hi):
+    """Pairs with big indels so the adaptive ladder actually grows."""
+    pairs = []
+    for _ in range(n):
+        q = rand_seq(rng, int(rng.integers(base_lo, base_hi)))
+        r = bytearray(mutate(rng, q, max(3, len(q) // 12), indel=2))
+        ln = int(rng.integers(120, 280))
+        pos = int(rng.integers(0, max(len(r) - 1, 1)))
+        r = bytes(r[:pos]) + rand_seq(rng, ln) + bytes(r[pos:])
+        pairs.append((q, r))
+    return pairs
+
+
+def oracle_scores(pairs, size):
+    orc = BlockOracle()
+    out = []
+    for q, r in pairs:
+        pq = PaddedBytes.from_bytes(q, size[1], BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, size[1], BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, size, 0)
+        out.append(orc.res().score)
+    return out
+
+
+def run_big(pairs, size, seg, seq_cap):
+    cfg = BigKernelConfig(
+        batch=128, min_size=size[0], max_size=size[1], seq_cap=seq_cap,
+        alpha=32, seg=seg, interpret=True,
+    )
+    eng = build_big_engine(cfg)
+    out = np.asarray(eng(*pack_big(pairs, BLOSUM62, cfg, GAPS)))
+    assert not out[0, 0, 1, : len(pairs)].any(), "step-cap overflow"
+    return [int(out[0, 0, 0, k]) for k in range(len(pairs))]
+
+
+def test_big_kernel_single_segment_vs_oracle():
+    """(16, 256) with seg 256 (R=1): grow from tiny min through shrink and
+    spurious-shrink-after-grow territory (the suffix-max must exclude the
+    stale passive plane on grow steps)."""
+    rng = np.random.default_rng(13)
+    pairs = structural_pairs(rng, 8, 200, 500)
+    for _ in range(4):
+        q = rand_seq(rng, int(rng.integers(100, 300)))
+        pairs.append((q, mutate(rng, q, 10)))
+    got = run_big(pairs, (16, 256), 256, 2176)
+    want = oracle_scores(pairs, (16, 256))
+    assert got == want
+
+
+def test_big_kernel_multi_segment_vs_oracle():
+    """(32, 512) with seg 256 (R=2): grows crossing the segment boundary,
+    carry chaining between row segments."""
+    rng = np.random.default_rng(29)
+    pairs = structural_pairs(rng, 8, 250, 600)
+    got = run_big(pairs, (32, 512), 256, 2176)
+    want = oracle_scores(pairs, (32, 512))
+    assert got == want
+
+
+def test_big_kernel_past_512():
+    """(128, 1024) -- the reference's 10 kbp 1%-10% band shape
+    (examples/nanopore_accuracy.rs:37-54); above both resident kernels'
+    S <= 512 ceiling."""
+    rng = np.random.default_rng(47)
+    pairs = []
+    for _ in range(3):
+        q = rand_seq(rng, int(rng.integers(500, 900)))
+        r = bytearray(mutate(rng, q, len(q) // 10, indel=2))
+        pos = int(rng.integers(0, max(len(r) - 1, 1)))
+        r = bytes(r[:pos]) + rand_seq(rng, 400) + bytes(r[pos:])
+        pairs.append((q, r))
+    got = run_big(pairs, (128, 1024), 256, 2432)
+    want = oracle_scores(pairs, (128, 1024))
+    assert got == want
+
+
+def test_big_kernel_api_route():
+    """BatchAligner((64, 1024)) routes to the big kernel and matches the
+    oracle through align_batch and stage/align_staged."""
+    from block_aligner_tpu.api import BatchAligner
+
+    rng = np.random.default_rng(61)
+    pairs = structural_pairs(rng, 5, 200, 450)
+    al = BatchAligner(BLOSUM62, GAPS, size=(64, 1024), batch=128,
+                      seq_cap=1024)
+    assert al._big and not al._adaptive and not al._lane
+    want = oracle_scores(pairs, (64, 1024))
+    got = [r.score for r in al.align_batch(pairs)]
+    assert got == want
+    staged = [r.score for r in al.align_staged(al.stage(pairs))]
+    assert staged == want
+
+
+def test_big_kernel_mesh():
+    """data_parallel_big shards the program grid over the virtual 8-device
+    CPU mesh, bit-exact vs the single-chip run."""
+    import jax
+
+    from block_aligner_tpu.api import BatchAligner
+    from block_aligner_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    mesh = make_mesh(2)
+    rng = np.random.default_rng(67)
+    pairs = structural_pairs(rng, 4, 150, 350)
+    al = BatchAligner(BLOSUM62, GAPS, size=(64, 1024), batch=256,
+                      seq_cap=1024, mesh=mesh)
+    assert al._big
+    got = [r.score for r in al.align_batch(pairs)]
+    assert got == oracle_scores(pairs, (64, 1024))
