@@ -88,6 +88,8 @@ class BatchAligner:
         min_size = max(min_size, 16)
         max_size = max(max_size, min_size)
         self.x_drop = x_drop
+        self.min_size = min_size
+        self.free_query_end_gaps = free_query_end_gaps
         self.mesh = mesh
         self.data_axis = data_axis
         self._trace_mode = trace
@@ -108,10 +110,13 @@ class BatchAligner:
         ndev = 1
         if mesh is not None:
             ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        # local-start / free-gap flags compose with adaptive sizing on the
+        # kernel path (reference: src/scan_block.rs:89 const generics);
+        # only their trace variants still fall back to the engine
+        flags = local_start or free_query_start_gaps or free_query_end_gaps
         self._adaptive = (
             lane_ok and min_size < max_size and 16 <= min_size
-            and max_size <= 512 and not local_start
-            and not free_query_start_gaps and not free_query_end_gaps
+            and max_size <= 512 and not (flags and trace)
             and use_lane_kernel is not False
         )
         if self._adaptive:
@@ -142,6 +147,9 @@ class BatchAligner:
                 x_drop=x_drop is not None,
                 trace=trace,
                 byte_mode=is_byte,
+                local_start=local_start,
+                free_query_start_gaps=free_query_start_gaps,
+                free_query_end_gaps=free_query_end_gaps,
                 interpret=jax.default_backend() != "tpu",
             )
             if mesh is not None:
@@ -298,6 +306,12 @@ class BatchAligner:
             assert max(len(q), len(r)) <= self.seq_capacity, (
                 "sequence too long for this BatchAligner's seq_cap"
             )
+            if self.free_query_end_gaps:
+                # reference: FREE_QUERY_END_GAPS requires min block size >
+                # query length (src/scan_block.rs align asserts)
+                assert len(q) < self.min_size, (
+                    "free_query_end_gaps requires min block size > query len"
+                )
         if self._adaptive:
             from .ops.lane_kernel import pack_lane
 
@@ -461,7 +475,8 @@ class BatchAligner:
         assert not over[:n].any(), (
             "adaptive kernel hit its step cap; raise seq_cap/max_steps"
         )
-        if self._lane_cfg.x_drop:
+        if self._lane_cfg.x_drop or getattr(
+                self._lane_cfg, "free_query_end_gaps", False):
             o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(B, 3)
             return [
                 AlignResult(int(o2[b, 0]), int(o2[b, 1]), int(o2[b, 2]))

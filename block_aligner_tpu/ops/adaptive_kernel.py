@@ -113,6 +113,9 @@ class AdaptiveKernelConfig:
     trace: bool = False  # stream packed trace words + rect/ckpt events
     byte_mode: bool = False  # ByteMatrix equality scoring (alpha = 4)
     profile: bool = False  # sequence-to-PSSM scoring (global mode only)
+    local_start: bool = False  # alignment may start anywhere (zero clamp)
+    free_query_start_gaps: bool = False  # leading query gaps are free
+    free_query_end_gaps: bool = False  # trailing query gaps are free
     interpret: bool = False
 
     def __post_init__(self):
@@ -123,6 +126,16 @@ class AdaptiveKernelConfig:
         assert self.seq_cap <= 16384
         assert self.banks in (1, 2, 4, 8, 16)
         assert self.batch % (P * self.banks) == 0
+        # same flag-exclusion surface as the reference
+        # (src/scan_block.rs:853-862)
+        assert not (self.local_start and self.free_query_start_gaps)
+        assert not (self.x_drop and self.free_query_end_gaps)
+        if self.local_start or self.free_query_start_gaps \
+                or self.free_query_end_gaps:
+            assert not self.profile and not self.trace, (
+                "adaptive mode flags compose with trace/profile via the "
+                "engine fallback for now"
+            )
         if self.profile:
             assert not self.byte_mode
         assert self.vmem_bytes <= 15 * 2**20, (
@@ -166,6 +179,9 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
     NCH = cfg.n_chunks
     MIN = cfg.min_size
     MAX_STEPS = cfg.max_steps
+    # wide result = (score, end_i, end_j) + per-rect best tracker instead
+    # of the in-column freeze (reference: X_DROP / FREE_QUERY_END_GAPS)
+    WIDE = cfg.x_drop or cfg.free_query_end_gaps
     # power-of-two sizes the shrink ladder can leave a pair at
     HALF_SIZES = []
     s = MIN
@@ -213,7 +229,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
          CORN, CVEC, OUT, SZ, PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
          GNM, REST, FRA, FRT, FRIDX) = scr[:24]
         scr = scr[24:]
-        if cfg.x_drop:
+        if WIDE:
             (XVM, XAI, XAJ, XBI, XBJ, XITER, GDMAX, GDBI, GDBJ) = scr[:9]
             scr = scr[9:]
         if cfg.trace:
@@ -289,7 +305,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
         CVEC[...] = z1 + NEG32
         for ref in (FRA, FRT, FRIDX):
             ref[...] = z1
-        if cfg.x_drop:
+        if WIDE:
             XVM[...] = jnp.full((K, 16, P), NEG_I32, jnp.int32)
             XAI[...] = jnp.zeros((K, 16, P), jnp.int32)
             XAJ[...] = jnp.zeros((K, 16, P), jnp.int32)
@@ -510,10 +526,10 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 )[None]
                 PEND_SV[...] = z1
                 PEND_RS[...] = z1
-            if cfg.x_drop:
-                # x-drop has no early-exit freeze (reference gates it off,
-                # oracle.py:691-693); FRA/FRT double as the rect's absolute
-                # lane/column origins for the argmax tracker
+            if WIDE:
+                # x-drop / free-end have no early-exit freeze (reference
+                # gates it off, oracle.py:691-693); FRA/FRT double as the
+                # rect's absolute lane/column origins for the argmax tracker
                 FRA[...] = ls
                 FRT[...] = cstart
             else:
@@ -631,7 +647,24 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             D00 = jnp.concatenate([corner, D10[:, : S - 1, :]], axis=1)
 
             D11 = jnp.maximum(D00 + scores, NEG32)
-            if w == 0:
+            if cfg.local_start:
+                # local start: every cell may begin a new alignment at the
+                # relative zero (reference: src/scan_block.rs:1134-1136;
+                # oracle.py place_block LOCAL_START clamp)
+                rz = jnp.clip(ZERO - ST_OFF[...], I16_MIN, 32767)
+                D11 = jnp.maximum(D11, rz)
+            elif cfg.free_query_start_gaps:
+                # free leading query gaps: right rects whose lanes start at
+                # query row 0 re-insert the relative zero at row 0 of every
+                # column (reference: src/scan_block.rs:1130-1132); the DP
+                # origin (right rect, i == 0, j == 0) is subsumed
+                rz = jnp.clip(ZERO - ST_OFF[...], I16_MIN, 32767)
+                ins0 = ((dirn == DIR_R) | (dirn == DIR_GR)) & (
+                    ST_I[...] == 0
+                )
+                row0 = jnp.where(ins0, rz, D11[:, 0:1, :])
+                D11 = jnp.concatenate([row0, D11[:, 1:, :]], axis=1)
+            elif w == 0:
                 # DP origin: only the very first column of the initial rect
                 origin = (dirn == DIR_GR) & (psz == 0) & (cpos == 0) & (
                     ST_J[...] == 0
@@ -730,7 +763,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 PAS_D[...] = jnp.where(gm, bot_d, PAS_D[...])
                 PAS_R[...] = jnp.where(gm, bot_r, PAS_R[...])
 
-            if cfg.x_drop:
+            if WIDE:
                 # 16-lane-residue max tracker with chunk-granular argmax
                 # (reference SIMD bookkeeping; same structure as the lane
                 # kernel's fixed-block tracker), masked to the rect height
@@ -738,6 +771,13 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                     K, S // 16, 16, P)
                 vm_new = jnp.maximum(XVM[...], Dr.max(axis=1))
                 eqm = Dr == vm_new[:, None]
+                if cfg.free_query_end_gaps:
+                    # argmax restricted to chunks whose end passes qlen
+                    # (reference track_arg filter, oracle.py:677-679)
+                    eqm = eqm & (
+                        FRA[...][:, None] + ch_iota * 16 + 16
+                        > qlen[:, None]
+                    )
                 hit = jnp.max(jnp.where(eqm, ch_iota, -1), axis=1)
                 upd = hit >= 0
                 XAI[...] = jnp.where(upd, FRA[...] + hit * 16, XAI[...])
@@ -824,7 +864,16 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             was_grow = dirn == DIR_GR
             right_or_end = (dirn == DIR_R) | (dirn == DIR_GR)
 
-            cur_max = jnp.max(DMAX[...], axis=1, keepdims=True)
+            if cfg.free_query_end_gaps:
+                # free trailing query gaps: the rect max is restricted to
+                # rows == qlen (mod 16) of the tracker (reference:
+                # tracker.vmax[qlen % L], oracle.py:441-444; min_size >
+                # qlen is asserted, so every rect's lanes start at row 0)
+                cur_max = jnp.max(
+                    jnp.where(r16_iota == qlen % 16, XVM[...], NEG_I32),
+                    axis=1, keepdims=True)
+            else:
+                cur_max = jnp.max(DMAX[...], axis=1, keepdims=True)
             off_max = ST_OFF[...] + cur_max - ZERO
             ST_OFFMAX[...] = jnp.where(rdone, off_max, ST_OFFMAX[...])
             ydi = jnp.where(rdone, YITER[...] + 1, YITER[...])
@@ -891,6 +940,26 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 done_now = terminate | reached
                 ST_DONE[...] = jnp.where(done_now, 1, ST_DONE[...])
                 rdone = rdone & ~done_now
+            elif cfg.free_query_end_gaps:
+                # best position: row is always qlen; the column is the
+                # residue lane's chunk-tracker arg (reference:
+                # oracle.py:452-461 — the right tracker even on grows;
+                # XAJ already carries the absolute column via FRT)
+                aj = jnp.max(
+                    jnp.where(r16_iota == qlen % 16, XAJ[...], NEG_I32),
+                    axis=1, keepdims=True)
+                XBI[...] = jnp.where(new_best, qlen, XBI[...])
+                XBJ[...] = jnp.where(new_best, aj, XBJ[...])
+                # fresh tracker per rect (oracle's per-rect _MaxTracker):
+                # untracked chunks must read arg 0, not a stale column
+                XVM[...] = jnp.where(rdone, NEG_I32, XVM[...])
+                XAI[...] = jnp.where(rdone, 0, XAI[...])
+                XAJ[...] = jnp.where(rdone, 0, XAJ[...])
+                # no in-column freeze in this mode: terminate on the
+                # both-ends break (reference: src/scan_block.rs:506-507)
+                reached = rdone & ((i_ + sz) > qlen) & ((j_ + sz) > rlen)
+                ST_DONE[...] = jnp.where(reached, 1, ST_DONE[...])
+                rdone = rdone & ~reached
             # forced shifts skip the grow/shrink heuristics (the reference
             # `continue`s, src/scan_block.rs:509-516); in global mode the
             # (qlen, rlen) break is subsumed by the in-column freeze
@@ -1059,7 +1128,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
         # last row: cap-overrun diagnostic (1 = this pair never finished);
         # trace mode also reports the executed step count for the decoder
         rows = []
-        if cfg.x_drop:
+        if WIDE:
             rows += [BEST[...], XBI[...], XBJ[...]]
         else:
             rows += [OUT[...]]
@@ -1092,7 +1161,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ]
-        OW = (3 if cfg.x_drop else 1) + (1 if cfg.trace else 0) + 1
+        OW = (3 if WIDE else 1) + (1 if cfg.trace else 0) + 1
         out_specs = pl.BlockSpec(
             (1, K, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
@@ -1140,7 +1209,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             + (
                 [pltpu.VMEM((K, 16, P), jnp.int32) for _ in range(3)]
                 + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(6)]
-                if cfg.x_drop else []
+                if WIDE else []
             )
             + (
                 [

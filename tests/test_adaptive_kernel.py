@@ -301,3 +301,80 @@ def test_adaptive_trace_xdrop_combined():
             w.score, w.query_idx, w.reference_idx), (k, got[k], w)
         assert str(al.cigar(k, w.query_idx, w.reference_idx)) == \
             str(orc.cigar(w.query_idx, w.reference_idx)), k
+
+
+def test_adaptive_local_start():
+    """LOCAL_START composed with adaptive sizing (grow/shrink): every cell
+    may restart at the relative zero (reference: src/scan_block.rs:89 const
+    generics compose freely; zero clamp src/scan_block.rs:1134-1136)."""
+    rng = np.random.default_rng(41)
+    pairs = []
+    for _ in range(10):
+        q = rand_seq(rng, int(rng.integers(30, 140)))
+        pairs.append((q, mutate(rng, q, 10, indel=1)))
+    # suffix-only overlap: local start must beat the global path
+    for _ in range(6):
+        core = rand_seq(rng, 60)
+        pairs.append((rand_seq(rng, 40) + core, core + rand_seq(rng, 30)))
+    al = BatchAligner(BLOSUM62, GAPS, (16, 64), batch=128, seq_cap=300,
+                      local_start=True)
+    assert al._adaptive and al._lane_cfg.local_start
+    got = al.align_batch(pairs)
+    orc = BlockOracle(local_start=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 64, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 64, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (16, 64), 0)
+        assert got[k].score == orc.res().score, (k, got[k], orc.res())
+
+
+def test_adaptive_free_query_start_gaps():
+    """FREE_QUERY_START_GAPS with adaptive sizing: leading query gaps are
+    free (row 0 re-zeroed in right rects; reference:
+    src/scan_block.rs:1130-1132)."""
+    rng = np.random.default_rng(43)
+    pairs = []
+    for _ in range(10):
+        q = rand_seq(rng, int(rng.integers(30, 120)))
+        pairs.append((q, mutate(rng, q, 8, indel=1)))
+    # query aligns to a suffix of the reference: free start gaps matter
+    for _ in range(6):
+        q = rand_seq(rng, 50)
+        pairs.append((q, rand_seq(rng, 80) + mutate(rng, q, 4)))
+    al = BatchAligner(BLOSUM62, GAPS, (16, 64), batch=128, seq_cap=300,
+                      free_query_start_gaps=True)
+    assert al._adaptive and al._lane_cfg.free_query_start_gaps
+    got = al.align_batch(pairs)
+    orc = BlockOracle(free_query_start_gaps=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 64, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 64, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (16, 64), 0)
+        assert got[k].score == orc.res().score, (k, got[k], orc.res())
+
+
+def test_adaptive_free_query_end_gaps():
+    """FREE_QUERY_END_GAPS with adaptive sizing: trailing query gaps free,
+    result = best cell in row qlen (16-residue tracker restricted to
+    past-qlen chunks; reference requires min block size > query len)."""
+    rng = np.random.default_rng(47)
+    pairs = []
+    for _ in range(8):
+        q = rand_seq(rng, int(rng.integers(10, 31)))
+        pairs.append((q, mutate(rng, q, 3)))
+    # query aligns to a prefix of a much longer reference
+    for _ in range(8):
+        q = rand_seq(rng, int(rng.integers(12, 30)))
+        pairs.append((q, mutate(rng, q, 2) + rand_seq(rng, 150)))
+    al = BatchAligner(BLOSUM62, GAPS, (32, 128), batch=128, seq_cap=300,
+                      free_query_end_gaps=True)
+    assert al._adaptive and al._lane_cfg.free_query_end_gaps
+    got = al.align_batch(pairs)
+    orc = BlockOracle(free_query_end_gaps=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 128, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 128, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (32, 128), 0)
+        w = orc.res()
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
+            w.score, w.query_idx, w.reference_idx), (k, got[k], w)
