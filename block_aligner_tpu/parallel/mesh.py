@@ -157,18 +157,31 @@ def data_parallel_adaptive(cfg, mesh: Mesh, axis: str = "data"):
 
     shard0 = P(axis, None, None, None)
     shard5 = P(axis, None, None, None, None)
-    specs_in = (shard0, shard0, shard5, shard5, P(), shard5, P())
     out_specs = shard0
     if cfg.trace:
         # trace adds the packed word stream (n_progs, steps, 1, K, S, P)
         # and descriptor stream (n_progs, steps, K, 6, P)
         out_specs = (shard0, P(axis, None, None, None, None, None), shard5)
-    wrapped = shard_map(
-        fn, mesh=mesh, in_specs=specs_in, out_specs=out_specs,
-        check_rep=False,
-    )
+    # input specs are derived from the actual argument shapes on first
+    # call: per-program arrays (leading dim == n_programs) shard on the
+    # data axis, shared tables (score matrix, gap costs) replicate.  This
+    # covers both the seq-seq and the profile argument lists
+    # (ops/adaptive_kernel.py::engine).
+    state = {}
 
     def run(*args):
-        return wrapped(*args)
+        if "wrapped" not in state:
+            def spec_for(x):
+                shp = getattr(x, "shape", ())
+                if len(shp) >= 1 and shp[0] == cfg.n_programs:
+                    return P(axis, *([None] * (len(shp) - 1)))
+                return P()
+
+            in_specs = tuple(spec_for(a) for a in args)
+            state["wrapped"] = shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_rep=False,
+            )
+        return state["wrapped"](*args)
 
     return run

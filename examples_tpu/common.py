@@ -55,12 +55,16 @@ def load_uc_pairs(name="uc30", per_bucket=1000, seed=1234, max_len=256):
     path = DATA_DIR / f"{name}.m8"
     out = []
     if path.exists():
+        # mmseqs convertalis --format-output query,target,fident,...,
+        # qseq,tseq (data/uc30_pairwise_aln.sh): the reference parser takes
+        # the LAST TWO whitespace fields as (qseq, tseq)
+        # (examples/uc_accuracy.rs:21-25) and column 2 is fident
         with open(path) as f:
             for line in f:
-                parts = line.rstrip("\n").split("\t")
-                if len(parts) < 3:
+                parts = line.split()
+                if len(parts) < 4:
                     continue
-                q, t = parts[0].encode(), parts[1].encode()
+                q, t = parts[-2].upper().encode(), parts[-1].upper().encode()
                 ident = float(parts[2])
                 out.append((q, t, round(ident, 1)))
         return out
@@ -104,10 +108,13 @@ def load_nanopore_pairs(name="seq_pairs.10kbps.5000", n_pairs=5000,
     path = DATA_DIR / f"{name}.txt"
     out = []
     if path.exists():
+        # plain alternating lines; the reference reads chunks of 2 with
+        # r = line 0, q = line 1, uppercased
+        # (examples/nanopore_accuracy.rs:31-33)
         with open(path) as f:
-            lines = [ln.strip().lstrip("<>").upper() for ln in f if ln.strip()]
+            lines = [ln.strip().upper() for ln in f if ln.strip()]
         for k in range(0, len(lines) - 1, 2):
-            out.append((lines[k].encode(), lines[k + 1].encode()))
+            out.append((lines[k + 1].encode(), lines[k].encode()))
         return out[:n_pairs]
     rng = np.random.default_rng(seed)
     for _ in range(n_pairs):
@@ -118,30 +125,39 @@ def load_nanopore_pairs(name="seq_pairs.10kbps.5000", n_pairs=5000,
     return out
 
 
-def load_scop_profiles(n_pairs=1000, seed=1234, max_len=200):
+def load_scop_profiles(n_pairs=1000, seed=1234, max_len=200,
+                       name="pairs.pssm"):
     """SCOP-style (sequence, PSSM) pairs: reads ``data/scop/pairs.pssm``
     when present (reference: scripts/scop_seq_profile_pairs.py format),
     else simulates profiles from mutated consensus sequences."""
     from block_aligner_tpu import AAProfile
 
-    path = DATA_DIR / "scop" / "pairs.pssm"
+    path = DATA_DIR / "scop" / name
     out = []
     if path.exists():
+        # real format (scripts/scop_seq_profile_pairs.py output, parsed as
+        # in examples/pssm_accuracy.rs:38-69): per record
+        #   "#<seq>"         query sequence
+        #   "#<cns>"         profile consensus (len(cns) = profile length)
+        #   <header line>    PSSM column header (skipped)
+        #   <len rows>       "pos aa s1 .. s20", scores in MAP order
+        # with gap_open -10 / gap_close 0 per position.
+        MAP = b"ACDEFGHIKLMNPQRSTVWY"
         with open(path) as f:
             lines = f.read().splitlines()
         k = 0
-        while k < len(lines):
-            seq = lines[k].encode()
-            plen = int(lines[k + 1])
+        while k + 1 < len(lines):
+            seq = lines[k][1:].encode()
+            plen = len(lines[k + 1]) - 1
             prof = AAProfile(plen, 2048, -1)
             for i in range(1, plen + 1):
-                row = [int(v) for v in lines[k + 1 + i].split()]
-                for a, sc in zip(range(ord("A"), ord("Z") + 1), row):
-                    prof.set(i, a, sc)
-            prof.set_all_gap_open_C(-11)
-            prof.set_all_gap_close_C(0)
-            prof.set_all_gap_open_R(-11)
-            k += plen + 2
+                row = lines[k + 2 + i].split()[2:]
+                for j, s in enumerate(row[:20]):
+                    prof.set(i, MAP[j], int(s))
+                prof.set_gap_open_C(i, -10)
+                prof.set_gap_close_C(i, 0)
+                prof.set_gap_open_R(i, -10)
+            k += plen + 3
             out.append((seq, prof))
         return out[:n_pairs]
     rng = np.random.default_rng(seed)
