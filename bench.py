@@ -11,8 +11,8 @@ Adaptive-equivalence: the kernel evaluates the reference's y-drop grow
 trigger per pair (the "suspect" output row); on this dataset 0/8192 pairs
 flag, i.e. the reference's adaptive 32-2048 run never grows past its
 starting block here, so the fixed-32 comparison is apples-to-apples.
-Flag-driven rescue for datasets that do need growth lives in
-api.AdaptiveBatchAligner.
+Datasets that do need growth route to the adaptive kernel
+(ops/adaptive_kernel.py, reference-exact grow/shrink/ckpt).
 
 Prints one JSON line:
 {"metric": ..., "value": N, "unit": "us_per_pair", "vs_baseline": N}

@@ -29,14 +29,13 @@ from .core.scores import (
     percent_len,
 )
 from .core.seqs import PaddedBytes
-from .api import (AdaptiveBatchAligner, BatchAligner, LongBatchAligner,
+from .api import (BatchAligner, LongBatchAligner,
                   ProfileAligner, align_exp_all, align_profile_exp_all)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "AlignResult",
-    "AdaptiveBatchAligner",
     "BatchAligner",
     "LongBatchAligner",
     "ProfileAligner",

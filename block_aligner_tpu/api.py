@@ -39,7 +39,7 @@ from .ops.engine import EngineConfig, build_engine, pack_pairs, pack_profiles
 P_LANES = 128  # lane-kernel pairs per bank
 STEP_ = 8
 
-__all__ = ["BatchAligner", "ProfileAligner", "AdaptiveBatchAligner",
+__all__ = ["BatchAligner", "ProfileAligner",
            "LongBatchAligner", "align_exp_all", "align_profile_exp_all",
            "round_up"]
 
@@ -1028,119 +1028,6 @@ def align_profile_exp_all(
         pending = still
         cur *= 2
     return results, min_sizes
-
-
-class AdaptiveBatchAligner:
-    """Adaptive accuracy at fixed-kernel speed via exponential rescue.
-
-    The reference adapts its block size *within* one alignment (grow on
-    y-drop, shrink on suffix-max; reference: src/scan_block.rs:470-549) --
-    inherently divergent control flow that a lockstep TPU batch pays for
-    even when most pairs don't need it.  This class re-derives the same
-    goal batch-wise: align everything with the fast fixed-block lane kernel
-    at ``min_size``, then re-align only the pairs whose score still changes
-    when the block doubles, until scores stabilize or ``max_size`` is
-    reached.  Stable-score pairs exit early, so the expected cost is close
-    to one fixed-``min_size`` pass; hard pairs get up to fixed-``max_size``
-    accuracy (which upper-bounds the reference's adaptive accuracy at the
-    same max).
-
-    Note: scores can differ from the reference's adaptive-path scores on
-    pairs where both heuristics are wrong in different ways; use
-    ``BatchAligner`` (the engine) for reference-exact adaptive semantics.
-    """
-
-    def __init__(
-        self,
-        matrix,
-        gaps: Gaps,
-        size: Tuple[int, int] = (32, 256),
-        *,
-        batch: int = 2048,
-        seq_cap: int = 1024,
-        x_drop: Optional[int] = None,
-        stable_rounds: int = 1,
-        strategy: str = "verify",
-    ):
-        # "verify": re-align pairs that are y-drop-flagged OR whose score
-        #   changed vs the previous size (max accuracy; >= one extra pass)
-        # "flag": re-align only y-drop-flagged pairs (the reference's own
-        #   grow trigger; unflagged pairs exit after a single pass)
-        # "stable": score-stability only (no flags; engine fallback)
-        assert strategy in ("verify", "flag", "stable")
-        self.strategy = strategy
-        self.matrix = matrix
-        self.gaps = gaps
-        assert size[0] <= size[1], "min block size must not exceed max"
-        assert size[1] & (size[1] - 1) == 0, "max block size must be a power of 2"
-        self.sizes = []
-        s = max(size[0], 16)
-        while s <= size[1]:
-            self.sizes.append(s)
-            s *= 2
-        assert self.sizes, "empty block-size ladder"
-        self.batch = batch
-        self.seq_cap = seq_cap
-        self.x_drop = x_drop
-        self.stable_rounds = stable_rounds
-        self._aligners = {}
-
-    def _aligner(self, s: int) -> BatchAligner:
-        # one jit specialization per block size (a varying batch size would
-        # recompile every rescue round)
-        if s not in self._aligners:
-            self._aligners[s] = BatchAligner(
-                self.matrix, self.gaps, (s, s), batch=self.batch,
-                seq_cap=self.seq_cap, x_drop=self.x_drop,
-            )
-        return self._aligners[s]
-
-    def align_all(self, pairs) -> List[AlignResult]:
-        """Align with flag-driven rescue: the lane kernel evaluates the
-        reference's y-drop grow trigger per pair and only flagged pairs
-        re-align at the doubled block size.  Unflagged pairs are pairs
-        whose run the reference's adaptivity would have left untouched, so
-        their fixed-size result already is the adaptive result; the
-        expected cost is one fixed-``min_size`` pass plus the flagged
-        tail.  Falls back to score-stability rescue when the backend
-        doesn't report flags (engine-routed configurations)."""
-        results: List[Optional[AlignResult]] = [None] * len(pairs)
-        pending = list(range(len(pairs)))
-        stable = [0] * len(pairs)
-        for round_idx, s in enumerate(self.sizes):
-            if not pending:
-                break
-            al = self._aligner(s)
-            sub = [pairs[k] for k in pending]
-            out = al.align_all(sub)
-            suspect = (
-                al.last_suspect
-                if al._lane and self.strategy != "stable" else None
-            )
-            nxt = []
-            for bi, (k, got) in enumerate(zip(pending, out)):
-                prev = results[k]
-                results[k] = got
-                if suspect is not None:
-                    flagged = bool(suspect[bi])
-                    if self.strategy == "flag":
-                        if not flagged:
-                            continue
-                    else:  # verify: exit only if unflagged AND stable
-                        changed = prev is None or prev.score != got.score
-                        if not flagged and not changed:
-                            continue
-                else:
-                    if prev is not None and prev.score == got.score:
-                        stable[k] += 1
-                        if stable[k] >= self.stable_rounds:
-                            continue
-                    else:
-                        stable[k] = 0
-                if round_idx + 1 < len(self.sizes):
-                    nxt.append(k)
-            pending = nxt
-        return results
 
 
 class LongBatchAligner:

@@ -1,0 +1,828 @@
+"""Pallas TPU big-block adaptive kernel: reference-exact grow/shrink/
+checkpoint for block sizes past the resident-stack kernels (512 < max_size
+<= 2048 in the VMEM-resident phase), with per-step work proportional to the
+*current* adaptive block size.
+
+Why a third kernel: ``ops/adaptive_kernel.py`` keeps NG = alpha/4 packed
+score planes per DP position (3 stacks x NG words/cell) and computes every
+column at max_size width, which caps it at S <= 512 on a ~16 MiB VMEM core
+and wastes (max/cur)x work when the reference would run at the grown size
+only where needed (reference: src/scan_block.rs:101-593 -- its per-step
+cost tracks ``block_size``).  The reference's flagship long-read
+experiments need (128, 1024) and (512, 8192) bands
+(examples/nanopore_accuracy.rs:37-54, nanopore_bench_global.rs:183), which
+previously fell back to the ~70 us/iteration XLA engine.
+
+Design (both re-derivations, not translations):
+
+* **Code-keyed score fetch.**  Instead of per-position packed score-plane
+  stacks, each side keeps one int32 *code* plane.  Per step, the 8 entering
+  column codes are scored once on the MXU (one-hot x table, exactly the
+  packing of ``score_new_rows`` in the lane kernels); per column the packed
+  row broadcasts against the lane-code plane (NG-way select + byte extract,
+  the same op count as the old per-position select).  This is exact for the
+  reference's score tables because ``Matrix::set`` writes both (a, b) and
+  (b, a) (reference: src/scores.rs:89-98, 174-183) -- the tables are
+  symmetric by construction, so M[lane, col] == M[col, lane].  Memory per
+  cell drops 24x, which is what lets the block state grow past 512 rows.
+
+* **Row segmentation with carry chaining.**  Every block-sized plane is
+  (R, SS, P): R row segments of SS = 256 sublanes, pairs in lanes.  One
+  ``fori_loop`` per step walks only the segments the current (per-program
+  max) block size needs; the DP recurrence chains between segments through
+  two (8, P) carries per column -- the diagonal's last row and the prefix
+  scan's closing value (R[p] = max_q<=p(v[q] + e(p-q)) composes across a
+  segment boundary as max(t_local, t_prev_end + e(loc+1))).
+
+* **Deferred plane operations.**  Orientation swaps, checkpoint restores,
+  and checkpoint saves are not separate full-plane passes: post_step only
+  records pending flags (PH physical-orientation bit, PRST, PBSV/PBSEL),
+  and the next step's segment loop resolves them while it loads each
+  segment (the values it would read anyway).  Only the rare shrink keeps a
+  gated plane pass of its own.
+
+Semantics are bit-identical to ``ops/adaptive_kernel.py`` / the scalar
+oracle (core/oracle.py): same phase machine (GROW_D/GROW_R halves, 8-column
+shift rects), offset rebasing, y-drop grow trigger, suffix shrink, ckpt
+save/restore, and the early-exit freeze extraction (reference:
+src/scan_block.rs:391-437, 439-565, 567-592, 1216-1224).
+
+Global and x-drop modes, AA/Nuc tables and ByteMatrix equality scoring.
+Trace and profile modes are not implemented here (profiles never exceed
+S = 128 in the reference experiments; trace for big blocks is staged work).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.oracle import I16_MIN, STEP, ZERO
+
+__all__ = ["BigKernelConfig", "build_big_engine", "pack_big",
+           "big_vmem_bytes"]
+
+P = 128
+NEG32 = I16_MIN
+
+DIR_R = 0
+DIR_D = 1
+DIR_GD = 2
+DIR_GR = 3
+
+SHRINK_SUFFIX_LEN = STEP // 4  # reference: src/scan_block.rs:786
+
+
+def big_vmem_bytes(max_size: int, seq_cap: int) -> int:
+    """VMEM scratch footprint of one big-kernel program (matches the
+    scratch_shapes in ``build_big_engine``)."""
+    S = max_size
+    codes = 2 * seq_cap * P
+    planes = 12 * S * P * 4  # 8 borders + 4 code planes/ckpts
+    small = 40 * P * 4 + 4 * STEP * P * 4
+    return codes + planes + small
+
+
+@dataclasses.dataclass(frozen=True)
+class BigKernelConfig:
+    batch: int
+    min_size: int  # starting block size (pow2 >= 16)
+    max_size: int  # block-size cap (pow2, 128..2048 resident)
+    seq_cap: int  # padded sequence capacity, multiple of 128
+    alpha: int = 32  # score-table rows (32 AA, 16 Nuc, 4 byte)
+    seg: int = 256  # row-segment sublane extent (128 or 256)
+    byte_mode: bool = False  # ByteMatrix equality scoring
+    x_drop: bool = False  # x-drop termination + best-position tracking
+    interpret: bool = False
+
+    def __post_init__(self):
+        S, m = self.max_size, self.min_size
+        assert S & (S - 1) == 0 and 128 <= S <= 4096
+        assert m & (m - 1) == 0 and 16 <= m <= S
+        assert self.seg in (128, 256) and self.seg <= S
+        assert self.seq_cap % 128 == 0 and self.seq_cap >= 256
+        assert self.seq_cap <= 16384
+        assert self.batch % P == 0
+        if self.byte_mode:
+            assert self.alpha == 4
+        assert not self.x_drop, "big-kernel x-drop is staged work (Phase C)"
+        assert self.vmem_bytes <= 15 * 2**20, (
+            f"~{self.vmem_bytes >> 20} MiB VMEM scratch exceeds the core "
+            "budget; lower max_size or seq_cap"
+        )
+
+    # pack_lane-style compatibility
+    @property
+    def block(self) -> int:
+        return self.max_size
+
+    @property
+    def banks(self) -> int:
+        return 1
+
+    @property
+    def n_chunks(self) -> int:
+        return self.seq_cap // 128
+
+    @property
+    def n_programs(self) -> int:
+        return self.batch // P
+
+    @property
+    def n_segs(self) -> int:
+        return self.max_size // self.seg
+
+    @property
+    def max_steps(self) -> int:
+        return (4 * self.seq_cap + 32 * self.max_size) // STEP
+
+    @property
+    def vmem_bytes(self) -> int:
+        return big_vmem_bytes(self.max_size, self.seq_cap)
+
+
+def build_big_engine(cfg: BigKernelConfig):
+    S = cfg.max_size
+    A = cfg.alpha
+    NG = A // 4
+    SS = cfg.seg
+    R = cfg.n_segs
+    SPC = SS // 128  # code chunks per segment
+    NCH = cfg.n_chunks
+    MIN = cfg.min_size
+    MAX_STEPS = cfg.max_steps
+    HALF_SIZES = []
+    s = MIN
+    while s < S:
+        HALF_SIZES.append(s)
+        s *= 2
+
+    def kernel(qlen_ref, rlen_ref, M_ref, codes_hbm, gap_ref, score_ref,
+               *scr):
+        (CODES, ACT_D, ACT_C, PAS_D, PAS_R, CKC_D, CKC_C, CKR_D, CKR_R,
+         CQ, CR, KQ, KR) = scr[:13]
+        scr = scr[13:]
+        (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DIR, ST_PDIR, ST_DONE,
+         CORN, CVEC, OUT, SZ, PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
+         GNM, CURMAX, SUF, VAL, PH, PBSV, PBSEL, PRST,
+         FRA, FRT, FRIDX) = scr[:29]
+        scr = scr[29:]
+        (botD, botR, sem) = scr
+
+        prog = pl.program_id(0)
+        open_ = gap_ref[0, 0]
+        e = gap_ref[0, 1]
+        xdrop_x = gap_ref[0, 2]
+        qlen = qlen_ref[0]  # (1, P)
+        rlen = rlen_ref[0]
+
+        rows_l = jax.lax.broadcasted_iota(jnp.int32, (SS, P), 0)
+        oh_iota = jax.lax.broadcasted_iota(jnp.int32, (A, P), 0)
+        zc = e * ((rows_l % STEP) + 1)
+        evec = e * (rows_l + 1)
+        NEG_I32 = jnp.iinfo(jnp.int32).min
+
+        dma = pltpu.make_async_copy(codes_hbm.at[prog], CODES, sem)
+        dma.start()
+
+        zSS = jnp.zeros((SS, P), jnp.int32)
+        negSS = jnp.full((SS, P), NEG32, jnp.int32)
+        z1 = jnp.zeros((1, P), jnp.int32)
+        neg1 = jnp.full((1, P), NEG32, jnp.int32)
+
+        # ---- init: reference start state (src/scan_block.rs:291-317) ----
+        for r0 in range(R):
+            for ref in (ACT_D, ACT_C, PAS_D, PAS_R,
+                        CKC_D, CKC_C, CKR_D, CKR_R):
+                ref[pl.ds(r0, 1)] = zSS[None]
+        for ref in (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DONE, OUT,
+                    PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
+                    PBSV, PBSEL, PRST, FRA, FRT, FRIDX):
+            ref[...] = z1
+        SZ[...] = z1 + MIN
+        GNM[...] = z1 + 1  # the initial rect is a grow
+        ST_DIR[...] = z1 + DIR_GR
+        ST_PDIR[...] = z1 + DIR_GR
+        CORN[...] = neg1
+        CVEC[...] = neg1
+        CURMAX[...] = neg1
+        PH[...] = z1 + 1
+        dma.wait()
+
+        # initial code planes: positions 0..S of each side, straight from
+        # the chunked code block (no host-side duplicate transfer)
+        for r0 in range(R):
+            CQ[pl.ds(r0, 1)] = jnp.concatenate(
+                [CODES[r0 * SPC + c].astype(jnp.int32) for c in range(SPC)],
+                axis=0,
+            )[None]
+            CR[pl.ds(r0, 1)] = jnp.concatenate(
+                [CODES[NCH + r0 * SPC + c].astype(jnp.int32)
+                 for c in range(SPC)],
+                axis=0,
+            )[None]
+            KQ[pl.ds(r0, 1)] = zSS[None]
+            KR[pl.ds(r0, 1)] = zSS[None]
+
+        Mb = None if cfg.byte_mode else M_ref[...].astype(jnp.bfloat16)
+
+        def extract8(pos8, side):
+            """(8, P) codes at pos8[0, b] + w on side (0=q, 1=r)."""
+            cu = side * NCH + pos8 // 128  # (1, P)
+            lo = pos8 % 128
+            acc = jnp.zeros((128, P), jnp.int8)
+            for c in range(2 * NCH):
+                acc = jnp.where(cu == c, CODES[c], acc)
+            acc = acc.astype(jnp.int32)
+            out = jnp.zeros((STEP, P), jnp.int32)
+            for v in range(128 // STEP):
+                out = jnp.where(lo == v * STEP,
+                                acc[v * STEP : v * STEP + STEP], out)
+            return out
+
+        def score_rows(ec):
+            """(NG, 8, P) packed score rows for the 8 entering column
+            codes: row g of column w packs M[4g..4g+3, ec[w]] + 128, one
+            one-hot MXU matmul per column (same packing as the lane
+            kernels' score_new_rows; symmetric-table equivalence in the
+            module docstring)."""
+            cols = []
+            for w in range(STEP):
+                oh = (oh_iota == ec[w, :][None]).astype(jnp.bfloat16)
+                planes = lax.dot_general(
+                    Mb, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)  # (A, P): row b*NG+g = M[4g+b, ec]+128
+                cols.append(
+                    planes[0:NG]
+                    | (planes[NG : 2 * NG] << 8)
+                    | (planes[2 * NG : 3 * NG] << 16)
+                    | (planes[3 * NG : 4 * NG] << 24)
+                )
+            return jnp.stack(cols, axis=1)  # (NG, 8, P)
+
+        def shift_up(x, k):
+            return jnp.concatenate(
+                [jnp.full((k, P), NEG32, jnp.int32), x[: SS - k]], axis=0)
+
+        def body(carry):
+            s_idx, _ = carry
+            dirn = ST_DIR[...]
+            done = ST_DONE[...]
+            act = done == 0
+            sz = SZ[...]
+            psz = PSZ[...]
+            cpos = CPOS[...]
+            newrect = cpos == 0
+            shift = (dirn == DIR_R) | (dirn == DIR_D)
+            right_or = (dirn == DIR_R) | (dirn == DIR_GR)
+            grow = (dirn == DIR_GD) | (dirn == DIR_GR)
+
+            # ---- offset rebase at shift-rect starts (reference:
+            # src/scan_block.rs:148-151, 323-331) ----
+            reb = shift & act
+            prev_off = ST_OFF[...]
+            new_off = jnp.where(reb, ST_OFFMAX[...], prev_off)
+            oa = jnp.where(reb,
+                           jnp.clip(prev_off - new_off, I16_MIN, 32767), 0)
+            ST_OFF[...] = new_off
+            pdir = ST_PDIR[...]
+            corner_ok = reb & (
+                ((dirn == DIR_R) & (pdir == DIR_D))
+                | ((dirn == DIR_D) & (pdir == DIR_R))
+            )
+            cvec = jnp.where(corner_ok,
+                             jnp.maximum(CORN[...] + oa, NEG32), neg1)
+
+            # rect-scoped running max: reset at rect start (GROW_R keeps
+            # accumulating across the grow's two halves)
+            resetd = newrect & (dirn != DIR_GR) & act
+            CURMAX[...] = jnp.where(resetd, neg1, CURMAX[...])
+
+            # ---- entering codes + their packed score rows ----
+            pos8 = jnp.where(
+                dirn == DIR_R, ST_J[...] + sz - STEP,
+                jnp.where(
+                    dirn == DIR_D, ST_I[...] + sz - STEP,
+                    jnp.where(dirn == DIR_GD, ST_I[...] + psz + cpos,
+                              ST_J[...] + psz + cpos),
+                ),
+            )
+            side = jnp.where(right_or, 1, 0)
+            ec = extract8(pos8, side)
+            NR = None if cfg.byte_mode else score_rows(ec)
+
+            # ---- per-step rect geometry (freeze predicates / origins) ----
+            i_ = ST_I[...]
+            j_ = ST_J[...]
+            h = jnp.where(dirn == DIR_GD, psz, sz)
+            ls = jnp.where(right_or, i_, j_)
+            cstart = jnp.where(
+                dirn == DIR_R, j_ + sz - STEP,
+                jnp.where(
+                    dirn == DIR_D, i_ + sz - STEP,
+                    jnp.where(dirn == DIR_GD, i_ + psz + cpos,
+                              j_ + psz + cpos),
+                ),
+            )
+            lane_len = jnp.where(right_or, qlen, rlen)
+            col_len = jnp.where(right_or, rlen, qlen)
+            FRA[...] = (
+                (ls + h > lane_len) & (dirn != DIR_GD)
+            ).astype(jnp.int32)
+            FRT[...] = col_len - cstart
+            FRIDX[...] = jnp.clip(lane_len - ls, 0, S - 1)
+            frz_lane = (FRA[...] == 1) & (FRT[...] <= STEP - 1) & act
+            fcol = jnp.clip(FRT[...], 0, STEP - 1)
+            frz_any = jnp.any(frz_lane)
+            VAL[...] = z1 + NEG_I32
+            SUF[...] = z1 + NEG_I32
+            botD[...] = jnp.full((STEP, P), NEG_I32, jnp.int32)
+            botR[...] = jnp.full((STEP, P), NEG_I32, jnp.int32)
+
+            q_shift = (dirn == DIR_D) & act
+            r_shift = (dirn == DIR_R) & act
+            q_app = (dirn == DIR_GD) & act
+            r_app = (dirn == DIR_GR) & act
+            sdone = act & shift
+            origin = (dirn == DIR_GR) & (psz == 0) & (cpos == 0) & (j_ == 0)
+            ec_t = jnp.tile(ec, (SS // STEP, 1))
+
+            # segments this step must touch (per-program max; done lanes
+            # pinned to MIN so they never extend the loop)
+            szmax = jnp.max(jnp.where(act, sz, MIN))
+            nseg = (szmax + SS - 1) // SS
+
+            ph = PH[...] == 1
+            pb = PBSV[...] == 1
+            sel = PBSEL[...] == 1
+            prst = PRST[...] == 1
+            any_pb = jnp.any(pb)
+            any_prst = jnp.any(prst)
+
+            def seg_body(r, carry):
+                dcar, tcar = carry
+                rn = jnp.minimum(r + 1, R - 1)
+                row_g = r * SS + rows_l
+
+                # -- resolve loads: pending orientation swap (PH), then
+                # pending checkpoint save, then pending restore --
+                aD = ACT_D[pl.ds(r, 1)][0]
+                aC = ACT_C[pl.ds(r, 1)][0]
+                pD = PAS_D[pl.ds(r, 1)][0]
+                pR = PAS_R[pl.ds(r, 1)][0]
+                Dld = jnp.where(ph, aD, pD)
+                Cld = jnp.where(ph, aC, pR)
+                Pdld = jnp.where(ph, pD, aD)
+                Prld = jnp.where(ph, pR, aC)
+                cq = CQ[pl.ds(r, 1)][0]
+                cr = CR[pl.ds(r, 1)][0]
+
+                ckc_d = CKC_D[pl.ds(r, 1)][0]
+                ckc_c = CKC_C[pl.ds(r, 1)][0]
+                ckr_d = CKR_D[pl.ds(r, 1)][0]
+                ckr_r = CKR_R[pl.ds(r, 1)][0]
+                kq = KQ[pl.ds(r, 1)][0]
+                kr = KR[pl.ds(r, 1)][0]
+
+                @pl.when(any_pb)
+                def _():
+                    # deferred ckpt save: end-of-previous-step values (the
+                    # loads above), with PBSEL naming the plane that holds
+                    # the column border after any pending swap
+                    CKC_D[pl.ds(r, 1)] = jnp.where(
+                        pb, jnp.where(sel, Dld, Pdld), ckc_d)[None]
+                    CKC_C[pl.ds(r, 1)] = jnp.where(
+                        pb, jnp.where(sel, Cld, Prld), ckc_c)[None]
+                    CKR_D[pl.ds(r, 1)] = jnp.where(
+                        pb, jnp.where(sel, Pdld, Dld), ckr_d)[None]
+                    CKR_R[pl.ds(r, 1)] = jnp.where(
+                        pb, jnp.where(sel, Prld, Cld), ckr_r)[None]
+                    KQ[pl.ds(r, 1)] = jnp.where(pb, cq, kq)[None]
+                    KR[pl.ds(r, 1)] = jnp.where(pb, cr, kr)[None]
+
+                # registers holding the (possibly just-saved) ckpt for the
+                # restore select below (read-after-write safe)
+                ckc_d = jnp.where(pb, jnp.where(sel, Dld, Pdld), ckc_d)
+                ckc_c = jnp.where(pb, jnp.where(sel, Cld, Prld), ckc_c)
+                ckr_d = jnp.where(pb, jnp.where(sel, Pdld, Dld), ckr_d)
+                ckr_r = jnp.where(pb, jnp.where(sel, Prld, Cld), ckr_r)
+                kq = jnp.where(pb, cq, kq)
+                kr = jnp.where(pb, cr, kr)
+
+                # deferred grow restore: GROW_D is down-oriented, so the
+                # active planes take the row borders
+                D0 = jnp.where(prst, ckr_d, Dld)
+                C0 = jnp.where(prst, ckr_r, Cld)
+                Pd0 = jnp.where(prst, ckc_d, Pdld)
+                Pr0 = jnp.where(prst, ckc_c, Prld)
+                cq0 = jnp.where(prst, kq, cq)
+                cr0 = jnp.where(prst, kr, cr)
+
+                # offset rebase (oa == 0 for non-rebasing lanes)
+                D0 = jnp.maximum(D0 + oa, NEG32)
+                C0 = jnp.maximum(C0 + oa, NEG32)
+
+                # -- code-plane advance: shifts slide the moved side by 8
+                # with the entering codes at rows [sz-8, sz); grow halves
+                # append at rows [psz+cpos, +8) --
+                winp = (row_g >= sz - STEP) & (row_g < sz)
+                wina = (row_g >= psz + cpos) & (row_g < psz + cpos + STEP)
+                cqn = CQ[pl.ds(rn, 1)][0, :STEP]
+                crn = CR[pl.ds(rn, 1)][0, :STEP]
+                cq_sh = jnp.concatenate([cq0[STEP:], cqn], axis=0)
+                cr_sh = jnp.concatenate([cr0[STEP:], crn], axis=0)
+                cq1 = jnp.where(
+                    q_shift, jnp.where(winp, ec_t, cq_sh),
+                    jnp.where(q_app & wina, ec_t, cq0))
+                cr1 = jnp.where(
+                    r_shift, jnp.where(winp, ec_t, cr_sh),
+                    jnp.where(r_app & wina, ec_t, cr0))
+                CQ[pl.ds(r, 1)] = cq1[None]
+                CR[pl.ds(r, 1)] = cr1[None]
+
+                # -- 8 DP columns on this segment (reference place_block
+                # inner loop, src/scan_block.rs:1119-1209) --
+                lc = jnp.where(right_or, cq1, cr1)
+                if not cfg.byte_mode:
+                    grp = lc >> 2
+                    sub = (lc & 3) << 3
+                Dc = D0
+                Cc = C0
+                Dacc = negSS
+                dcar_out = []
+                tcar_out = []
+                for w in range(STEP):
+                    dcar_out.append(Dc[SS - 1 : SS])
+                    if cfg.byte_mode:
+                        scores = jnp.where(
+                            lc == ec[w : w + 1], gap_ref[0, 4], gap_ref[0, 5]
+                        )
+                    else:
+                        acc = jnp.broadcast_to(NR[0, w : w + 1], (SS, P))
+                        for g in range(1, NG):
+                            acc = jnp.where(grp == g, NR[g, w : w + 1], acc)
+                        scores = ((acc >> sub) & 255) - 128
+                    crow = jnp.where(
+                        r == 0,
+                        cvec if w == 0 else neg1,
+                        dcar[w : w + 1],
+                    )
+                    D00 = jnp.concatenate([crow, Dc[: SS - 1]], axis=0)
+                    D11 = jnp.maximum(D00 + scores, NEG32)
+                    if w == 0:
+                        # DP origin cell (reference: src/scan_block.rs:1130)
+                        row0 = jnp.where(
+                            (r == 0) & origin,
+                            jnp.full((1, P), ZERO, jnp.int32), D11[0:1])
+                        D11 = jnp.concatenate([row0, D11[1:]], axis=0)
+                    C11_open = jnp.maximum(Dc + open_, NEG32)
+                    C11 = jnp.maximum(jnp.maximum(Cc + e, NEG32), C11_open)
+                    D11 = jnp.maximum(D11, C11)
+                    D11_open = D11 + (open_ - e)
+                    t = D11_open
+                    k = 1
+                    while k < SS:
+                        t = jnp.maximum(t, shift_up(t, k) + e * k)
+                        k *= 2
+                    t = jnp.maximum(t, tcar[w : w + 1] + evec)
+                    tcar_out.append(t[SS - 1 : SS])
+                    R11 = jnp.maximum(t, zc)
+                    D11 = jnp.maximum(D11, R11)
+
+                    Dacc = jnp.maximum(Dacc, D11)
+                    hm = row_g == h - 1
+                    botD[pl.ds(w, 1)] = jnp.maximum(
+                        botD[pl.ds(w, 1)],
+                        jnp.max(jnp.where(hm, D11, NEG_I32), axis=0,
+                                keepdims=True))
+                    botR[pl.ds(w, 1)] = jnp.maximum(
+                        botR[pl.ds(w, 1)],
+                        jnp.max(jnp.where(hm, R11, NEG_I32), axis=0,
+                                keepdims=True))
+                    @pl.when(frz_any)
+                    def _(w=w, D11=D11):
+                        # freeze-column extraction (reference early exit:
+                        # src/scan_block.rs:567-592, 1216-1224)
+                        em = (row_g == FRIDX[...]) & (fcol == w)
+                        VAL[...] = jnp.maximum(
+                            VAL[...],
+                            jnp.max(jnp.where(em & frz_lane, D11, NEG_I32),
+                                    axis=0, keepdims=True))
+                    Dc = D11
+                    Cc = C11
+                ACT_D[pl.ds(r, 1)] = Dc[None]
+                ACT_C[pl.ds(r, 1)] = Cc[None]
+                CURMAX[...] = jnp.maximum(
+                    CURMAX[...],
+                    jnp.max(jnp.where(row_g < h, Dacc, NEG32), axis=0,
+                            keepdims=True))
+
+                # -- splice: shift the passive border pair down 8 and
+                # insert this step's staged tail (reference:
+                # src/scan_block.rs:165-177, 349-355); shift lanes only --
+                pd_reb = jnp.maximum(Pd0 + oa, NEG32)
+                pr_reb = jnp.maximum(Pr0 + oa, NEG32)
+                CORN[...] = jnp.where(
+                    (r == 0) & sdone, pd_reb[STEP - 1 : STEP], CORN[...])
+                pdn_a = ACT_D[pl.ds(rn, 1)][0, :STEP]
+                pdn_p = PAS_D[pl.ds(rn, 1)][0, :STEP]
+                prn_a = ACT_C[pl.ds(rn, 1)][0, :STEP]
+                prn_p = PAS_R[pl.ds(rn, 1)][0, :STEP]
+                # NOTE: segment r+1 still holds pre-step values for the
+                # passive pair (columns only touched ACT of segments <= r,
+                # and the ph-swap of segment r+1 is resolved here too)
+                pdn = jnp.maximum(jnp.where(ph, pdn_p, pdn_a) + oa, NEG32)
+                prn = jnp.maximum(jnp.where(ph, prn_p, prn_a) + oa, NEG32)
+                tmD = jnp.tile(botD[...], (SS // STEP, 1))
+                tmR = jnp.tile(botR[...], (SS // STEP, 1))
+                pd1 = jnp.where(
+                    winp, tmD, jnp.concatenate([pd_reb[STEP:], pdn], axis=0))
+                pr1 = jnp.where(
+                    winp, tmR, jnp.concatenate([pr_reb[STEP:], prn], axis=0))
+                Pd_out = jnp.where(sdone, pd1, Pd0)
+                Pr_out = jnp.where(sdone, pr1, Pr0)
+                PAS_D[pl.ds(r, 1)] = Pd_out[None]
+                PAS_R[pl.ds(r, 1)] = Pr_out[None]
+
+                # shrink-suffix max (reference: src/scan_block.rs:534-547).
+                # The passive border only holds this step's values on shift
+                # steps (grow steps write it after this loop, from botD) --
+                # including it on grow steps would read stale ckpt rows.
+                sufw = (row_g >= sz - SHRINK_SUFFIX_LEN) & (row_g < sz)
+                SUF[...] = jnp.maximum(
+                    SUF[...],
+                    jnp.maximum(
+                        jnp.max(jnp.where(sufw, Dc, NEG_I32), axis=0,
+                                keepdims=True),
+                        jnp.max(jnp.where(sufw & sdone, Pd_out, NEG_I32),
+                                axis=0, keepdims=True)))
+                return (jnp.concatenate(dcar_out, axis=0),
+                        jnp.concatenate(tcar_out, axis=0))
+
+            carry = (jnp.full((STEP, P), NEG32, jnp.int32),
+                     jnp.full((STEP, P), NEG32, jnp.int32))
+            for _r in range(R):
+                carry = seg_body(jnp.int32(_r), carry)
+            PH[...] = z1 + 1
+            PBSV[...] = z1
+            PRST[...] = z1
+
+            # grow halves write the passive border directly at rows
+            # [psz+cpos, +8) (reference: src/scan_block.rs:396-429); the
+            # bottom row is only final after every segment ran, hence this
+            # follow-up pass
+            gact = grow & act
+
+            @pl.when(jnp.any(gact))
+            def _():
+                tmD = jnp.tile(botD[...], (SS // STEP, 1))
+                tmR = jnp.tile(botR[...], (SS // STEP, 1))
+
+                def gw_body(r, c):
+                    row_g = r * SS + rows_l
+                    gm = gact & (row_g >= psz + cpos) & (
+                        row_g < psz + cpos + STEP)
+                    PAS_D[pl.ds(r, 1)] = jnp.where(
+                        gm, tmD, PAS_D[pl.ds(r, 1)][0])[None]
+                    PAS_R[pl.ds(r, 1)] = jnp.where(
+                        gm, tmR, PAS_R[pl.ds(r, 1)][0])[None]
+                    return c
+
+                for _r in range(R):
+                    gw_body(jnp.int32(_r), 0)
+                # grow-step share of the shrink-suffix max: the passive
+                # rows [psz+cpos, +8) just written are botD's columns
+                wi = jax.lax.broadcasted_iota(jnp.int32, (STEP, P), 0)
+                gm2 = gact & (psz + cpos + wi >= sz - SHRINK_SUFFIX_LEN) & (
+                    psz + cpos + wi < sz)
+                SUF[...] = jnp.maximum(
+                    SUF[...],
+                    jnp.max(jnp.where(gm2, botD[...], NEG_I32), axis=0,
+                            keepdims=True))
+
+            @pl.when(frz_any)
+            def _():
+                fscore = ST_OFF[...] + VAL[...] - ZERO
+                OUT[...] = jnp.where(frz_lane, fscore, OUT[...])
+                ST_DONE[...] = jnp.where(frz_lane, 1, ST_DONE[...])
+
+            # ---- post-step: phase bookkeeping + the reference decision
+            # ladder (src/scan_block.rs:439-565) ----
+            done2 = ST_DONE[...]
+            active = done2 == 0
+            cpos_new = cpos + STEP
+            phase_len = jnp.where(shift, STEP, sz - psz)
+            phase_done = cpos_new >= phase_len
+            CPOS[...] = jnp.where(phase_done, 0, cpos_new)
+
+            # GROW_D -> GROW_R: orientation flips to lanes = query; the
+            # physical ACT/PAS exchange is deferred through PH
+            gd_done = active & (dirn == DIR_GD) & phase_done
+            ST_DIR[...] = jnp.where(gd_done, DIR_GR, ST_DIR[...])
+
+            rdone = active & phase_done & (dirn != DIR_GD)
+            was_grow = dirn == DIR_GR
+            right_or_end = right_or
+            cur_max = CURMAX[...]
+            off_max = ST_OFF[...] + cur_max - ZERO
+            ST_OFFMAX[...] = jnp.where(rdone, off_max, ST_OFFMAX[...])
+            ydi = jnp.where(rdone, YITER[...] + 1, YITER[...])
+            gnm = jnp.where(rdone, was_grow.astype(jnp.int32), GNM[...])
+
+            new_best = rdone & (off_max > BEST[...])
+            save = new_best & (sz < S)
+            # a completed grow re-saves the ckpt borders even without a new
+            # best (reference: src/scan_block.rs:432-435)
+            bsave = save | (rdone & was_grow & (sz < S))
+            CK_I[...] = jnp.where(save, ST_I[...], CK_I[...])
+            CK_J[...] = jnp.where(save, ST_J[...], CK_J[...])
+            CK_OFF[...] = jnp.where(save, ST_OFF[...], CK_OFF[...])
+            gnm = jnp.where(save, 0, gnm)
+            BEST[...] = jnp.where(new_best, off_max, BEST[...])
+            ydi = jnp.where(new_best, 0, ydi)
+
+            # forced shifts skip the grow/shrink heuristics (reference
+            # `continue`s, src/scan_block.rs:509-516)
+            forced_down = rdone & ((j_ + sz) > rlen)
+            forced_right = rdone & ~forced_down & ((i_ + sz) > qlen)
+            free = rdone & ~forced_down & ~forced_right
+
+            grow_trig = free & (2 * sz <= S) & (
+                (ydi > (sz // STEP) - 1) | (gnm == 1)
+            )
+            PSZ[...] = jnp.where(grow_trig, sz, PSZ[...])
+            SZ[...] = jnp.where(grow_trig, 2 * sz, SZ[...])
+            ST_I[...] = jnp.where(grow_trig, CK_I[...], ST_I[...])
+            ST_J[...] = jnp.where(grow_trig, CK_J[...], ST_J[...])
+            ST_OFF[...] = jnp.where(grow_trig, CK_OFF[...], ST_OFF[...])
+            PRST[...] = jnp.where(grow_trig, 1, PRST[...])
+            ST_DIR[...] = jnp.where(grow_trig, DIR_GD, ST_DIR[...])
+            ydi = jnp.where(grow_trig, 0, ydi)
+
+            # ---- shrink (reference: src/scan_block.rs:534-559) ----
+            canshrink = free & ~grow_trig & (SZ[...] > MIN) & (ydi == 0)
+            shrink_do = canshrink & (SUF[...] >= cur_max)
+
+            @pl.when(jnp.any(shrink_do))
+            def _():
+                sz2 = SZ[...]
+                for v in HALF_SIZES:
+                    vm = shrink_do & (sz2 // 2 == v)
+
+                    @pl.when(jnp.any(vm))
+                    def _(v=v, vm=vm):
+                        sseg = v // SS  # whole segments skipped
+                        cut = v % SS
+
+                        def sh_body(r, c):
+                            s1 = jnp.minimum(r + sseg, R - 1)
+                            s2 = jnp.minimum(r + sseg + 1, R - 1)
+                            for ref in (ACT_D, ACT_C, PAS_D, PAS_R, CQ, CR):
+                                a = ref[pl.ds(s1, 1)][0]
+                                if cut:
+                                    b = ref[pl.ds(s2, 1)][0, :cut]
+                                    a = jnp.concatenate([a[cut:], b], axis=0)
+                                ref[pl.ds(r, 1)] = jnp.where(
+                                    vm, a, ref[pl.ds(r, 1)][0])[None]
+                            return c
+
+                        for _r in range(R):
+                            sh_body(jnp.int32(_r), 0)
+                SZ[...] = jnp.where(shrink_do, sz2 // 2, SZ[...])
+                ST_I[...] = jnp.where(shrink_do, ST_I[...] + sz2 // 2,
+                                      ST_I[...])
+                ST_J[...] = jnp.where(shrink_do, ST_J[...] + sz2 // 2,
+                                      ST_J[...])
+                CK_I[...] = jnp.where(shrink_do, ST_I[...], CK_I[...])
+                CK_J[...] = jnp.where(shrink_do, ST_J[...], CK_J[...])
+                CK_OFF[...] = jnp.where(shrink_do, ST_OFF[...], CK_OFF[...])
+                ro = right_or_end
+
+                def ck_body(r, c):
+                    ad = ACT_D[pl.ds(r, 1)][0]
+                    ac = ACT_C[pl.ds(r, 1)][0]
+                    pd2 = PAS_D[pl.ds(r, 1)][0]
+                    pr2 = PAS_R[pl.ds(r, 1)][0]
+                    CKC_D[pl.ds(r, 1)] = jnp.where(
+                        shrink_do, jnp.where(ro, ad, pd2),
+                        CKC_D[pl.ds(r, 1)][0])[None]
+                    CKC_C[pl.ds(r, 1)] = jnp.where(
+                        shrink_do, jnp.where(ro, ac, pr2),
+                        CKC_C[pl.ds(r, 1)][0])[None]
+                    CKR_D[pl.ds(r, 1)] = jnp.where(
+                        shrink_do, jnp.where(ro, pd2, ad),
+                        CKR_D[pl.ds(r, 1)][0])[None]
+                    CKR_R[pl.ds(r, 1)] = jnp.where(
+                        shrink_do, jnp.where(ro, pr2, ac),
+                        CKR_R[pl.ds(r, 1)][0])[None]
+                    KQ[pl.ds(r, 1)] = jnp.where(
+                        shrink_do, CQ[pl.ds(r, 1)][0],
+                        KQ[pl.ds(r, 1)][0])[None]
+                    KR[pl.ds(r, 1)] = jnp.where(
+                        shrink_do, CR[pl.ds(r, 1)][0],
+                        KR[pl.ds(r, 1)][0])[None]
+                    return c
+
+                for _r in range(R):
+                    ck_body(jnp.int32(_r), 0)
+            ydi = jnp.where(shrink_do, 0, ydi)
+
+            YITER[...] = jnp.where(rdone, ydi, YITER[...])
+            GNM[...] = jnp.where(rdone, gnm, GNM[...])
+            # prev_dir records the completed rect; a shrink forces Grow to
+            # kill the next rect's corner (reference: src/scan_block.rs:541)
+            pdir_new = jnp.where(shrink_do, DIR_GD, dirn)
+            ST_PDIR[...] = jnp.where(rdone, pdir_new, ST_PDIR[...])
+
+            # ---- direction choice (post-shrink borders; reference:
+            # src/scan_block.rs:560-565) ----
+            free_ng = free & ~grow_trig
+            act8 = ACT_D[pl.ds(0, 1)][0, :STEP]
+            pas8 = PAS_D[pl.ds(0, 1)][0, :STEP]
+            dcol8 = jnp.where(right_or_end, act8, pas8)
+            drow8 = jnp.where(right_or_end, pas8, act8)
+            right_max = jnp.max(dcol8, axis=0, keepdims=True)
+            down_max = jnp.max(drow8, axis=0, keepdims=True)
+            godown = forced_down | (free_ng & (down_max > right_max))
+            goright = (forced_right | free_ng) & ~godown
+            ST_I[...] = jnp.where(godown, ST_I[...] + STEP, ST_I[...])
+            ST_J[...] = jnp.where(goright, ST_J[...] + STEP, ST_J[...])
+            choose = godown | goright
+            new_dir = jnp.where(godown, DIR_D, DIR_R)
+            ST_DIR[...] = jnp.where(choose, new_dir, ST_DIR[...])
+            new_right = new_dir != DIR_D
+            swap = choose & (right_or_end != new_right)
+            # pending physical exchanges, resolved by the next step's loads
+            PH[...] = jnp.where(swap | gd_done, 0, PH[...])
+            PBSV[...] = jnp.where(bsave, 1, PBSV[...])
+            # int32 throughout: Mosaic can't truncate an i8 select to i1
+            ro_i = right_or_end.astype(jnp.int32)
+            ro_eff = jnp.where(PH[...] == 1, ro_i, 1 - ro_i)
+            PBSEL[...] = jnp.where(bsave, ro_eff, PBSEL[...])
+
+            return (s_idx + 1, jnp.min(ST_DONE[...]))
+
+        def cond(carry):
+            s_idx, alldone = carry
+            return (s_idx < MAX_STEPS) & (alldone == 0)
+
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        rows = [OUT[...], 1 - ST_DONE[...]]
+        score_ref[0] = jnp.concatenate(rows, axis=0)[None]
+
+    # ------------------------------------------------------------------
+    def engine(qlen, rlen, M, codes, gaps):
+        n_progs = cfg.n_programs
+        in_specs = [
+            pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        OW = 2
+        out_specs = pl.BlockSpec(
+            (1, 1, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((n_progs, 1, OW, P), jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_progs,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=(
+                [pltpu.VMEM((2 * NCH, 128, P), jnp.int8)]  # CODES
+                + [pltpu.VMEM((R, SS, P), jnp.int32) for _ in range(12)]
+                + [pltpu.VMEM((1, P), jnp.int32) for _ in range(29)]
+                + [pltpu.VMEM((STEP, P), jnp.int32) for _ in range(2)]
+                + [pltpu.SemaphoreType.DMA]
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=cfg.interpret,
+        )(qlen, rlen, M, codes, gaps)
+
+    return jax.jit(engine)
+
+
+def pack_big(pairs, matrix, cfg: BigKernelConfig, gaps=None, x_drop=0):
+    """Host-side packing for the big kernel: per-pair code blocks
+    (position-major, pair-in-lane) + the byte-plane-ordered score table.
+    Unlike ``pack_lane`` there are no initial score/code stacks -- the
+    kernel builds its code planes from the resident code block."""
+    from .lane_kernel import pack_lane
+
+    qlen, rlen, _scq0, _scr0, Mp, codes_t, g = pack_lane(
+        pairs, matrix, cfg, gaps, x_drop=x_drop)
+    # (n_progs, K=1, 2*NCH, 128, P) -> (n_progs, 2*NCH, 128, P)
+    return (qlen[:, 0], rlen[:, 0], Mp, codes_t[:, 0], g)

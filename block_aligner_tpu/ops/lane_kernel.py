@@ -49,9 +49,9 @@ re-inserts on right rects) and FREE_QUERY_END_GAPS (qlen-residue tracker
 with the reference's chunk filter) are supported; every fixed-block
 reference configuration runs here, including local-start trace (the
 zero-mask bit rides bit 4 and the transfer skips nibble packing for that
-mode).  Adaptive block sizes route to
-the general lockstep engine (ops/engine.py); batch-wise adaptivity comes
-from api.AdaptiveBatchAligner driven by the in-kernel y-drop suspect flag.
+mode).  Adaptive block sizes route to the adaptive/big kernels (or the
+general lockstep engine for the remaining trace-flag combinations); the
+in-kernel y-drop suspect flag reports the reference's grow trigger.
 """
 
 from __future__ import annotations
@@ -856,8 +856,8 @@ def build_lane_engine(cfg: LaneKernelConfig):
             # running best hasn't improved for block_size/STEP free steps
             # (reference: src/scan_block.rs:470-487 y_drop_iter).  The fixed
             # kernel evaluates the same trigger and reports it as a per-pair
-            # "suspect" flag so AdaptiveBatchAligner can rescue exactly the
-            # pairs the reference's adaptivity would have treated differently
+            # "suspect" flag identifying exactly the pairs the
+            # reference's adaptivity would have treated differently
             improved_y = active & (off_max > YBEST[...])
             y_iter = jnp.where(improved_y, 0, YITER[...] + 1)
             YBEST[...] = jnp.where(improved_y, off_max, YBEST[...])

@@ -22,7 +22,6 @@ except Exception:
 from common import AA, DNA, load_nanopore_pairs, load_scop_profiles, load_uc_pairs
 
 from block_aligner_tpu import BLOSUM62, BatchAligner, Gaps, NucMatrix, ProfileAligner
-from block_aligner_tpu.api import AdaptiveBatchAligner
 from block_aligner_tpu.core.full_dp import global_align_score
 
 ROWS = []
@@ -85,17 +84,6 @@ def bench_uc():
     row("uc30_0.95 7000p adaptive 32-256", len(pairs), dt, 12.7, wrong,
         "reference-exact grow/shrink/ckpt; staged, pipelined dispatch")
 
-    # adaptive via exponential rescue (the flag-driven batch strategy)
-    ad = AdaptiveBatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=8192,
-                              seq_cap=max_len + 32)
-    for s in ad.sizes:  # compile every rescue level up front
-        ad._aligner(s).align_batch(pairs[:8])
-    t0 = time.perf_counter()
-    res = ad.align_all(pairs)
-    dt = time.perf_counter() - t0
-    wrong = sum(1 for w, g in zip(want, res) if g.score != w)
-    row("uc30_0.95 7000p rescue 32..256", len(pairs), dt, 12.7, wrong,
-        "batch rescue strategy, end-to-end")
 
     # fixed 32-32 with traceback (reference with trace: 0.170 s)
     alt = BatchAligner(BLOSUM62, BL_GAPS, (32, 32), batch=2048,
@@ -220,16 +208,6 @@ def bench_accuracy_hard():
         "reference-exact (wrong = adaptive approximation, bit-matching "
         "the oracle); ref uc30 adaptive 32-256: 224 wrong")
 
-    ad = AdaptiveBatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=8192,
-                              seq_cap=max_len + 32)
-    for s in ad.sizes:
-        ad._aligner(s).align_batch(pairs[:8])
-    t0 = time.perf_counter()
-    res = ad.align_all(pairs)
-    dt = time.perf_counter() - t0
-    wrong = sum(1 for w, g in zip(want, res) if g.score != w)
-    row("uc30-hard 7000p rescue 32..256", len(pairs), dt, None, wrong,
-        "batch rescue strategy; ref: 224 wrong")
 
 
 def bench_nanopore():

@@ -54,18 +54,6 @@ def main():
         print(f"size {size[0]}-{size[1]} no trace: {dt:.3f}s "
               f"({dt / len(pairs) * 1e6:.1f} us/pair)")
 
-    # adaptive 32..256 accuracy at fixed-kernel speed (exponential rescue)
-    from block_aligner_tpu import AdaptiveBatchAligner
-
-    ad = AdaptiveBatchAligner(BLOSUM62, Gaps(open=-11, extend=-1), (32, 256),
-                              batch=1024, seq_cap=max_len + 32)
-    for s in ad.sizes:
-        ad._aligner(s).align_batch(pairs[:8])  # compile each level
-    t0 = time.perf_counter()
-    ad.align_all(pairs)
-    dt = time.perf_counter() - t0
-    print(f"rescue 32..256 no trace: {dt:.3f}s "
-          f"({dt / len(pairs) * 1e6:.1f} us/pair)")
 
     dt, ops = bench(pairs, (32, 32), True, max_len)
     print(f"size 32-32 with trace+cigar: {dt:.3f}s "
