@@ -12,11 +12,16 @@ Three device backends sit underneath, picked automatically:
   (min_size == max_size): global, x-drop, trace, profiles, local-start,
   free-gap modes, ByteMatrix;
 * the adaptive kernel (ops/adaptive_kernel.py) -- reference-exact
-  grow/shrink/checkpoint sizing (min_size < max_size) in global, x-drop,
-  trace, ByteMatrix, and profile modes;
+  grow/shrink/checkpoint sizing (min_size < max_size <= 512) in global,
+  x-drop, trace, ByteMatrix, profile, local-start, and free-gap modes
+  (all composable as in the reference's const generics; profile + mode
+  flags is the one remaining engine-routed combination);
+* the big-block kernel (ops/big_kernel.py) -- row-segmented adaptive
+  sizing for 512 < max_size <= 2048 (global, byte);
 * the general lockstep engine (ops/engine.py) -- the oracle-chain
   cross-check and the fallback for explicitly engine-routed runs
-  (use_lane_kernel=False).
+  (use_lane_kernel=False); falling onto it implicitly emits a
+  RuntimeWarning naming the unrouted configuration.
 
 ``ProfileAligner`` is the sequence-to-PSSM counterpart of ``BatchAligner``
 (reference: Block::align_profile, src/scan_block.rs:942-995).
@@ -111,12 +116,11 @@ class BatchAligner:
         if mesh is not None:
             ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         # local-start / free-gap flags compose with adaptive sizing on the
-        # kernel path (reference: src/scan_block.rs:89 const generics);
-        # only their trace variants still fall back to the engine
-        flags = local_start or free_query_start_gaps or free_query_end_gaps
+        # kernel path, including with trace (reference:
+        # src/scan_block.rs:89 const generics compose freely)
         self._adaptive = (
             lane_ok and min_size < max_size and 16 <= min_size
-            and max_size <= 512 and not (flags and trace)
+            and max_size <= 512
             and use_lane_kernel is not False
         )
         if self._adaptive:
@@ -341,19 +345,7 @@ class BatchAligner:
                              x_drop=self.x_drop or 0)
             res = self._lane_fn(*args)
             if self._lane_cfg.trace:
-                from .core.traceback import adaptive_trace
-
-                out, thbm, mhbm = res
-                out = np.asarray(out)
-                steps_row = 3 if self._lane_cfg.x_drop else 1
-                steps = out[:, 0, steps_row, 0]
-                nsteps = int(steps.max())
-                self._last_trace = adaptive_trace(
-                    np.asarray(thbm[:, :nsteps]),
-                    np.asarray(mhbm[:, :nsteps]), steps,
-                    self._lane_cfg.max_size,
-                )
-                return self._adaptive_results(out, pairs)
+                return self._finish_adaptive_trace(res, pairs)
             return self._adaptive_results(np.asarray(res), pairs)
         if self._big:
             from .ops.big_kernel import pack_big
@@ -368,44 +360,7 @@ class BatchAligner:
                              x_drop=self.x_drop or 0)
             res = self._lane_fn(*args)
             if self._lane_cfg.trace:
-                from .core.traceback import lane_trace
-
-                out, thbm, mhbm = res
-                out = np.asarray(out)
-                steps_row = 3 if (self._lane_cfg.x_drop or self._lane_cfg.free_query_end_gaps) else 1
-                steps = out[:, 0, steps_row, 0]  # per-program step counts
-                self.last_suspect = (
-                    out[:, :, -1, :].reshape(self._lane_cfg.batch)
-                    [: len(pairs)].astype(bool)
-                )
-                # the kernel streams packed int32 trace words (1/step, or
-                # 2 in local-start mode for the zero-mask bit); only the
-                # executed steps are transferred
-                W32 = self._lane_cfg.trace_words
-                nsteps = int(steps.max())
-                packed = np.asarray(thbm[:, : nsteps * W32])
-                self._last_trace = lane_trace(
-                    packed, np.asarray(mhbm[:, :nsteps]), steps,
-                    self._lane_cfg.block,
-                    local_start=self._lane_cfg.local_start,
-                    free_query_start_gaps=(
-                        self._lane_cfg.free_query_start_gaps
-                    ),
-                    words=W32,
-                )
-                if (self._lane_cfg.x_drop
-                        or self._lane_cfg.free_query_end_gaps):
-                    o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
-                        self._lane_cfg.batch, 3)
-                    return [
-                        AlignResult(int(o2[b, 0]), int(o2[b, 1]), int(o2[b, 2]))
-                        for b in range(len(pairs))
-                    ]
-                out = out[:, :, 0, :].reshape(self._lane_cfg.batch)
-                return [
-                    AlignResult(int(out[b]), len(q), len(r))
-                    for b, (q, r) in enumerate(pairs)
-                ]
+                return self._finish_lane_trace(res, pairs)
             out = np.asarray(res)
             self.last_suspect = (
                 out[:, :, -1, :].reshape(self._lane_cfg.batch)
@@ -447,6 +402,114 @@ class BatchAligner:
         qi = np.asarray(qi)
         rj = np.asarray(rj)
         return [AlignResult(int(score[k]), int(qi[k]), int(rj[k])) for k in range(len(pairs))]
+
+    def _finish_adaptive_trace(self, res, pairs) -> List[AlignResult]:
+        """Fetch + decode one adaptive traced batch (device -> host
+        boundary; ``self._last_trace`` receives the decoded stream)."""
+        from .core.traceback import adaptive_trace
+
+        out, thbm, mhbm = res
+        out = np.asarray(out)
+        wide = (self._lane_cfg.x_drop
+                or self._lane_cfg.free_query_end_gaps)
+        steps_row = 3 if wide else 1
+        steps = out[:, 0, steps_row, 0]
+        nsteps = int(steps.max())
+        self._last_trace = adaptive_trace(
+            np.asarray(thbm[:, :nsteps]),
+            np.asarray(mhbm[:, :nsteps]), steps,
+            self._lane_cfg.max_size,
+            local_start=self._lane_cfg.local_start,
+            free_query_start_gaps=self._lane_cfg.free_query_start_gaps,
+            words=self._lane_cfg.trace_words,
+        )
+        return self._adaptive_results(out, pairs)
+
+    def _finish_lane_trace(self, res, pairs) -> List[AlignResult]:
+        """Fetch + decode one lane-kernel traced batch."""
+        from .core.traceback import lane_trace
+
+        out, thbm, mhbm = res
+        out = np.asarray(out)
+        steps_row = 3 if (self._lane_cfg.x_drop
+                          or self._lane_cfg.free_query_end_gaps) else 1
+        steps = out[:, 0, steps_row, 0]  # per-program step counts
+        self.last_suspect = (
+            out[:, :, -1, :].reshape(self._lane_cfg.batch)
+            [: len(pairs)].astype(bool)
+        )
+        # the kernel streams packed int32 trace words (1/step, or 2 in
+        # local-start mode for the zero-mask bit); only the executed
+        # steps are transferred
+        W32 = self._lane_cfg.trace_words
+        nsteps = int(steps.max())
+        packed = np.asarray(thbm[:, : nsteps * W32])
+        self._last_trace = lane_trace(
+            packed, np.asarray(mhbm[:, :nsteps]), steps,
+            self._lane_cfg.block,
+            local_start=self._lane_cfg.local_start,
+            free_query_start_gaps=self._lane_cfg.free_query_start_gaps,
+            words=W32,
+        )
+        if self._lane_cfg.x_drop or self._lane_cfg.free_query_end_gaps:
+            o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
+                self._lane_cfg.batch, 3)
+            return [
+                AlignResult(int(o2[b, 0]), int(o2[b, 1]), int(o2[b, 2]))
+                for b in range(len(pairs))
+            ]
+        out = out[:, :, 0, :].reshape(self._lane_cfg.batch)
+        return [
+            AlignResult(int(out[b]), len(q), len(r))
+            for b, (q, r) in enumerate(pairs)
+        ]
+
+    def align_all_trace(self, pairs: Sequence[Tuple[bytes, bytes]],
+                        eq: bool = False, nthreads: int = 8):
+        """Traced batch pipeline: returns ``(results, cigars)`` for any
+        number of pairs.
+
+        While batch k+1 computes on the device (async dispatch), batch k's
+        trace is fetched and its CIGARs are walked on the host (native
+        batch walker, =/X resolution in C++ when ``eq``) -- the device and
+        the host walker run concurrently instead of serially, the analogue
+        of the reference harness's align-then-cigar loop
+        (reference: examples/uc_bench.rs:89-104) at batch granularity.
+        """
+        assert self._trace_mode, "align_all_trace requires trace=True"
+        assert self._lane or self._adaptive, (
+            "align_all_trace rides the kernel trace streams"
+        )
+        from .ops.lane_kernel import pack_lane
+
+        results: List[AlignResult] = []
+        cigars: List[Cigar] = []
+
+        def walk(res, chunk):
+            if self._adaptive:
+                got = self._finish_adaptive_trace(res, chunk)
+            else:
+                got = self._finish_lane_trace(res, chunk)
+            results.extend(got)
+            if self._lane_cfg.x_drop:
+                eps = [(g.query_idx, g.reference_idx) for g in got]
+            else:
+                eps = [(len(q), len(r)) for q, r in chunk]
+            cigars.extend(self._last_trace.cigars_all(
+                eps, nthreads=nthreads, eq=eq, seqs=chunk if eq else None))
+
+        pending = None
+        for k in range(0, len(pairs), self.batch_size):
+            chunk = list(pairs[k : k + self.batch_size])
+            args = pack_lane(chunk, self.matrix, self._lane_cfg, self.gaps,
+                             x_drop=self.x_drop or 0)
+            res = self._lane_fn(*args)  # async dispatch
+            if pending is not None:
+                walk(*pending)  # host walk overlaps device compute
+            pending = (res, chunk)
+        if pending is not None:
+            walk(*pending)
+        return results, cigars
 
     def align_all(self, pairs: Sequence[Tuple[bytes, bytes]],
                   sort: bool = True) -> List[AlignResult]:

@@ -26,7 +26,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .cigar import Cigar, Operation
+from .cigar import Cigar, OpLen, Operation
 
 STEP_ = 8  # reference STEP (src/scan_block.rs:785)
 
@@ -189,6 +189,19 @@ class TraceRect:
     @property
     def zero(self):
         return self._mat()._zero
+
+
+class _BytesCodes:
+    """1-based byte view for =/X resolution from raw sequences (byte
+    equality == code equality for every matrix's char conversion)."""
+
+    __slots__ = ("codes",)
+
+    def __init__(self, s):
+        self.codes = np.frombuffer(b"\0" + bytes(s), dtype=np.uint8)
+
+    def get(self, i: int) -> int:
+        return int(self.codes[i])
 
 
 class EngineTrace:
@@ -363,6 +376,26 @@ class EngineTrace:
             eq=True, q=q, r=r, cigar=cigar,
         )
 
+    def cigars_all(self, endpoints, nthreads: int = 8, *,
+                   eq: bool = False, seqs=None) -> List[Cigar]:
+        """CIGARs for pairs 0..len(endpoints)-1 (native per-pair walks; the
+        engine stream replays save/restore events per pair, so there is no
+        single flat batch walk like ``LaneTrace.cigars_all``).
+
+        ``seqs`` (eq mode): ``(PaddedBytes, PaddedBytes)`` or raw
+        ``(bytes, bytes)`` pairs."""
+        if not eq:
+            return [self.cigar(b, i, j) for b, (i, j) in enumerate(endpoints)]
+        assert seqs is not None and len(seqs) == len(endpoints)
+        out = []
+        for b, ((i, j), (q, r)) in enumerate(zip(endpoints, seqs)):
+            if not hasattr(q, "get"):
+                q = _BytesCodes(q)
+            if not hasattr(r, "get"):
+                r = _BytesCodes(r)
+            out.append(self.cigar_eq(b, q, r, i, j))
+        return out
+
 
 class LaneTrace:
     """Trace accessor over the lane kernel's RAW packed stream.
@@ -415,6 +448,37 @@ class LaneTrace:
             n_progs, _, K, S, P_ = self.raw.shape
             nsteps = int(self.psteps.max())
             w = self.words
+            lib = self._native
+            # a [:, :n] slice of the device output stays row-contiguous
+            # (inner (K, S, P) blocks contiguous, axis-0 stride = the
+            # original row count) -- pass the true row stride to C++
+            row_b = K * S * P_ * 4
+            mrow_b = K * 4 * P_ * 4
+            if lib is not None and (
+                    hasattr(lib, "ba_lane_pair_major")
+                    and P_ % 16 == 0
+                    and self.raw.strides[1:] == (row_b, S * P_ * 4, P_ * 4, 4)
+                    and self.raw.strides[0] % row_b == 0
+                    and self.mhbm.strides[1:] == (mrow_b, 4 * P_ * 4, P_ * 4, 4)
+                    and self.mhbm.strides[0] % mrow_b == 0
+                    and self.raw.shape[1] >= nsteps * w
+                    and self.mhbm.shape[1] >= nsteps):
+                import ctypes
+
+                B = n_progs * K * P_
+                wt = np.empty((B, nsteps, w, S), dtype=np.int32)
+                mt = np.empty((B, nsteps, 4), dtype=np.int32)
+                lib.ba_lane_pair_major(
+                    self.raw.ctypes.data_as(ctypes.c_void_p),
+                    self.raw.strides[0] // row_b,
+                    self.mhbm.ctypes.data_as(ctypes.c_void_p),
+                    self.mhbm.strides[0] // mrow_b,
+                    n_progs, nsteps, w, K, S, P_,
+                    wt.ctypes.data_as(ctypes.c_void_p),
+                    mt.ctypes.data_as(ctypes.c_void_p),
+                )
+                self._wt, self._mt = wt, mt
+                return self._wt, self._mt
             self._wt = np.ascontiguousarray(
                 self.raw[:, : nsteps * w]
                 .reshape(n_progs, nsteps, w, K, S, P_)
@@ -480,16 +544,28 @@ class LaneTrace:
             return got
         return self._full_trace().cigar_eq(b, q, r, i, j, cigar=cigar)
 
-    def cigars_all(self, endpoints, nthreads: int = 8) -> List[Cigar]:
+    def cigars_all(self, endpoints, nthreads: int = 8, *,
+                   eq: bool = False, seqs=None) -> List[Cigar]:
         """CIGARs for pairs 0..len(endpoints)-1 in one native call.
 
         ``endpoints[b] = (i, j)`` is pair ``b``'s end position.  One FFI
         call walks every pair (multithreaded in C++), amortizing the
         per-call overhead that dominates per-pair ``cigar()`` loops.
+
+        With ``eq=True`` the walker resolves M into =/X in C++ (the
+        reference's ``cigar_eq``, src/scan_block.rs:1478-1480); ``seqs``
+        must then be the aligned pairs -- either ``(PaddedBytes,
+        PaddedBytes)`` tuples or raw ``(bytes, bytes)`` (compared by byte
+        equality, which matches code equality for every matrix's
+        char conversion).
         """
         nb = len(endpoints)
         lib = self._native
         if lib is None or not hasattr(lib, "ba_lane_cigar_batch_flat"):
+            if eq:
+                return [self.cigar_eq(b, q, r, i, j)
+                        for b, ((i, j), (q, r))
+                        in enumerate(zip(endpoints, seqs))]
             return [self.cigar(b, i, j) for b, (i, j) in enumerate(endpoints)]
         import ctypes
 
@@ -499,6 +575,24 @@ class LaneTrace:
         ij = np.ascontiguousarray(np.asarray(endpoints, dtype=np.int64))
         assert ij.shape == (nb, 2)
         psteps = np.repeat(self.psteps, K * P_)[:nb].copy()
+        qp = rp = None
+        qstride = rstride = 0
+        if eq:
+            assert seqs is not None and len(seqs) == nb
+            # 1-based walker indexing: byte 0 is a pad position
+            qstride = int(ij[:, 0].max()) + 1
+            rstride = int(ij[:, 1].max()) + 1
+            qc = np.zeros((nb, qstride), dtype=np.uint8)
+            rc = np.zeros((nb, rstride), dtype=np.uint8)
+            for b, (q, r) in enumerate(seqs):
+                qb = q.codes[: qstride] if hasattr(q, "codes") else \
+                    np.frombuffer(b"\0" + bytes(q), np.uint8)[: qstride]
+                rb = r.codes[: rstride] if hasattr(r, "codes") else \
+                    np.frombuffer(b"\0" + bytes(r), np.uint8)[: rstride]
+                qc[b, : len(qb)] = qb
+                rc[b, : len(rb)] = rb
+            qp = qc.ctypes.data_as(ctypes.c_void_p)
+            rp = rc.ctypes.data_as(ctypes.c_void_p)
         # per-pair output slices (host memory = sum of per-pair bounds, not
         # nb * batch-wide max: a 64k batch of 20 kbp pairs would otherwise
         # allocate tens of GB)
@@ -515,7 +609,7 @@ class LaneTrace:
             ij.ctypes.data_as(ctypes.c_void_p),
             1 if self.local_start else 0,
             1 if self.free_query_start_gaps else 0,
-            0, None, None, 0, 0,
+            1 if eq else 0, qp, rp, qstride, rstride,
             off.ctypes.data_as(ctypes.c_void_p),
             out.ctypes.data_as(ctypes.c_void_p),
             out_n.ctypes.data_as(ctypes.c_void_p),
@@ -525,17 +619,21 @@ class LaneTrace:
         for b in range(nb):
             n = int(out_n[b])
             if n < 0:  # fall back per pair (e.g. out_cap undersized)
-                cigars.append(self.cigar(b, int(ij[b, 0]), int(ij[b, 1])))
+                if eq:
+                    q, r = seqs[b]
+                    cigars.append(self.cigar_eq(
+                        b, q, r, int(ij[b, 0]), int(ij[b, 1])))
+                else:
+                    cigars.append(self.cigar(b, int(ij[b, 0]), int(ij[b, 1])))
                 continue
-            c = Cigar()
-            row = out[int(off[b]) : int(off[b + 1])]
-            for k in range(n - 1, -1, -1):  # Cigar stores reversed
-                c.add(Operation(int(row[2 * k])), int(row[2 * k + 1]))
-            cigars.append(c)
+            row = out[int(off[b]) : int(off[b] + 2 * n)]
+            cigars.append(Cigar._from_forward_runs(row.reshape(n, 2)))
         return cigars
 
 
-def adaptive_trace(thbm, mhbm, steps, block: int) -> "EngineTrace":
+def adaptive_trace(thbm, mhbm, steps, block: int, *, local_start=False,
+                   free_query_start_gaps=False,
+                   words: int = 1) -> "EngineTrace":
     """Decode the adaptive kernel's trace stream into an ``EngineTrace``.
 
     Unlike the fixed-block lane stream, rects vary per pair (8-column
@@ -545,7 +643,10 @@ def adaptive_trace(thbm, mhbm, steps, block: int) -> "EngineTrace":
     walker) already implements the stack-like checkpoint semantics
     (reference: src/scan_block.rs:1451-1462).
 
-    thbm: (n_progs, nsteps, 1, K, S, P) int32, 8 columns per word;
+    thbm: (n_progs, nsteps, words, K, S, P) int32 -- ``words``=1: 8
+    columns per word, column c in bits 4c..4c+3; ``words``=2 (local-start,
+    which adds the 5th zero-mask bit): columns 0-3 as byte fields of word
+    0, columns 4-7 of word 1;
     mhbm: (n_progs, nsteps, K, 6, P): right, lane start, column start,
     height, flags (valid | rectstart<<1 | save<<2 | restore<<3), unused;
     steps: per-program executed step counts.
@@ -559,10 +660,19 @@ def adaptive_trace(thbm, mhbm, steps, block: int) -> "EngineTrace":
     nsteps = int(steps.max())
     ncols = nsteps * STEP_
 
-    pk = raw[:, :nsteps, 0].transpose(1, 0, 2, 4, 3).reshape(nsteps, B, S)
     trace_arr = np.empty((ncols, B, S), dtype=np.int8)
-    for c in range(STEP_):
-        trace_arr[c::STEP_] = ((pk >> (4 * c)) & 15).astype(np.int8)
+    if words == 2:
+        pk = raw[:, :nsteps].transpose(1, 2, 0, 3, 5, 4).reshape(
+            nsteps, 2, B, S)
+        for c in range(4):
+            trace_arr[c::STEP_] = ((pk[:, 0] >> (8 * c)) & 31).astype(np.int8)
+            trace_arr[4 + c::STEP_] = (
+                (pk[:, 1] >> (8 * c)) & 31).astype(np.int8)
+    else:
+        pk = raw[:, :nsteps, 0].transpose(1, 0, 2, 4, 3).reshape(
+            nsteps, B, S)
+        for c in range(STEP_):
+            trace_arr[c::STEP_] = ((pk >> (4 * c)) & 15).astype(np.int8)
 
     m = mh[:, :nsteps].transpose(1, 0, 2, 4, 3)  # (nsteps, n_progs, K, P, 6)
     right = m[..., 0].astype(np.int32)
@@ -596,7 +706,9 @@ def adaptive_trace(thbm, mhbm, steps, block: int) -> "EngineTrace":
     meta = np.stack(
         [meta1.reshape(ncols, B), meta2.reshape(ncols, B)], axis=-1
     ).astype(np.int32)
-    return EngineTrace(trace_arr, np.ascontiguousarray(meta), ncols)
+    return EngineTrace(trace_arr, np.ascontiguousarray(meta), ncols,
+                       local_start=local_start,
+                       free_query_start_gaps=free_query_start_gaps)
 
 
 def lane_trace(thbm, mhbm, steps, block: int, *, local_start=False,

@@ -31,12 +31,21 @@ def _build(stem: str) -> Optional[Path]:
     if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
         return so
     try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             "-o", str(so), str(src)],
-            check=True, capture_output=True, timeout=120,
-        )
-        return so
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", "-pthread", "-o", str(so), str(src)],
+                check=True, capture_output=True, timeout=120,
+            )
+            return so
+        except subprocess.CalledProcessError:
+            # some toolchains reject -march=native; plain -O3 fallback
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 "-o", str(so), str(src)],
+                check=True, capture_output=True, timeout=120,
+            )
+            return so
     except Exception:
         return None
 
@@ -163,5 +172,21 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out_ops int32*
             ctypes.c_int64,  # out_cap
         ]
+        if hasattr(lib, "ba_lane_pair_major"):
+            lib.ba_lane_pair_major.restype = None
+            lib.ba_lane_pair_major.argtypes = [
+                ctypes.c_void_p,  # raw (n_progs, raw_sd, K, S, P) int32
+                ctypes.c_int64,  # raw_sd
+                ctypes.c_void_p,  # mh (n_progs, mh_sd, K, 4, P) int32
+                ctypes.c_int64,  # mh_sd
+                ctypes.c_int64,  # n_progs
+                ctypes.c_int64,  # nsteps
+                ctypes.c_int64,  # words
+                ctypes.c_int64,  # K
+                ctypes.c_int64,  # S
+                ctypes.c_int64,  # P
+                ctypes.c_void_p,  # wt out (B, nsteps, words, S) int32
+                ctypes.c_void_p,  # mt out (B, nsteps, 4) int32
+            ]
         _LIB = lib
         return _LIB

@@ -249,28 +249,31 @@ static int64_t lane_cigar_walk(const int32_t* wt, const int32_t* mt,
                                int32_t* out_ops, int64_t out_cap) {
   if (psteps > nsteps || S <= 0 || (words != 1 && words != 2)) return -2;
   const int64_t pro_steps = S / 8;
-  std::vector<int32_t> vsteps;  // this pair's valid steady steps, ascending
-  vsteps.reserve((size_t)(psteps > pro_steps ? psteps - pro_steps : 0));
-  for (int64_t s = pro_steps; s < psteps; s++) {
-    if (mt[s * 4 + 3] == 0) vsteps.push_back((int32_t)s);
-  }
 
-  std::vector<int32_t> rop, rlen;
+  // runs are written backward from the end of the caller's slice (the walk
+  // discovers them last-forward-op first), then moved to the front -- no
+  // per-pair heap allocation
+  int32_t* tail = out_ops + out_cap;
+  int32_t cur_op = -1, cur_len = 0;
+  int64_t nruns = 0;
   int32_t table = 0;
-  int64_t ridx = (int64_t)vsteps.size();
+  int64_t scan = psteps;  // exclusive backward-scan position over steps
   bool outer_done = false;
+  bool overflow = false;
   while ((i > 0 || j > 0) && !outer_done) {
     // scan rects backward for the one containing (i, j); the prologue rect
     // at (0, 0) is the backstop (reference: src/scan_block.rs:1578-1590)
     int64_t row, col, s;
     bool right;
     while (true) {
-      ridx--;
-      if (ridx < 0) {
+      do {
+        scan--;
+      } while (scan >= pro_steps && mt[scan * 4 + 3] != 0);
+      if (scan < pro_steps) {
         row = 0; col = 0; right = true; s = -1;
         break;
       }
-      s = vsteps[(size_t)ridx];
+      s = scan;
       const int32_t* m = mt + s * 4;
       right = m[0] != 0;
       row = right ? m[1] : m[2];
@@ -321,22 +324,35 @@ static int64_t lane_cigar_walk(const int32_t* wt, const int32_t* mt,
       i -= le.di;
       j -= le.dj;
       table = le.table;
-      if (!rop.empty() && rop.back() == op) {
-        rlen.back()++;
+      if (op == cur_op) {
+        cur_len++;
       } else {
-        rop.push_back(op);
-        rlen.push_back(1);
+        if (cur_op >= 0) {
+          if (2 * (nruns + 1) > out_cap) { overflow = true; break; }
+          tail -= 2;
+          tail[0] = cur_op;
+          tail[1] = cur_len;
+          nruns++;
+        }
+        cur_op = op;
+        cur_len = 1;
       }
     }
+    if (overflow) return -1;
   }
 
-  const int64_t n = (int64_t)rop.size();
-  if (n * 2 > out_cap) return -1;
-  for (int64_t k = 0; k < n; k++) {
-    out_ops[2 * k] = rop[(size_t)(n - 1 - k)];
-    out_ops[2 * k + 1] = rlen[(size_t)(n - 1 - k)];
+  if (cur_op >= 0) {
+    if (2 * (nruns + 1) > out_cap) return -1;
+    tail -= 2;
+    tail[0] = cur_op;
+    tail[1] = cur_len;
+    nruns++;
   }
-  return n;
+  // runs sit at the slice tail in forward order; move them to the front
+  if (nruns > 0 && tail != out_ops) {
+    std::memmove(out_ops, tail, (size_t)(2 * nruns) * sizeof(int32_t));
+  }
+  return nruns;
 }
 
 // Walk every pair of a batch in one call (amortizes the per-call FFI cost
@@ -426,6 +442,56 @@ void ba_lane_cigar_batch_flat(const int32_t* wt, const int32_t* mt,
     threads.emplace_back(work, lo, hi);
   }
   for (auto& th : threads) th.join();
+}
+
+// Device-layout -> pair-major transpose of the lane kernel's trace streams
+// (the host-side prep for the CIGAR walks; replaces a slow numpy
+// 6-d transpose).  raw (n_progs, raw_sd, K, S, P) int32 with step-word rows
+// at second-dim index (step * words + w); mh (n_progs, mh_sd, K, 4, P).
+// Outputs: wt (n_progs*K*P, nsteps, words, S), mt (n_progs*K*P, nsteps, 4),
+// pair b = (prog*K + k)*P + p.
+void ba_lane_pair_major(const int32_t* raw, int64_t raw_sd, const int32_t* mh,
+                        int64_t mh_sd, int64_t n_progs, int64_t nsteps,
+                        int64_t words, int64_t K, int64_t S, int64_t P,
+                        int32_t* wt, int32_t* mt) {
+  const int64_t nws = nsteps * words * S;
+  constexpr int64_t TP = 16;  // (lane, p) transpose tile
+  for (int64_t prog = 0; prog < n_progs; prog++) {
+    for (int64_t k = 0; k < K; k++) {
+      const int64_t b0 = (prog * K + k) * P;
+      for (int64_t sw = 0; sw < nsteps * words; sw++) {
+        const int32_t* src = raw + ((prog * raw_sd + sw) * K + k) * S * P;
+        int32_t* dst0 = wt + b0 * nws + sw * S;
+        int32_t buf[TP][TP];
+        for (int64_t l0 = 0; l0 < S; l0 += TP) {
+          const int64_t ln = (l0 + TP < S ? TP : S - l0);
+          for (int64_t p0 = 0; p0 < P; p0 += TP) {
+            // contiguous 64-byte reads into the tile...
+            for (int64_t l = 0; l < ln; l++) {
+              const int32_t* s_ = src + (l0 + l) * P + p0;
+              for (int64_t p = 0; p < TP; p++) buf[l][p] = s_[p];
+            }
+            // ...then contiguous 64-byte writes out of it
+            for (int64_t p = 0; p < TP; p++) {
+              int32_t* d_ = dst0 + (p0 + p) * nws + l0;
+              for (int64_t l = 0; l < ln; l++) d_[l] = buf[l][p];
+            }
+          }
+        }
+      }
+      for (int64_t s = 0; s < nsteps; s++) {
+        const int32_t* src = mh + ((prog * mh_sd + s) * K + k) * 4 * P;
+        int32_t* dst0 = mt + b0 * nsteps * 4 + s * 4;
+        for (int64_t p = 0; p < P; p++) {
+          int32_t* dst = dst0 + p * nsteps * 4;
+          dst[0] = src[p];
+          dst[1] = src[P + p];
+          dst[2] = src[2 * P + p];
+          dst[3] = src[3 * P + p];
+        }
+      }
+    }
+  }
 }
 
 }  // extern "C"

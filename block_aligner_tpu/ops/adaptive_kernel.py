@@ -47,10 +47,14 @@ streams packed words + rect descriptors with checkpoint save/restore
 event bits, decoded into the engine trace format (core/traceback.py's
 ``adaptive_trace``).  ByteMatrix equality scoring rides the same paths
 with alpha=4, and profile mode (sequence-to-PSSM with position-specific
-gap costs) swaps in the lane kernel's asymmetric profile fetch -- every
-reference configuration now has a kernel path (the engine remains as
-the trace/x-drop profile-adaptive fallback and the oracle-chain
-cross-check).
+gap costs) swaps in the lane kernel's asymmetric profile fetch.
+LOCAL_START (per-cell relative-zero clamp; with trace, a 5th zero-mask
+bit in 2 byte-field words per step), FREE_QUERY_START_GAPS (row-0
+re-zeroing in right rects) and FREE_QUERY_END_GAPS (row-qlen restricted
+tracker + wide result) compose with adaptive sizing and trace exactly as
+the reference's const generics (src/scan_block.rs:89) -- the engine
+remains only as the profile-with-mode-flags fallback and the
+oracle-chain cross-check.
 """
 
 from __future__ import annotations
@@ -132,8 +136,8 @@ class AdaptiveKernelConfig:
         assert not (self.x_drop and self.free_query_end_gaps)
         if self.local_start or self.free_query_start_gaps \
                 or self.free_query_end_gaps:
-            assert not self.profile and not self.trace, (
-                "adaptive mode flags compose with trace/profile via the "
+            assert not self.profile, (
+                "adaptive mode flags compose with profiles via the "
                 "engine fallback for now"
             )
         if self.profile:
@@ -158,6 +162,13 @@ class AdaptiveKernelConfig:
         return self.batch // (P * self.banks)
 
     @property
+    def trace_words(self) -> int:
+        # local-start trace needs the 5th zero-mask bit: 5 bits/cell ->
+        # 4 columns per i32 as byte fields, 2 words per step (same scheme
+        # as the lane kernel)
+        return 2 if (self.trace and self.local_start) else 1
+
+    @property
     def max_steps(self) -> int:
         # shifts advance i+j by 8; each grow replays at most one stall
         # window per doubling and shrinks advance i+j; 2x slack plus the
@@ -179,6 +190,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
     NCH = cfg.n_chunks
     MIN = cfg.min_size
     MAX_STEPS = cfg.max_steps
+    TW = cfg.trace_words
     # wide result = (score, end_i, end_j) + per-rect best tracker instead
     # of the in-column freeze (reference: X_DROP / FREE_QUERY_END_GAPS)
     WIDE = cfg.x_drop or cfg.free_query_end_gaps
@@ -647,12 +659,13 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             D00 = jnp.concatenate([corner, D10[:, : S - 1, :]], axis=1)
 
             D11 = jnp.maximum(D00 + scores, NEG32)
+            rz_trace = None
             if cfg.local_start:
                 # local start: every cell may begin a new alignment at the
                 # relative zero (reference: src/scan_block.rs:1134-1136;
                 # oracle.py place_block LOCAL_START clamp)
-                rz = jnp.clip(ZERO - ST_OFF[...], I16_MIN, 32767)
-                D11 = jnp.maximum(D11, rz)
+                rz_trace = jnp.clip(ZERO - ST_OFF[...], I16_MIN, 32767)
+                D11 = jnp.maximum(D11, rz_trace)
             elif cfg.free_query_start_gaps:
                 # free leading query gaps: right rects whose lanes start at
                 # query row 0 re-insert the relative zero at row 0 of every
@@ -713,6 +726,8 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 # packed 2+2-bit trace emission (identical bit semantics to
                 # the lane kernel / reference src/scan_block.rs:1166-1190);
                 # all 8 columns of the step pack into one i32 per cell
+                # (local-start: 5 bits/cell incl. the zero-mask bit, 4
+                # columns per word as byte fields, 2 words per step)
                 tb = (D11 == c_end).astype(jnp.int32) | (
                     (D11 == r_end).astype(jnp.int32) << 1
                 )
@@ -723,11 +738,23 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 )
                 t2b = (C11 == C11_open).astype(jnp.int32) | (tr_R << 1)
                 word = tb | (t2b << 2)
-                acc_t = word if w == 0 else tr_pend[0] | (word << (4 * w))
-                if w == STEP - 1:
-                    TST[pl.ds(slot, 1), 0] = acc_t[None]
+                if cfg.local_start:
+                    # zero-mask from the FINAL merged D11, exactly the
+                    # reference (src/scan_block.rs:1184-1186)
+                    word = word | ((D11 == rz_trace).astype(jnp.int32) << 4)
+                    sh = 8 * (w % 4)
+                    acc_t = word << sh if w % 4 == 0 \
+                        else tr_pend[0] | (word << sh)
+                    if w % 4 == 3:
+                        TST[pl.ds(slot, 1), w // 4] = acc_t[None]
+                    else:
+                        tr_pend[0] = acc_t
                 else:
-                    tr_pend[0] = acc_t
+                    acc_t = word if w == 0 else tr_pend[0] | (word << (4 * w))
+                    if w == STEP - 1:
+                        TST[pl.ds(slot, 1), 0] = acc_t[None]
+                    else:
+                        tr_pend[0] = acc_t
 
             # the tracker only sees rows inside the pair's current rect
             # height: rows past h hold the recurrence's continuation (the
@@ -1175,7 +1202,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             out_shape = (
                 out_shape,
                 jax.ShapeDtypeStruct(
-                    (n_progs, MAX_STEPS, 1, K, S, P), jnp.int32
+                    (n_progs, MAX_STEPS, TW, K, S, P), jnp.int32
                 ),
                 jax.ShapeDtypeStruct((n_progs, MAX_STEPS, K, 6, P), jnp.int32),
             )
@@ -1213,7 +1240,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             )
             + (
                 [
-                    pltpu.VMEM((2, 1, K, S, P), jnp.int32),  # TST x2 slots
+                    pltpu.VMEM((2, TW, K, S, P), jnp.int32),  # TST x2 slots
                     pltpu.VMEM((2, K, 6, P), jnp.int32),  # MST x2 slots
                     pltpu.VMEM((K, 1, P), jnp.int32),  # PEND_SV
                     pltpu.VMEM((K, 1, P), jnp.int32),  # PEND_RS

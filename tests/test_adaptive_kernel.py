@@ -378,3 +378,53 @@ def test_adaptive_free_query_end_gaps():
         w = orc.res()
         assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
             w.score, w.query_idx, w.reference_idx), (k, got[k], w)
+
+
+def test_adaptive_trace_with_mode_flags():
+    """Trace composed with LOCAL_START / free-gap flags in the adaptive
+    kernel (the r2 engine fallback deleted): local-start streams 2
+    byte-field words per step carrying the 5th zero-mask bit; CIGARs
+    bit-match the oracle."""
+    rng = np.random.default_rng(83)
+    pairs = []
+    for _ in range(8):
+        q = rand_seq(rng, int(rng.integers(30, 90)))
+        pairs.append((q, mutate(rng, q, 8)))
+    for _ in range(3):
+        core = rand_seq(rng, 40)
+        pairs.append((rand_seq(rng, 25) + core, core + rand_seq(rng, 15)))
+
+    for flags in ({"local_start": True}, {"free_query_start_gaps": True}):
+        al = BatchAligner(BLOSUM62, GAPS, (16, 64), batch=128, seq_cap=160,
+                          trace=True, **flags)
+        assert al._adaptive, flags
+        got = al.align_batch(pairs)
+        tr = al.trace()
+        orc = BlockOracle(trace=True, **flags)
+        for k, (q, r) in enumerate(pairs):
+            pq = PaddedBytes.from_bytes(q, 64, BLOSUM62)
+            pr = PaddedBytes.from_bytes(r, 64, BLOSUM62)
+            orc.align(pq, pr, BLOSUM62, GAPS, (16, 64), 0)
+            assert got[k].score == orc.res().score, (flags, k)
+            assert str(tr.cigar(k, len(q), len(r))) == str(
+                orc.cigar(len(q), len(r))), (flags, k)
+
+    short = []
+    for _ in range(6):
+        q = rand_seq(rng, int(rng.integers(10, 30)))
+        short.append((q, mutate(rng, q, 2) + rand_seq(rng, 80)))
+    al = BatchAligner(BLOSUM62, GAPS, (32, 128), batch=128, seq_cap=200,
+                      trace=True, free_query_end_gaps=True)
+    assert al._adaptive
+    got = al.align_batch(short)
+    tr = al.trace()
+    orc = BlockOracle(trace=True, free_query_end_gaps=True)
+    for k, (q, r) in enumerate(short):
+        pq = PaddedBytes.from_bytes(q, 128, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 128, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (32, 128), 0)
+        w = orc.res()
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
+            w.score, w.query_idx, w.reference_idx), k
+        assert str(tr.cigar(k, w.query_idx, w.reference_idx)) == str(
+            orc.cigar(w.query_idx, w.reference_idx)), k

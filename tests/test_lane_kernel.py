@@ -603,3 +603,36 @@ def test_lane_byte_matrix_modes():
         assert g3[k].score == w.score, k
         assert str(al3.cigar(k, w.query_idx, w.reference_idx)) == \
             str(orc3.cigar(w.query_idx, w.reference_idx)), k
+
+
+def test_align_all_trace_pipeline():
+    """align_all_trace: multi-batch traced pipeline (device batch k+1
+    overlaps host CIGAR walk of batch k) with in-walker =/X resolution;
+    scores and eq-CIGARs oracle-exact across batch boundaries."""
+    import numpy as np
+
+    from block_aligner_tpu import BLOSUM62, BlockOracle, Gaps, PaddedBytes
+    from block_aligner_tpu.api import BatchAligner
+
+    rng = np.random.default_rng(71)
+    AA = b"ACDEFGHIKLMNPQRSTVWY"
+    pairs = []
+    for _ in range(24):
+        n = int(rng.integers(30, 110))
+        q = bytes(rng.choice(list(AA), size=n).tolist())
+        r = bytearray(q)
+        for _ in range(n // 5):
+            r[int(rng.integers(0, len(r)))] = int(rng.choice(list(AA)))
+        pairs.append((q, bytes(r)))
+    gaps = Gaps(-11, -1)
+    al = BatchAligner(BLOSUM62, gaps, (32, 32), batch=8, seq_cap=160,
+                      trace=True)
+    res, cigs = al.align_all_trace(pairs, eq=True)
+    orc = BlockOracle(trace=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 32, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 32, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, gaps, (32, 32), 0)
+        assert res[k].score == orc.res().score, k
+        want = orc.cigar_eq(pq, pr, len(q), len(r))
+        assert str(cigs[k]) == str(want), k
