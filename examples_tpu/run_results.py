@@ -27,11 +27,17 @@ from block_aligner_tpu.core.full_dp import global_align_score
 ROWS = []
 
 
-def row(name, n, dt, baseline_us, wrong=None, note=""):
+def row(name, n, dt, baseline_us, wrong=None, note="", mode=None):
+    """mode: "staged" (device-rate: inputs staged on device up front,
+    repeated-dispatch timing) or "end-to-end" (host pack + transfer +
+    align through the tunnel).  Inferred from the note when omitted, so
+    every row lands in the right table."""
     us = dt / n * 1e6
     speed = f"{baseline_us / us:.2f}x" if baseline_us else "-"
     acc = "-" if wrong is None else f"{wrong}/{n}"
-    ROWS.append((name, n, f"{us:.1f}", f"{baseline_us or '-'}", speed, acc, note))
+    if mode is None:
+        mode = "staged" if "staged" in note else "end-to-end"
+    ROWS.append((mode, name, n, f"{us:.1f}", f"{baseline_us or '-'}", speed, acc, note))
     print(ROWS[-1])
 
 
@@ -376,10 +382,24 @@ def main():
                 "`examples_tpu/run_results.py`; accuracy = wrong scores vs "
                 "the exact full-DP oracle (synthetic datasets shaped like "
                 "the reference's, see examples_tpu/common.py).\n\n")
-        f.write("| workload | pairs | us/pair | ref us/pair | speedup | wrong | note |\n")
-        f.write("|---|---|---|---|---|---|---|\n")
-        for r in ROWS:
-            f.write("| " + " | ".join(str(x) for x in r) + " |\n")
+        f.write(
+            "Rows are split by methodology and are NOT mutually "
+            "comparable: **staged** rows measure device throughput "
+            "(inputs staged up front, repeated dispatch -- the "
+            "reference-comparable number, since the reference also pads "
+            "all pairs before its timed loop); **end-to-end** rows "
+            "include host packing and the dev tunnel's ~25-40 ms "
+            "dispatch / ~24 MB/s transfer overheads.\n")
+        for mode, title in (("staged", "Staged (device rate)"),
+                            ("end-to-end", "End-to-end (through the dev tunnel)")):
+            rows = [r for r in ROWS if r[0] == mode]
+            if not rows:
+                continue
+            f.write(f"\n## {title}\n\n")
+            f.write("| workload | pairs | us/pair | ref us/pair | speedup | wrong | note |\n")
+            f.write("|---|---|---|---|---|---|---|\n")
+            for r in rows:
+                f.write("| " + " | ".join(str(x) for x in r[1:]) + " |\n")
         f.write(
             "\n**Environment caveat:** this dev machine reaches the TPU "
             "through a tunnel adding ~25-40 ms per kernel dispatch and "

@@ -32,13 +32,17 @@ MUTED = "#6b6a63"
 
 def parse_results():
     rows = []
+    mode = "staged"
     for line in (ROOT / "RESULTS.md").read_text().splitlines():
+        if line.startswith("## "):
+            mode = "staged" if "Staged" in line else "end-to-end"
+            continue
         m = re.match(r"\| ([^|]+) \| (\d+) \| ([\d.]+) \| ([\d.-]+) \|", line)
         if not m:
             continue
         name, n, us, ref = m.groups()
         rows.append((name.strip(), int(n), float(us),
-                     None if ref == "-" else float(ref)))
+                     None if ref == "-" else float(ref), mode))
     return rows
 
 
@@ -46,9 +50,9 @@ def bench_figure(rows):
     # device-throughput rows only: end-to-end / rescue / trace+cigar rows
     # are bounded by this dev machine's tunnel, not the chip (RESULTS.md
     # environment caveat)
-    comp = [(n, us, ref) for n, _, us, ref in rows
-            if ref is not None and "end-to-end" not in n
-            and "rescue" not in n and "trace+cigar" not in n]
+    comp = [(n, us, ref) for n, _, us, ref, mode in rows
+            if ref is not None and mode == "staged"
+            and "end-to-end" not in n and "trace+cigar" not in n]
     comp = comp[::-1]  # top row first after barh
     names = [c[0] for c in comp]
     ours = [c[1] for c in comp]

@@ -1,0 +1,76 @@
+"""Big-kernel Mosaic compile-time probe (run on the real TPU).
+
+r3 finding: build_big_engine's first TPU compile exceeded 30 min at
+(min=32, max=1024).  This script times the compile of each variant at
+increasing sizes under a per-case timeout, so the fix hypothesis
+(_big_static: statically unrolled segment loops) can be accepted or
+rejected with data.  Run:  timeout 7200 python scripts_tpu/big_compile_probe.py
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def probe(tag, builder, cfg_cls, max_size, budget_s):
+    import multiprocessing as mp
+
+    def run(q):
+        import jax
+        t0 = time.time()
+        try:
+            cfg = cfg_cls(batch=128, min_size=32, max_size=max_size,
+                          seq_cap=max(512, ((2 * max_size + 127) // 128) * 128),
+                          interpret=False)
+            fn = builder(cfg)
+            from block_aligner_tpu.ops.big_kernel import pack_big
+            from block_aligner_tpu import BLOSUM62, Gaps
+            rng = np.random.default_rng(0)
+            aa = b"ACDEFGHIKLMNPQRSTVWY"
+            pairs = [(bytes(rng.choice(list(aa), size=60).tolist()),
+                      bytes(rng.choice(list(aa), size=64).tolist()))
+                     for _ in range(128)]
+            args = pack_big(pairs, BLOSUM62, cfg, Gaps(-11, -1))
+            out = np.asarray(fn(*args))
+            q.put(("ok", time.time() - t0, int(out[0, 0, 0, 0])))
+        except Exception as ex:  # noqa
+            q.put(("err", time.time() - t0, repr(ex)[:200]))
+
+    q = mp.Queue()
+    p = mp.Process(target=run, args=(q,))
+    p.start()
+    p.join(budget_s)
+    if p.is_alive():
+        p.terminate()
+        p.join()
+        print(f"{tag} max={max_size}: TIMEOUT after {budget_s}s", flush=True)
+        return False
+    status, dt, extra = q.get()
+    print(f"{tag} max={max_size}: {status} in {dt:.0f}s ({extra})", flush=True)
+    return status == "ok"
+
+
+def main():
+    from block_aligner_tpu.ops.big_kernel import BigKernelConfig, build_big_engine
+    cases = [
+        ("dyn", build_big_engine, BigKernelConfig, 1024, 900),
+        ("dyn", build_big_engine, BigKernelConfig, 2048, 1200),
+    ]
+    try:
+        from block_aligner_tpu.ops._big_static import (
+            BigKernelConfig as SC, build_big_engine as sb)
+        cases += [
+            ("static", sb, SC, 1024, 900),
+            ("static", sb, SC, 2048, 1200),
+        ]
+    except Exception as ex:
+        print("static variant unavailable:", ex)
+    for tag, b, c, m, t in cases:
+        probe(tag, b, c, m, t)
+
+
+if __name__ == "__main__":
+    main()
