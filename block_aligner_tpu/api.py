@@ -13,9 +13,9 @@ Three device backends sit underneath, picked automatically:
   free-gap modes, ByteMatrix;
 * the adaptive kernel (ops/adaptive_kernel.py) -- reference-exact
   grow/shrink/checkpoint sizing (min_size < max_size <= 512) in global,
-  x-drop, trace, ByteMatrix, profile, local-start, and free-gap modes
-  (all composable as in the reference's const generics; profile + mode
-  flags is the one remaining engine-routed combination);
+  x-drop, trace, ByteMatrix, profile, local-start, and free-gap modes,
+  all composable as in the reference's const generics (seq-seq AND
+  profile);
 * the big-block kernel (ops/big_kernel.py) -- row-segmented adaptive
   sizing for 512 < max_size <= 2048 (global, byte);
 * the general lockstep engine (ops/engine.py) -- the oracle-chain
@@ -712,14 +712,23 @@ class ProfileAligner:
         seq_cap: int = 1024,
         trace: bool = False,
         x_drop: Optional[int] = None,
+        local_start: bool = False,
+        free_query_start_gaps: bool = False,
+        free_query_end_gaps: bool = False,
         mesh=None,
         data_axis: str = "data",
         use_lane_kernel: Optional[bool] = None,
     ):
+        # same flag-exclusion surface as the reference
+        # (src/scan_block.rs:952-954, shared by align_profile)
+        assert not (local_start and free_query_start_gaps)
+        assert not (x_drop is not None and free_query_end_gaps)
         min_size, max_size = size
         min_size = max(min_size, 16)
         max_size = max(max_size, min_size)
         self.x_drop = x_drop
+        self.min_size = min_size
+        self.free_query_end_gaps = free_query_end_gaps
         self._trace_mode = trace
         self._last_trace: Optional[EngineTrace] = None
         self.last_suspect = None
@@ -758,6 +767,9 @@ class ProfileAligner:
                 profile=True,
                 trace=trace,
                 x_drop=x_drop is not None,
+                local_start=local_start,
+                free_query_start_gaps=free_query_start_gaps,
+                free_query_end_gaps=free_query_end_gaps,
                 interpret=jax.default_backend() != "tpu",
             )
             if mesh is not None:
@@ -795,7 +807,11 @@ class ProfileAligner:
             self._lane_cfg = LaneKernelConfig(
                 batch=round_up(max(batch, 128), 128 * banks * ndev),
                 block=min_size, seq_cap=cap, profile=True, banks=banks,
-                trace=trace, x_drop=x_drop is not None, interpret=interp,
+                trace=trace, x_drop=x_drop is not None,
+                local_start=local_start,
+                free_query_start_gaps=free_query_start_gaps,
+                free_query_end_gaps=free_query_end_gaps,
+                interpret=interp,
             )
             if mesh is not None:
                 from .parallel.mesh import data_parallel_lane
@@ -825,6 +841,9 @@ class ProfileAligner:
             profile=True,
             trace=trace,
             x_drop=x_drop is not None,
+            local_start=local_start,
+            free_query_start_gaps=free_query_start_gaps,
+            free_query_end_gaps=free_query_end_gaps,
         )
         if mesh is not None:
             from .parallel.mesh import data_parallel_engine
@@ -840,6 +859,13 @@ class ProfileAligner:
         return self.cfg.batch
 
     def align_batch(self, pairs) -> List[AlignResult]:
+        if self.free_query_end_gaps:
+            for q, _ in pairs:
+                # reference: min block size > query length
+                # (src/scan_block.rs:954)
+                assert len(q) < self.min_size, (
+                    "free_query_end_gaps requires min block size > query len"
+                )
         if self._adaptive:
             from .ops.lane_kernel import pack_lane_profile
 
@@ -850,17 +876,21 @@ class ProfileAligner:
                 args[6] = args[6].copy()
                 args[6][0, 2] = self.x_drop
             res = self._fn(*args)
+            wide = cfg.x_drop or cfg.free_query_end_gaps
             if cfg.trace:
                 from .core.traceback import adaptive_trace
 
                 out, thbm, mhbm = res
                 out = np.asarray(out)
-                steps_row = 3 if cfg.x_drop else 1
+                steps_row = 3 if wide else 1
                 steps = out[:, 0, steps_row, 0]
                 nsteps = int(steps.max())
                 self._last_trace = adaptive_trace(
                     np.asarray(thbm[:, :nsteps]),
                     np.asarray(mhbm[:, :nsteps]), steps, cfg.max_size,
+                    local_start=cfg.local_start,
+                    free_query_start_gaps=cfg.free_query_start_gaps,
+                    words=cfg.trace_words,
                 )
             else:
                 out = np.asarray(res)
@@ -868,7 +898,7 @@ class ProfileAligner:
             assert not over[: len(pairs)].any(), (
                 "adaptive kernel hit its step cap; raise seq_cap/max_steps"
             )
-            if cfg.x_drop:
+            if wide:
                 o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
                     cfg.batch, 3)
                 return [
@@ -890,25 +920,29 @@ class ProfileAligner:
                 args[6] = args[6].copy()
                 args[6][0, 2] = self.x_drop
             res = self._fn(*args)
+            wide = cfg.x_drop or cfg.free_query_end_gaps
             if cfg.trace:
                 from .core.traceback import lane_trace
 
                 out, thbm, mhbm = res
                 out = np.asarray(out)
-                steps_row = 3 if cfg.x_drop else 1
+                steps_row = 3 if wide else 1
                 steps = out[:, 0, steps_row, 0]
                 nsteps = int(steps.max())
-                packed = np.asarray(thbm[:, :nsteps])
+                W32 = cfg.trace_words
+                packed = np.asarray(thbm[:, : nsteps * W32])
                 self._last_trace = lane_trace(
                     packed, np.asarray(mhbm[:, :nsteps]), steps, cfg.block,
-                    words=1,
+                    local_start=cfg.local_start,
+                    free_query_start_gaps=cfg.free_query_start_gaps,
+                    words=W32,
                 )
             else:
                 out = np.asarray(res)
             self.last_suspect = (
                 out[:, :, -1, :].reshape(cfg.batch)[: len(pairs)].astype(bool)
             )
-            if cfg.x_drop:
+            if wide:
                 o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
                     cfg.batch, 3)
                 return [

@@ -52,9 +52,10 @@ LOCAL_START (per-cell relative-zero clamp; with trace, a 5th zero-mask
 bit in 2 byte-field words per step), FREE_QUERY_START_GAPS (row-0
 re-zeroing in right rects) and FREE_QUERY_END_GAPS (row-qlen restricted
 tracker + wide result) compose with adaptive sizing and trace exactly as
-the reference's const generics (src/scan_block.rs:89) -- the engine
-remains only as the profile-with-mode-flags fallback and the
-oracle-chain cross-check.
+the reference's const generics (src/scan_block.rs:89), in both seq-seq
+and profile modes -- every min<max <= 512 configuration runs here; the
+engine remains only as the oracle-chain cross-check and the >512
+trace/x-drop/flag fallback.
 """
 
 from __future__ import annotations
@@ -134,12 +135,6 @@ class AdaptiveKernelConfig:
         # (src/scan_block.rs:853-862)
         assert not (self.local_start and self.free_query_start_gaps)
         assert not (self.x_drop and self.free_query_end_gaps)
-        if self.local_start or self.free_query_start_gaps \
-                or self.free_query_end_gaps:
-            assert not self.profile, (
-                "adaptive mode flags compose with profiles via the "
-                "engine fallback for now"
-            )
         if self.profile:
             assert not self.byte_mode
         assert self.vmem_bytes <= 15 * 2**20, (

@@ -146,13 +146,22 @@ class BigKernelConfig:
         return big_vmem_bytes(self.max_size, self.seq_cap)
 
 
+# The while_loop iterates over (step, segment) PAIRS -- one row segment of
+# one 8-column step per iteration -- rather than nesting traced-bound
+# fori_loops inside the while body: the nested form's Mosaic compile
+# exceeded 30 min even at small shapes (r3), while loop-free bodies of
+# this size compile in minutes (ops/adaptive_kernel.py).  Per-step cost
+# still tracks the CURRENT adaptive block size (the segment index wraps at
+# the per-program max nseg).  The rare whole-plane passes (grow window,
+# shrink shifts, shrink ckpt) run in the last-segment iteration as
+# statically unrolled sweeps guarded by @pl.when(r < nseg & any(mask)).
 def build_big_engine(cfg: BigKernelConfig):
     S = cfg.max_size
     A = cfg.alpha
     NG = A // 4
     SS = cfg.seg
     R = cfg.n_segs
-    SPC = SS // 128  # code chunks per segment
+    SPC = SS // 128
     NCH = cfg.n_chunks
     MIN = cfg.min_size
     MAX_STEPS = cfg.max_steps
@@ -172,12 +181,11 @@ def build_big_engine(cfg: BigKernelConfig):
          GNM, CURMAX, SUF, VAL, PH, PBSV, PBSEL, PRST,
          FRA, FRT, FRIDX) = scr[:29]
         scr = scr[29:]
-        (botD, botR, sem) = scr
+        (botD, botR, DCAR, TCAR, EC8, NR8, sem) = scr
 
         prog = pl.program_id(0)
         open_ = gap_ref[0, 0]
         e = gap_ref[0, 1]
-        xdrop_x = gap_ref[0, 2]
         qlen = qlen_ref[0]  # (1, P)
         rlen = rlen_ref[0]
 
@@ -247,17 +255,15 @@ def build_big_engine(cfg: BigKernelConfig):
 
         def score_rows(ec):
             """(NG, 8, P) packed score rows for the 8 entering column
-            codes: row g of column w packs M[4g..4g+3, ec[w]] + 128, one
-            one-hot MXU matmul per column (same packing as the lane
-            kernels' score_new_rows; symmetric-table equivalence in the
-            module docstring)."""
+            codes (one one-hot MXU matmul per column; symmetric-table
+            equivalence in the module docstring)."""
             cols = []
             for w in range(STEP):
                 oh = (oh_iota == ec[w, :][None]).astype(jnp.bfloat16)
                 planes = lax.dot_general(
                     Mb, oh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ).astype(jnp.int32)  # (A, P): row b*NG+g = M[4g+b, ec]+128
+                ).astype(jnp.int32)  # (A, P)
                 cols.append(
                     planes[0:NG]
                     | (planes[NG : 2 * NG] << 8)
@@ -271,7 +277,9 @@ def build_big_engine(cfg: BigKernelConfig):
                 [jnp.full((k, P), NEG32, jnp.int32), x[: SS - k]], axis=0)
 
         def body(carry):
-            s_idx, _ = carry
+            s_idx, seg, _ = carry
+            # ---- cheap per-iteration step state (stable until the
+            # last-segment post-step mutates the refs) ----
             dirn = ST_DIR[...]
             done = ST_DONE[...]
             act = done == 0
@@ -282,15 +290,67 @@ def build_big_engine(cfg: BigKernelConfig):
             shift = (dirn == DIR_R) | (dirn == DIR_D)
             right_or = (dirn == DIR_R) | (dirn == DIR_GR)
             grow = (dirn == DIR_GD) | (dirn == DIR_GR)
+            szmax = jnp.max(jnp.where(act, sz, MIN))
+            nseg = (szmax + SS - 1) // SS
+            is_first = seg == 0
+            is_last = seg == nseg - 1
 
-            # ---- offset rebase at shift-rect starts (reference:
-            # src/scan_block.rs:148-151, 323-331) ----
+            i_ = ST_I[...]
+            j_ = ST_J[...]
+            h = jnp.where(dirn == DIR_GD, psz, sz)
+            lane_len = jnp.where(right_or, qlen, rlen)
+            col_len = jnp.where(right_or, rlen, qlen)
             reb = shift & act
-            prev_off = ST_OFF[...]
-            new_off = jnp.where(reb, ST_OFFMAX[...], prev_off)
-            oa = jnp.where(reb,
-                           jnp.clip(prev_off - new_off, I16_MIN, 32767), 0)
-            ST_OFF[...] = new_off
+
+            @pl.when(is_first)
+            def _():
+                # ---- pre-step: stateful per-step mutations + the
+                # expensive per-step prep (code extract, MXU scoring) ----
+                prev_off = ST_OFF[...]
+                new_off = jnp.where(reb, ST_OFFMAX[...], prev_off)
+                CVEC[...] = jnp.where(
+                    reb, jnp.clip(prev_off - new_off, I16_MIN, 32767), 0)
+                ST_OFF[...] = new_off
+                resetd = newrect & (dirn != DIR_GR) & act
+                CURMAX[...] = jnp.where(resetd, neg1, CURMAX[...])
+                pos8 = jnp.where(
+                    dirn == DIR_R, j_ + sz - STEP,
+                    jnp.where(
+                        dirn == DIR_D, i_ + sz - STEP,
+                        jnp.where(dirn == DIR_GD, i_ + psz + cpos,
+                                  j_ + psz + cpos),
+                    ),
+                )
+                side = jnp.where(right_or, 1, 0)
+                ec0 = extract8(pos8, side)
+                EC8[...] = ec0
+                if not cfg.byte_mode:
+                    NR8[...] = score_rows(ec0)
+                cstart = jnp.where(
+                    dirn == DIR_R, j_ + sz - STEP,
+                    jnp.where(
+                        dirn == DIR_D, i_ + sz - STEP,
+                        jnp.where(dirn == DIR_GD, i_ + psz + cpos,
+                                  j_ + psz + cpos),
+                    ),
+                )
+                ls = jnp.where(right_or, i_, j_)
+                FRA[...] = (
+                    (ls + h > lane_len) & (dirn != DIR_GD)
+                ).astype(jnp.int32)
+                FRT[...] = col_len - cstart
+                FRIDX[...] = jnp.clip(lane_len - ls, 0, S - 1)
+                VAL[...] = z1 + NEG_I32
+                SUF[...] = z1 + NEG_I32
+                botD[...] = jnp.full((STEP, P), NEG_I32, jnp.int32)
+                botR[...] = jnp.full((STEP, P), NEG_I32, jnp.int32)
+                DCAR[...] = jnp.full((STEP, P), NEG32, jnp.int32)
+                TCAR[...] = jnp.full((STEP, P), NEG32, jnp.int32)
+
+            # ---- per-iteration recomputed step values ----
+            # oa rides CVEC this step (the corner vector shares the slot:
+            # cvec below derives from CORN + oa at r == 0 only)
+            oa = CVEC[...]
             pdir = ST_PDIR[...]
             corner_ok = reb & (
                 ((dirn == DIR_R) & (pdir == DIR_D))
@@ -298,479 +358,399 @@ def build_big_engine(cfg: BigKernelConfig):
             )
             cvec = jnp.where(corner_ok,
                              jnp.maximum(CORN[...] + oa, NEG32), neg1)
-
-            # rect-scoped running max: reset at rect start (GROW_R keeps
-            # accumulating across the grow's two halves)
-            resetd = newrect & (dirn != DIR_GR) & act
-            CURMAX[...] = jnp.where(resetd, neg1, CURMAX[...])
-
-            # ---- entering codes + their packed score rows ----
-            pos8 = jnp.where(
-                dirn == DIR_R, ST_J[...] + sz - STEP,
-                jnp.where(
-                    dirn == DIR_D, ST_I[...] + sz - STEP,
-                    jnp.where(dirn == DIR_GD, ST_I[...] + psz + cpos,
-                              ST_J[...] + psz + cpos),
-                ),
-            )
-            side = jnp.where(right_or, 1, 0)
-            ec = extract8(pos8, side)
-            NR = None if cfg.byte_mode else score_rows(ec)
-
-            # ---- per-step rect geometry (freeze predicates / origins) ----
-            i_ = ST_I[...]
-            j_ = ST_J[...]
-            h = jnp.where(dirn == DIR_GD, psz, sz)
-            ls = jnp.where(right_or, i_, j_)
-            cstart = jnp.where(
-                dirn == DIR_R, j_ + sz - STEP,
-                jnp.where(
-                    dirn == DIR_D, i_ + sz - STEP,
-                    jnp.where(dirn == DIR_GD, i_ + psz + cpos,
-                              j_ + psz + cpos),
-                ),
-            )
-            lane_len = jnp.where(right_or, qlen, rlen)
-            col_len = jnp.where(right_or, rlen, qlen)
-            FRA[...] = (
-                (ls + h > lane_len) & (dirn != DIR_GD)
-            ).astype(jnp.int32)
-            FRT[...] = col_len - cstart
-            FRIDX[...] = jnp.clip(lane_len - ls, 0, S - 1)
             frz_lane = (FRA[...] == 1) & (FRT[...] <= STEP - 1) & act
             fcol = jnp.clip(FRT[...], 0, STEP - 1)
             frz_any = jnp.any(frz_lane)
-            VAL[...] = z1 + NEG_I32
-            SUF[...] = z1 + NEG_I32
-            botD[...] = jnp.full((STEP, P), NEG_I32, jnp.int32)
-            botR[...] = jnp.full((STEP, P), NEG_I32, jnp.int32)
-
             q_shift = (dirn == DIR_D) & act
             r_shift = (dirn == DIR_R) & act
             q_app = (dirn == DIR_GD) & act
             r_app = (dirn == DIR_GR) & act
             sdone = act & shift
             origin = (dirn == DIR_GR) & (psz == 0) & (cpos == 0) & (j_ == 0)
+            ec = EC8[...]
+            NR = None if cfg.byte_mode else NR8[...]
             ec_t = jnp.tile(ec, (SS // STEP, 1))
-
-            # segments this step must touch (per-program max; done lanes
-            # pinned to MIN so they never extend the loop)
-            szmax = jnp.max(jnp.where(act, sz, MIN))
-            nseg = (szmax + SS - 1) // SS
 
             ph = PH[...] == 1
             pb = PBSV[...] == 1
             sel = PBSEL[...] == 1
             prst = PRST[...] == 1
             any_pb = jnp.any(pb)
-            any_prst = jnp.any(prst)
 
-            def seg_body(r, carry):
-                dcar, tcar = carry
-                rn = jnp.minimum(r + 1, R - 1)
-                row_g = r * SS + rows_l
+            # ================= one row segment of this step =============
+            r = seg
+            dcar = DCAR[...]
+            tcar = TCAR[...]
+            rn = jnp.minimum(r + 1, R - 1)
+            row_g = r * SS + rows_l
 
-                # -- resolve loads: pending orientation swap (PH), then
-                # pending checkpoint save, then pending restore --
-                aD = ACT_D[pl.ds(r, 1)][0]
-                aC = ACT_C[pl.ds(r, 1)][0]
-                pD = PAS_D[pl.ds(r, 1)][0]
-                pR = PAS_R[pl.ds(r, 1)][0]
-                Dld = jnp.where(ph, aD, pD)
-                Cld = jnp.where(ph, aC, pR)
-                Pdld = jnp.where(ph, pD, aD)
-                Prld = jnp.where(ph, pR, aC)
-                cq = CQ[pl.ds(r, 1)][0]
-                cr = CR[pl.ds(r, 1)][0]
+            aD = ACT_D[pl.ds(r, 1)][0]
+            aC = ACT_C[pl.ds(r, 1)][0]
+            pD = PAS_D[pl.ds(r, 1)][0]
+            pR = PAS_R[pl.ds(r, 1)][0]
+            Dld = jnp.where(ph, aD, pD)
+            Cld = jnp.where(ph, aC, pR)
+            Pdld = jnp.where(ph, pD, aD)
+            Prld = jnp.where(ph, pR, aC)
+            cq = CQ[pl.ds(r, 1)][0]
+            cr = CR[pl.ds(r, 1)][0]
 
-                ckc_d = CKC_D[pl.ds(r, 1)][0]
-                ckc_c = CKC_C[pl.ds(r, 1)][0]
-                ckr_d = CKR_D[pl.ds(r, 1)][0]
-                ckr_r = CKR_R[pl.ds(r, 1)][0]
-                kq = KQ[pl.ds(r, 1)][0]
-                kr = KR[pl.ds(r, 1)][0]
+            ckc_d = CKC_D[pl.ds(r, 1)][0]
+            ckc_c = CKC_C[pl.ds(r, 1)][0]
+            ckr_d = CKR_D[pl.ds(r, 1)][0]
+            ckr_r = CKR_R[pl.ds(r, 1)][0]
+            kq = KQ[pl.ds(r, 1)][0]
+            kr = KR[pl.ds(r, 1)][0]
 
-                @pl.when(any_pb)
-                def _():
-                    # deferred ckpt save: end-of-previous-step values (the
-                    # loads above), with PBSEL naming the plane that holds
-                    # the column border after any pending swap
-                    CKC_D[pl.ds(r, 1)] = jnp.where(
-                        pb, jnp.where(sel, Dld, Pdld), ckc_d)[None]
-                    CKC_C[pl.ds(r, 1)] = jnp.where(
-                        pb, jnp.where(sel, Cld, Prld), ckc_c)[None]
-                    CKR_D[pl.ds(r, 1)] = jnp.where(
-                        pb, jnp.where(sel, Pdld, Dld), ckr_d)[None]
-                    CKR_R[pl.ds(r, 1)] = jnp.where(
-                        pb, jnp.where(sel, Prld, Cld), ckr_r)[None]
-                    KQ[pl.ds(r, 1)] = jnp.where(pb, cq, kq)[None]
-                    KR[pl.ds(r, 1)] = jnp.where(pb, cr, kr)[None]
+            @pl.when(any_pb)
+            def _():
+                # deferred ckpt save: end-of-previous-step values
+                CKC_D[pl.ds(r, 1)] = jnp.where(
+                    pb, jnp.where(sel, Dld, Pdld), ckc_d)[None]
+                CKC_C[pl.ds(r, 1)] = jnp.where(
+                    pb, jnp.where(sel, Cld, Prld), ckc_c)[None]
+                CKR_D[pl.ds(r, 1)] = jnp.where(
+                    pb, jnp.where(sel, Pdld, Dld), ckr_d)[None]
+                CKR_R[pl.ds(r, 1)] = jnp.where(
+                    pb, jnp.where(sel, Prld, Cld), ckr_r)[None]
+                KQ[pl.ds(r, 1)] = jnp.where(pb, cq, kq)[None]
+                KR[pl.ds(r, 1)] = jnp.where(pb, cr, kr)[None]
 
-                # registers holding the (possibly just-saved) ckpt for the
-                # restore select below (read-after-write safe)
-                ckc_d = jnp.where(pb, jnp.where(sel, Dld, Pdld), ckc_d)
-                ckc_c = jnp.where(pb, jnp.where(sel, Cld, Prld), ckc_c)
-                ckr_d = jnp.where(pb, jnp.where(sel, Pdld, Dld), ckr_d)
-                ckr_r = jnp.where(pb, jnp.where(sel, Prld, Cld), ckr_r)
-                kq = jnp.where(pb, cq, kq)
-                kr = jnp.where(pb, cr, kr)
+            ckc_d = jnp.where(pb, jnp.where(sel, Dld, Pdld), ckc_d)
+            ckc_c = jnp.where(pb, jnp.where(sel, Cld, Prld), ckc_c)
+            ckr_d = jnp.where(pb, jnp.where(sel, Pdld, Dld), ckr_d)
+            ckr_r = jnp.where(pb, jnp.where(sel, Prld, Cld), ckr_r)
+            kq = jnp.where(pb, cq, kq)
+            kr = jnp.where(pb, cr, kr)
 
-                # deferred grow restore: GROW_D is down-oriented, so the
-                # active planes take the row borders
-                D0 = jnp.where(prst, ckr_d, Dld)
-                C0 = jnp.where(prst, ckr_r, Cld)
-                Pd0 = jnp.where(prst, ckc_d, Pdld)
-                Pr0 = jnp.where(prst, ckc_c, Prld)
-                cq0 = jnp.where(prst, kq, cq)
-                cr0 = jnp.where(prst, kr, cr)
+            # deferred grow restore
+            D0 = jnp.where(prst, ckr_d, Dld)
+            C0 = jnp.where(prst, ckr_r, Cld)
+            Pd0 = jnp.where(prst, ckc_d, Pdld)
+            Pr0 = jnp.where(prst, ckc_c, Prld)
+            cq0 = jnp.where(prst, kq, cq)
+            cr0 = jnp.where(prst, kr, cr)
 
-                # offset rebase (oa == 0 for non-rebasing lanes)
-                D0 = jnp.maximum(D0 + oa, NEG32)
-                C0 = jnp.maximum(C0 + oa, NEG32)
+            # offset rebase (oa == 0 for non-rebasing lanes)
+            D0 = jnp.maximum(D0 + oa, NEG32)
+            C0 = jnp.maximum(C0 + oa, NEG32)
 
-                # -- code-plane advance: shifts slide the moved side by 8
-                # with the entering codes at rows [sz-8, sz); grow halves
-                # append at rows [psz+cpos, +8) --
-                winp = (row_g >= sz - STEP) & (row_g < sz)
-                wina = (row_g >= psz + cpos) & (row_g < psz + cpos + STEP)
-                cqn = CQ[pl.ds(rn, 1)][0, :STEP]
-                crn = CR[pl.ds(rn, 1)][0, :STEP]
-                cq_sh = jnp.concatenate([cq0[STEP:], cqn], axis=0)
-                cr_sh = jnp.concatenate([cr0[STEP:], crn], axis=0)
-                cq1 = jnp.where(
-                    q_shift, jnp.where(winp, ec_t, cq_sh),
-                    jnp.where(q_app & wina, ec_t, cq0))
-                cr1 = jnp.where(
-                    r_shift, jnp.where(winp, ec_t, cr_sh),
-                    jnp.where(r_app & wina, ec_t, cr0))
-                CQ[pl.ds(r, 1)] = cq1[None]
-                CR[pl.ds(r, 1)] = cr1[None]
+            # code-plane advance
+            winp = (row_g >= sz - STEP) & (row_g < sz)
+            wina = (row_g >= psz + cpos) & (row_g < psz + cpos + STEP)
+            cqn = CQ[pl.ds(rn, 1)][0, :STEP]
+            crn = CR[pl.ds(rn, 1)][0, :STEP]
+            cq_sh = jnp.concatenate([cq0[STEP:], cqn], axis=0)
+            cr_sh = jnp.concatenate([cr0[STEP:], crn], axis=0)
+            cq1 = jnp.where(
+                q_shift, jnp.where(winp, ec_t, cq_sh),
+                jnp.where(q_app & wina, ec_t, cq0))
+            cr1 = jnp.where(
+                r_shift, jnp.where(winp, ec_t, cr_sh),
+                jnp.where(r_app & wina, ec_t, cr0))
+            CQ[pl.ds(r, 1)] = cq1[None]
+            CR[pl.ds(r, 1)] = cr1[None]
 
-                # -- 8 DP columns on this segment (reference place_block
-                # inner loop, src/scan_block.rs:1119-1209) --
-                lc = jnp.where(right_or, cq1, cr1)
-                if not cfg.byte_mode:
-                    grp = lc >> 2
-                    sub = (lc & 3) << 3
-                Dc = D0
-                Cc = C0
-                Dacc = negSS
-                dcar_out = []
-                tcar_out = []
-                for w in range(STEP):
-                    dcar_out.append(Dc[SS - 1 : SS])
-                    if cfg.byte_mode:
-                        scores = jnp.where(
-                            lc == ec[w : w + 1], gap_ref[0, 4], gap_ref[0, 5]
-                        )
-                    else:
-                        acc = jnp.broadcast_to(NR[0, w : w + 1], (SS, P))
-                        for g in range(1, NG):
-                            acc = jnp.where(grp == g, NR[g, w : w + 1], acc)
-                        scores = ((acc >> sub) & 255) - 128
-                    crow = jnp.where(
-                        r == 0,
-                        cvec if w == 0 else neg1,
-                        dcar[w : w + 1],
+            # -- 8 DP columns on this segment --
+            lc = jnp.where(right_or, cq1, cr1)
+            if not cfg.byte_mode:
+                grp = lc >> 2
+                sub = (lc & 3) << 3
+            Dc = D0
+            Cc = C0
+            Dacc = negSS
+            dcar_out = []
+            tcar_out = []
+            for w in range(STEP):
+                dcar_out.append(Dc[SS - 1 : SS])
+                if cfg.byte_mode:
+                    scores = jnp.where(
+                        lc == ec[w : w + 1], gap_ref[0, 4], gap_ref[0, 5]
                     )
-                    D00 = jnp.concatenate([crow, Dc[: SS - 1]], axis=0)
-                    D11 = jnp.maximum(D00 + scores, NEG32)
-                    if w == 0:
-                        # DP origin cell (reference: src/scan_block.rs:1130)
-                        row0 = jnp.where(
-                            (r == 0) & origin,
-                            jnp.full((1, P), ZERO, jnp.int32), D11[0:1])
-                        D11 = jnp.concatenate([row0, D11[1:]], axis=0)
-                    C11_open = jnp.maximum(Dc + open_, NEG32)
-                    C11 = jnp.maximum(jnp.maximum(Cc + e, NEG32), C11_open)
-                    D11 = jnp.maximum(D11, C11)
-                    D11_open = D11 + (open_ - e)
-                    t = D11_open
-                    k = 1
-                    while k < SS:
-                        t = jnp.maximum(t, shift_up(t, k) + e * k)
-                        k *= 2
-                    t = jnp.maximum(t, tcar[w : w + 1] + evec)
-                    tcar_out.append(t[SS - 1 : SS])
-                    R11 = jnp.maximum(t, zc)
-                    D11 = jnp.maximum(D11, R11)
+                else:
+                    acc = jnp.broadcast_to(NR[0, w : w + 1], (SS, P))
+                    for g in range(1, NG):
+                        acc = jnp.where(grp == g, NR[g, w : w + 1], acc)
+                    scores = ((acc >> sub) & 255) - 128
+                crow = jnp.where(
+                    r == 0,
+                    cvec if w == 0 else neg1,
+                    dcar[w : w + 1],
+                )
+                D00 = jnp.concatenate([crow, Dc[: SS - 1]], axis=0)
+                D11 = jnp.maximum(D00 + scores, NEG32)
+                if w == 0:
+                    row0 = jnp.where(
+                        (r == 0) & origin,
+                        jnp.full((1, P), ZERO, jnp.int32), D11[0:1])
+                    D11 = jnp.concatenate([row0, D11[1:]], axis=0)
+                C11_open = jnp.maximum(Dc + open_, NEG32)
+                C11 = jnp.maximum(jnp.maximum(Cc + e, NEG32), C11_open)
+                D11 = jnp.maximum(D11, C11)
+                D11_open = D11 + (open_ - e)
+                t = D11_open
+                k = 1
+                while k < SS:
+                    t = jnp.maximum(t, shift_up(t, k) + e * k)
+                    k *= 2
+                t = jnp.maximum(t, tcar[w : w + 1] + evec)
+                tcar_out.append(t[SS - 1 : SS])
+                R11 = jnp.maximum(t, zc)
+                D11 = jnp.maximum(D11, R11)
 
-                    Dacc = jnp.maximum(Dacc, D11)
-                    hm = row_g == h - 1
-                    botD[pl.ds(w, 1)] = jnp.maximum(
-                        botD[pl.ds(w, 1)],
-                        jnp.max(jnp.where(hm, D11, NEG_I32), axis=0,
-                                keepdims=True))
-                    botR[pl.ds(w, 1)] = jnp.maximum(
-                        botR[pl.ds(w, 1)],
-                        jnp.max(jnp.where(hm, R11, NEG_I32), axis=0,
-                                keepdims=True))
-                    @pl.when(frz_any)
-                    def _(w=w, D11=D11):
-                        # freeze-column extraction (reference early exit:
-                        # src/scan_block.rs:567-592, 1216-1224)
-                        em = (row_g == FRIDX[...]) & (fcol == w)
-                        VAL[...] = jnp.maximum(
-                            VAL[...],
-                            jnp.max(jnp.where(em & frz_lane, D11, NEG_I32),
-                                    axis=0, keepdims=True))
-                    Dc = D11
-                    Cc = C11
-                ACT_D[pl.ds(r, 1)] = Dc[None]
-                ACT_C[pl.ds(r, 1)] = Cc[None]
-                CURMAX[...] = jnp.maximum(
-                    CURMAX[...],
-                    jnp.max(jnp.where(row_g < h, Dacc, NEG32), axis=0,
+                Dacc = jnp.maximum(Dacc, D11)
+                hm = row_g == h - 1
+                botD[pl.ds(w, 1)] = jnp.maximum(
+                    botD[pl.ds(w, 1)],
+                    jnp.max(jnp.where(hm, D11, NEG_I32), axis=0,
+                            keepdims=True))
+                botR[pl.ds(w, 1)] = jnp.maximum(
+                    botR[pl.ds(w, 1)],
+                    jnp.max(jnp.where(hm, R11, NEG_I32), axis=0,
                             keepdims=True))
 
-                # -- splice: shift the passive border pair down 8 and
-                # insert this step's staged tail (reference:
-                # src/scan_block.rs:165-177, 349-355); shift lanes only --
-                pd_reb = jnp.maximum(Pd0 + oa, NEG32)
-                pr_reb = jnp.maximum(Pr0 + oa, NEG32)
-                CORN[...] = jnp.where(
-                    (r == 0) & sdone, pd_reb[STEP - 1 : STEP], CORN[...])
-                pdn_a = ACT_D[pl.ds(rn, 1)][0, :STEP]
-                pdn_p = PAS_D[pl.ds(rn, 1)][0, :STEP]
-                prn_a = ACT_C[pl.ds(rn, 1)][0, :STEP]
-                prn_p = PAS_R[pl.ds(rn, 1)][0, :STEP]
-                # NOTE: segment r+1 still holds pre-step values for the
-                # passive pair (columns only touched ACT of segments <= r,
-                # and the ph-swap of segment r+1 is resolved here too)
-                pdn = jnp.maximum(jnp.where(ph, pdn_p, pdn_a) + oa, NEG32)
-                prn = jnp.maximum(jnp.where(ph, prn_p, prn_a) + oa, NEG32)
-                tmD = jnp.tile(botD[...], (SS // STEP, 1))
-                tmR = jnp.tile(botR[...], (SS // STEP, 1))
-                pd1 = jnp.where(
-                    winp, tmD, jnp.concatenate([pd_reb[STEP:], pdn], axis=0))
-                pr1 = jnp.where(
-                    winp, tmR, jnp.concatenate([pr_reb[STEP:], prn], axis=0))
-                Pd_out = jnp.where(sdone, pd1, Pd0)
-                Pr_out = jnp.where(sdone, pr1, Pr0)
-                PAS_D[pl.ds(r, 1)] = Pd_out[None]
-                PAS_R[pl.ds(r, 1)] = Pr_out[None]
+                @pl.when(frz_any)
+                def _(w=w, D11=D11):
+                    em = (row_g == FRIDX[...]) & (fcol == w)
+                    VAL[...] = jnp.maximum(
+                        VAL[...],
+                        jnp.max(jnp.where(em & frz_lane, D11, NEG_I32),
+                                axis=0, keepdims=True))
+                Dc = D11
+                Cc = C11
+            ACT_D[pl.ds(r, 1)] = Dc[None]
+            ACT_C[pl.ds(r, 1)] = Cc[None]
+            CURMAX[...] = jnp.maximum(
+                CURMAX[...],
+                jnp.max(jnp.where(row_g < h, Dacc, NEG32), axis=0,
+                        keepdims=True))
 
-                # shrink-suffix max (reference: src/scan_block.rs:534-547).
-                # The passive border only holds this step's values on shift
-                # steps (grow steps write it after this loop, from botD) --
-                # including it on grow steps would read stale ckpt rows.
-                sufw = (row_g >= sz - SHRINK_SUFFIX_LEN) & (row_g < sz)
-                SUF[...] = jnp.maximum(
-                    SUF[...],
-                    jnp.maximum(
-                        jnp.max(jnp.where(sufw, Dc, NEG_I32), axis=0,
-                                keepdims=True),
-                        jnp.max(jnp.where(sufw & sdone, Pd_out, NEG_I32),
-                                axis=0, keepdims=True)))
-                return (jnp.concatenate(dcar_out, axis=0),
-                        jnp.concatenate(tcar_out, axis=0))
+            # -- splice the passive border pair --
+            pd_reb = jnp.maximum(Pd0 + oa, NEG32)
+            pr_reb = jnp.maximum(Pr0 + oa, NEG32)
+            CORN[...] = jnp.where(
+                (r == 0) & sdone, pd_reb[STEP - 1 : STEP], CORN[...])
+            pdn_a = ACT_D[pl.ds(rn, 1)][0, :STEP]
+            pdn_p = PAS_D[pl.ds(rn, 1)][0, :STEP]
+            prn_a = ACT_C[pl.ds(rn, 1)][0, :STEP]
+            prn_p = PAS_R[pl.ds(rn, 1)][0, :STEP]
+            pdn = jnp.maximum(jnp.where(ph, pdn_p, pdn_a) + oa, NEG32)
+            prn = jnp.maximum(jnp.where(ph, prn_p, prn_a) + oa, NEG32)
+            tmD = jnp.tile(botD[...], (SS // STEP, 1))
+            tmR = jnp.tile(botR[...], (SS // STEP, 1))
+            pd1 = jnp.where(
+                winp, tmD, jnp.concatenate([pd_reb[STEP:], pdn], axis=0))
+            pr1 = jnp.where(
+                winp, tmR, jnp.concatenate([pr_reb[STEP:], prn], axis=0))
+            Pd_out = jnp.where(sdone, pd1, Pd0)
+            Pr_out = jnp.where(sdone, pr1, Pr0)
+            PAS_D[pl.ds(r, 1)] = Pd_out[None]
+            PAS_R[pl.ds(r, 1)] = Pr_out[None]
 
-            lax.fori_loop(
-                0, nseg, seg_body,
-                (jnp.full((STEP, P), NEG32, jnp.int32),
-                 jnp.full((STEP, P), NEG32, jnp.int32)),
-            )
-            PH[...] = z1 + 1
-            PBSV[...] = z1
-            PRST[...] = z1
+            sufw = (row_g >= sz - SHRINK_SUFFIX_LEN) & (row_g < sz)
+            SUF[...] = jnp.maximum(
+                SUF[...],
+                jnp.maximum(
+                    jnp.max(jnp.where(sufw, Dc, NEG_I32), axis=0,
+                            keepdims=True),
+                    jnp.max(jnp.where(sufw & sdone, Pd_out, NEG_I32),
+                            axis=0, keepdims=True)))
+            DCAR[...] = jnp.concatenate(dcar_out, axis=0)
+            TCAR[...] = jnp.concatenate(tcar_out, axis=0)
 
-            # grow halves write the passive border directly at rows
-            # [psz+cpos, +8) (reference: src/scan_block.rs:396-429); the
-            # bottom row is only final after every segment ran, hence this
-            # follow-up pass
-            gact = grow & act
-
-            @pl.when(jnp.any(gact))
+            # ================= last segment: post-step ==================
+            @pl.when(is_last)
             def _():
-                tmD = jnp.tile(botD[...], (SS // STEP, 1))
-                tmR = jnp.tile(botR[...], (SS // STEP, 1))
+                PH[...] = z1 + 1
+                PBSV[...] = z1
+                PRST[...] = z1
 
-                def gw_body(r, c):
-                    row_g = r * SS + rows_l
-                    gm = gact & (row_g >= psz + cpos) & (
-                        row_g < psz + cpos + STEP)
-                    PAS_D[pl.ds(r, 1)] = jnp.where(
-                        gm, tmD, PAS_D[pl.ds(r, 1)][0])[None]
-                    PAS_R[pl.ds(r, 1)] = jnp.where(
-                        gm, tmR, PAS_R[pl.ds(r, 1)][0])[None]
-                    return c
+                gact = grow & act
 
-                lax.fori_loop(0, nseg, gw_body, 0)
-                # grow-step share of the shrink-suffix max: the passive
-                # rows [psz+cpos, +8) just written are botD's columns
-                wi = jax.lax.broadcasted_iota(jnp.int32, (STEP, P), 0)
-                gm2 = gact & (psz + cpos + wi >= sz - SHRINK_SUFFIX_LEN) & (
-                    psz + cpos + wi < sz)
-                SUF[...] = jnp.maximum(
-                    SUF[...],
-                    jnp.max(jnp.where(gm2, botD[...], NEG_I32), axis=0,
-                            keepdims=True))
+                @pl.when(jnp.any(gact))
+                def _():
+                    # grow halves write the passive border at rows
+                    # [psz+cpos, +8); botD is final only now
+                    gmD = jnp.tile(botD[...], (SS // STEP, 1))
+                    gmR = jnp.tile(botR[...], (SS // STEP, 1))
+                    for r0 in range(R):
+                        rg0 = r0 * SS + rows_l
+                        gm = gact & (rg0 >= psz + cpos) & (
+                            rg0 < psz + cpos + STEP)
 
-            @pl.when(frz_any)
-            def _():
-                fscore = ST_OFF[...] + VAL[...] - ZERO
-                OUT[...] = jnp.where(frz_lane, fscore, OUT[...])
-                ST_DONE[...] = jnp.where(frz_lane, 1, ST_DONE[...])
+                        @pl.when((r0 < nseg) & jnp.any(gm))
+                        def _(r0=r0, gm=gm):
+                            PAS_D[pl.ds(r0, 1)] = jnp.where(
+                                gm, gmD, PAS_D[pl.ds(r0, 1)][0])[None]
+                            PAS_R[pl.ds(r0, 1)] = jnp.where(
+                                gm, gmR, PAS_R[pl.ds(r0, 1)][0])[None]
+                    wi = jax.lax.broadcasted_iota(jnp.int32, (STEP, P), 0)
+                    gm2 = gact & (
+                        psz + cpos + wi >= sz - SHRINK_SUFFIX_LEN
+                    ) & (psz + cpos + wi < sz)
+                    SUF[...] = jnp.maximum(
+                        SUF[...],
+                        jnp.max(jnp.where(gm2, botD[...], NEG_I32), axis=0,
+                                keepdims=True))
 
-            # ---- post-step: phase bookkeeping + the reference decision
-            # ladder (src/scan_block.rs:439-565) ----
-            done2 = ST_DONE[...]
-            active = done2 == 0
-            cpos_new = cpos + STEP
-            phase_len = jnp.where(shift, STEP, sz - psz)
-            phase_done = cpos_new >= phase_len
-            CPOS[...] = jnp.where(phase_done, 0, cpos_new)
+                @pl.when(frz_any)
+                def _():
+                    fscore = ST_OFF[...] + VAL[...] - ZERO
+                    OUT[...] = jnp.where(frz_lane, fscore, OUT[...])
+                    ST_DONE[...] = jnp.where(frz_lane, 1, ST_DONE[...])
 
-            # GROW_D -> GROW_R: orientation flips to lanes = query; the
-            # physical ACT/PAS exchange is deferred through PH
-            gd_done = active & (dirn == DIR_GD) & phase_done
-            ST_DIR[...] = jnp.where(gd_done, DIR_GR, ST_DIR[...])
+                # ---- post-step decision ladder ----
+                done2 = ST_DONE[...]
+                active = done2 == 0
+                cpos_new = cpos + STEP
+                phase_len = jnp.where(shift, STEP, sz - psz)
+                phase_done = cpos_new >= phase_len
+                CPOS[...] = jnp.where(phase_done, 0, cpos_new)
 
-            rdone = active & phase_done & (dirn != DIR_GD)
-            was_grow = dirn == DIR_GR
-            right_or_end = right_or
-            cur_max = CURMAX[...]
-            off_max = ST_OFF[...] + cur_max - ZERO
-            ST_OFFMAX[...] = jnp.where(rdone, off_max, ST_OFFMAX[...])
-            ydi = jnp.where(rdone, YITER[...] + 1, YITER[...])
-            gnm = jnp.where(rdone, was_grow.astype(jnp.int32), GNM[...])
+                gd_done = active & (dirn == DIR_GD) & phase_done
+                ST_DIR[...] = jnp.where(gd_done, DIR_GR, ST_DIR[...])
 
-            new_best = rdone & (off_max > BEST[...])
-            save = new_best & (sz < S)
-            # a completed grow re-saves the ckpt borders even without a new
-            # best (reference: src/scan_block.rs:432-435)
-            bsave = save | (rdone & was_grow & (sz < S))
-            CK_I[...] = jnp.where(save, ST_I[...], CK_I[...])
-            CK_J[...] = jnp.where(save, ST_J[...], CK_J[...])
-            CK_OFF[...] = jnp.where(save, ST_OFF[...], CK_OFF[...])
-            gnm = jnp.where(save, 0, gnm)
-            BEST[...] = jnp.where(new_best, off_max, BEST[...])
-            ydi = jnp.where(new_best, 0, ydi)
+                rdone = active & phase_done & (dirn != DIR_GD)
+                was_grow = dirn == DIR_GR
+                right_or_end = right_or
+                cur_max = CURMAX[...]
+                off_max = ST_OFF[...] + cur_max - ZERO
+                ST_OFFMAX[...] = jnp.where(rdone, off_max, ST_OFFMAX[...])
+                ydi = jnp.where(rdone, YITER[...] + 1, YITER[...])
+                gnm = jnp.where(rdone, was_grow.astype(jnp.int32), GNM[...])
 
-            # forced shifts skip the grow/shrink heuristics (reference
-            # `continue`s, src/scan_block.rs:509-516)
-            forced_down = rdone & ((j_ + sz) > rlen)
-            forced_right = rdone & ~forced_down & ((i_ + sz) > qlen)
-            free = rdone & ~forced_down & ~forced_right
+                new_best = rdone & (off_max > BEST[...])
+                save = new_best & (sz < S)
+                bsave = save | (rdone & was_grow & (sz < S))
+                CK_I[...] = jnp.where(save, ST_I[...], CK_I[...])
+                CK_J[...] = jnp.where(save, ST_J[...], CK_J[...])
+                CK_OFF[...] = jnp.where(save, ST_OFF[...], CK_OFF[...])
+                gnm = jnp.where(save, 0, gnm)
+                BEST[...] = jnp.where(new_best, off_max, BEST[...])
+                ydi = jnp.where(new_best, 0, ydi)
 
-            grow_trig = free & (2 * sz <= S) & (
-                (ydi > (sz // STEP) - 1) | (gnm == 1)
-            )
-            PSZ[...] = jnp.where(grow_trig, sz, PSZ[...])
-            SZ[...] = jnp.where(grow_trig, 2 * sz, SZ[...])
-            ST_I[...] = jnp.where(grow_trig, CK_I[...], ST_I[...])
-            ST_J[...] = jnp.where(grow_trig, CK_J[...], ST_J[...])
-            ST_OFF[...] = jnp.where(grow_trig, CK_OFF[...], ST_OFF[...])
-            PRST[...] = jnp.where(grow_trig, 1, PRST[...])
-            ST_DIR[...] = jnp.where(grow_trig, DIR_GD, ST_DIR[...])
-            ydi = jnp.where(grow_trig, 0, ydi)
+                forced_down = rdone & ((j_ + sz) > rlen)
+                forced_right = rdone & ~forced_down & ((i_ + sz) > qlen)
+                free = rdone & ~forced_down & ~forced_right
 
-            # ---- shrink (reference: src/scan_block.rs:534-559) ----
-            canshrink = free & ~grow_trig & (SZ[...] > MIN) & (ydi == 0)
-            shrink_do = canshrink & (SUF[...] >= cur_max)
+                grow_trig = free & (2 * sz <= S) & (
+                    (ydi > (sz // STEP) - 1) | (gnm == 1)
+                )
+                PSZ[...] = jnp.where(grow_trig, sz, PSZ[...])
+                SZ[...] = jnp.where(grow_trig, 2 * sz, SZ[...])
+                ST_I[...] = jnp.where(grow_trig, CK_I[...], ST_I[...])
+                ST_J[...] = jnp.where(grow_trig, CK_J[...], ST_J[...])
+                ST_OFF[...] = jnp.where(grow_trig, CK_OFF[...], ST_OFF[...])
+                PRST[...] = jnp.where(grow_trig, 1, PRST[...])
+                ST_DIR[...] = jnp.where(grow_trig, DIR_GD, ST_DIR[...])
+                ydi = jnp.where(grow_trig, 0, ydi)
 
-            @pl.when(jnp.any(shrink_do))
-            def _():
-                sz2 = SZ[...]
-                for v in HALF_SIZES:
-                    vm = shrink_do & (sz2 // 2 == v)
+                # ---- shrink ----
+                canshrink = free & ~grow_trig & (SZ[...] > MIN) & (ydi == 0)
+                shrink_do = canshrink & (SUF[...] >= cur_max)
 
-                    @pl.when(jnp.any(vm))
-                    def _(v=v, vm=vm):
-                        sseg = v // SS  # whole segments skipped
-                        cut = v % SS
+                @pl.when(jnp.any(shrink_do))
+                def _():
+                    sz2 = SZ[...]
+                    for v in HALF_SIZES:
+                        vm = shrink_do & (sz2 // 2 == v)
 
-                        def sh_body(r, c):
-                            s1 = jnp.minimum(r + sseg, R - 1)
-                            s2 = jnp.minimum(r + sseg + 1, R - 1)
-                            for ref in (ACT_D, ACT_C, PAS_D, PAS_R, CQ, CR):
-                                a = ref[pl.ds(s1, 1)][0]
-                                if cut:
-                                    b = ref[pl.ds(s2, 1)][0, :cut]
-                                    a = jnp.concatenate([a[cut:], b], axis=0)
-                                ref[pl.ds(r, 1)] = jnp.where(
-                                    vm, a, ref[pl.ds(r, 1)][0])[None]
-                            return c
+                        @pl.when(jnp.any(vm))
+                        def _(v=v, vm=vm):
+                            sseg = v // SS
+                            cut = v % SS
+                            for r0 in range(R):
+                                s1 = min(r0 + sseg, R - 1)
+                                s2 = min(r0 + sseg + 1, R - 1)
 
-                        lax.fori_loop(0, nseg, sh_body, 0)
-                SZ[...] = jnp.where(shrink_do, sz2 // 2, SZ[...])
-                ST_I[...] = jnp.where(shrink_do, ST_I[...] + sz2 // 2,
-                                      ST_I[...])
-                ST_J[...] = jnp.where(shrink_do, ST_J[...] + sz2 // 2,
-                                      ST_J[...])
-                CK_I[...] = jnp.where(shrink_do, ST_I[...], CK_I[...])
-                CK_J[...] = jnp.where(shrink_do, ST_J[...], CK_J[...])
-                CK_OFF[...] = jnp.where(shrink_do, ST_OFF[...], CK_OFF[...])
-                ro = right_or_end
+                                @pl.when(r0 < nseg)
+                                def _(r0=r0, s1=s1, s2=s2, vm=vm, cut=cut):
+                                    for ref in (ACT_D, ACT_C, PAS_D, PAS_R,
+                                                CQ, CR):
+                                        a = ref[pl.ds(s1, 1)][0]
+                                        if cut:
+                                            b = ref[pl.ds(s2, 1)][0, :cut]
+                                            a = jnp.concatenate(
+                                                [a[cut:], b], axis=0)
+                                        ref[pl.ds(r0, 1)] = jnp.where(
+                                            vm, a, ref[pl.ds(r0, 1)][0]
+                                        )[None]
+                    SZ[...] = jnp.where(shrink_do, sz2 // 2, SZ[...])
+                    ST_I[...] = jnp.where(shrink_do, ST_I[...] + sz2 // 2,
+                                          ST_I[...])
+                    ST_J[...] = jnp.where(shrink_do, ST_J[...] + sz2 // 2,
+                                          ST_J[...])
+                    CK_I[...] = jnp.where(shrink_do, ST_I[...], CK_I[...])
+                    CK_J[...] = jnp.where(shrink_do, ST_J[...], CK_J[...])
+                    CK_OFF[...] = jnp.where(shrink_do, ST_OFF[...],
+                                            CK_OFF[...])
+                    ro = right_or_end
+                    for r0 in range(R):
 
-                def ck_body(r, c):
-                    ad = ACT_D[pl.ds(r, 1)][0]
-                    ac = ACT_C[pl.ds(r, 1)][0]
-                    pd2 = PAS_D[pl.ds(r, 1)][0]
-                    pr2 = PAS_R[pl.ds(r, 1)][0]
-                    CKC_D[pl.ds(r, 1)] = jnp.where(
-                        shrink_do, jnp.where(ro, ad, pd2),
-                        CKC_D[pl.ds(r, 1)][0])[None]
-                    CKC_C[pl.ds(r, 1)] = jnp.where(
-                        shrink_do, jnp.where(ro, ac, pr2),
-                        CKC_C[pl.ds(r, 1)][0])[None]
-                    CKR_D[pl.ds(r, 1)] = jnp.where(
-                        shrink_do, jnp.where(ro, pd2, ad),
-                        CKR_D[pl.ds(r, 1)][0])[None]
-                    CKR_R[pl.ds(r, 1)] = jnp.where(
-                        shrink_do, jnp.where(ro, pr2, ac),
-                        CKR_R[pl.ds(r, 1)][0])[None]
-                    KQ[pl.ds(r, 1)] = jnp.where(
-                        shrink_do, CQ[pl.ds(r, 1)][0],
-                        KQ[pl.ds(r, 1)][0])[None]
-                    KR[pl.ds(r, 1)] = jnp.where(
-                        shrink_do, CR[pl.ds(r, 1)][0],
-                        KR[pl.ds(r, 1)][0])[None]
-                    return c
+                        @pl.when(r0 < nseg)
+                        def _(r0=r0):
+                            ad = ACT_D[pl.ds(r0, 1)][0]
+                            ac = ACT_C[pl.ds(r0, 1)][0]
+                            pd2 = PAS_D[pl.ds(r0, 1)][0]
+                            pr2 = PAS_R[pl.ds(r0, 1)][0]
+                            CKC_D[pl.ds(r0, 1)] = jnp.where(
+                                shrink_do, jnp.where(ro, ad, pd2),
+                                CKC_D[pl.ds(r0, 1)][0])[None]
+                            CKC_C[pl.ds(r0, 1)] = jnp.where(
+                                shrink_do, jnp.where(ro, ac, pr2),
+                                CKC_C[pl.ds(r0, 1)][0])[None]
+                            CKR_D[pl.ds(r0, 1)] = jnp.where(
+                                shrink_do, jnp.where(ro, pd2, ad),
+                                CKR_D[pl.ds(r0, 1)][0])[None]
+                            CKR_R[pl.ds(r0, 1)] = jnp.where(
+                                shrink_do, jnp.where(ro, pr2, ac),
+                                CKR_R[pl.ds(r0, 1)][0])[None]
+                            KQ[pl.ds(r0, 1)] = jnp.where(
+                                shrink_do, CQ[pl.ds(r0, 1)][0],
+                                KQ[pl.ds(r0, 1)][0])[None]
+                            KR[pl.ds(r0, 1)] = jnp.where(
+                                shrink_do, CR[pl.ds(r0, 1)][0],
+                                KR[pl.ds(r0, 1)][0])[None]
+                ydi = jnp.where(shrink_do, 0, ydi)
 
-                lax.fori_loop(0, nseg, ck_body, 0)
-            ydi = jnp.where(shrink_do, 0, ydi)
+                YITER[...] = jnp.where(rdone, ydi, YITER[...])
+                GNM[...] = jnp.where(rdone, gnm, GNM[...])
+                pdir_new = jnp.where(shrink_do, DIR_GD, dirn)
+                ST_PDIR[...] = jnp.where(rdone, pdir_new, ST_PDIR[...])
 
-            YITER[...] = jnp.where(rdone, ydi, YITER[...])
-            GNM[...] = jnp.where(rdone, gnm, GNM[...])
-            # prev_dir records the completed rect; a shrink forces Grow to
-            # kill the next rect's corner (reference: src/scan_block.rs:541)
-            pdir_new = jnp.where(shrink_do, DIR_GD, dirn)
-            ST_PDIR[...] = jnp.where(rdone, pdir_new, ST_PDIR[...])
+                # ---- direction choice (post-shrink borders) ----
+                free_ng = free & ~grow_trig
+                act8 = ACT_D[pl.ds(0, 1)][0, :STEP]
+                pas8 = PAS_D[pl.ds(0, 1)][0, :STEP]
+                dcol8 = jnp.where(right_or_end, act8, pas8)
+                drow8 = jnp.where(right_or_end, pas8, act8)
+                right_max = jnp.max(dcol8, axis=0, keepdims=True)
+                down_max = jnp.max(drow8, axis=0, keepdims=True)
+                godown = forced_down | (free_ng & (down_max > right_max))
+                goright = (forced_right | free_ng) & ~godown
+                ST_I[...] = jnp.where(godown, ST_I[...] + STEP, ST_I[...])
+                ST_J[...] = jnp.where(goright, ST_J[...] + STEP, ST_J[...])
+                choose = godown | goright
+                new_dir = jnp.where(godown, DIR_D, DIR_R)
+                ST_DIR[...] = jnp.where(choose, new_dir, ST_DIR[...])
+                new_right = new_dir != DIR_D
+                swap = choose & (right_or_end != new_right)
+                PH[...] = jnp.where(swap | gd_done, 0, PH[...])
+                PBSV[...] = jnp.where(bsave, 1, PBSV[...])
+                ro_i = right_or_end.astype(jnp.int32)
+                ro_eff = jnp.where(PH[...] == 1, ro_i, 1 - ro_i)
+                PBSEL[...] = jnp.where(bsave, ro_eff, PBSEL[...])
 
-            # ---- direction choice (post-shrink borders; reference:
-            # src/scan_block.rs:560-565) ----
-            free_ng = free & ~grow_trig
-            act8 = ACT_D[pl.ds(0, 1)][0, :STEP]
-            pas8 = PAS_D[pl.ds(0, 1)][0, :STEP]
-            dcol8 = jnp.where(right_or_end, act8, pas8)
-            drow8 = jnp.where(right_or_end, pas8, act8)
-            right_max = jnp.max(dcol8, axis=0, keepdims=True)
-            down_max = jnp.max(drow8, axis=0, keepdims=True)
-            godown = forced_down | (free_ng & (down_max > right_max))
-            goright = (forced_right | free_ng) & ~godown
-            ST_I[...] = jnp.where(godown, ST_I[...] + STEP, ST_I[...])
-            ST_J[...] = jnp.where(goright, ST_J[...] + STEP, ST_J[...])
-            choose = godown | goright
-            new_dir = jnp.where(godown, DIR_D, DIR_R)
-            ST_DIR[...] = jnp.where(choose, new_dir, ST_DIR[...])
-            new_right = new_dir != DIR_D
-            swap = choose & (right_or_end != new_right)
-            # pending physical exchanges, resolved by the next step's loads
-            PH[...] = jnp.where(swap | gd_done, 0, PH[...])
-            PBSV[...] = jnp.where(bsave, 1, PBSV[...])
-            # int32 throughout: Mosaic can't truncate an i8 select to i1
-            ro_i = right_or_end.astype(jnp.int32)
-            ro_eff = jnp.where(PH[...] == 1, ro_i, 1 - ro_i)
-            PBSEL[...] = jnp.where(bsave, ro_eff, PBSEL[...])
-
-            return (s_idx + 1, jnp.min(ST_DONE[...]))
+            s_next = jnp.where(is_last, s_idx + 1, s_idx)
+            seg_next = jnp.where(is_last, 0, seg + 1)
+            return (s_next, seg_next, jnp.min(ST_DONE[...]))
 
         def cond(carry):
-            s_idx, alldone = carry
-            return (s_idx < MAX_STEPS) & (alldone == 0)
+            s_idx, seg, alldone = carry
+            return (s_idx < MAX_STEPS) & ((alldone == 0) | (seg != 0))
 
-        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0),
+                                    jnp.int32(0)))
         rows = [OUT[...], 1 - ST_DONE[...]]
         score_ref[0] = jnp.concatenate(rows, axis=0)[None]
 
@@ -801,7 +781,9 @@ def build_big_engine(cfg: BigKernelConfig):
                 [pltpu.VMEM((2 * NCH, 128, P), jnp.int8)]  # CODES
                 + [pltpu.VMEM((R, SS, P), jnp.int32) for _ in range(12)]
                 + [pltpu.VMEM((1, P), jnp.int32) for _ in range(29)]
-                + [pltpu.VMEM((STEP, P), jnp.int32) for _ in range(2)]
+                # botD, botR, DCAR, TCAR, EC8
+                + [pltpu.VMEM((STEP, P), jnp.int32) for _ in range(5)]
+                + [pltpu.VMEM((max(NG, 1), STEP, P), jnp.int32)]  # NR8
                 + [pltpu.SemaphoreType.DMA]
             ),
             compiler_params=pltpu.CompilerParams(

@@ -55,9 +55,12 @@ def probe(tag, builder, cfg_cls, max_size, budget_s):
 
 def main():
     from block_aligner_tpu.ops.big_kernel import BigKernelConfig, build_big_engine
+    # "flat" = the production kernel (while_loop over (step, segment)
+    # pairs, no traced-bound inner loops); "static" = the full static
+    # segment unroll (r3 fallback hypothesis, loses cost-proportionality)
     cases = [
-        ("dyn", build_big_engine, BigKernelConfig, 1024, 900),
-        ("dyn", build_big_engine, BigKernelConfig, 2048, 1200),
+        ("flat", build_big_engine, BigKernelConfig, 1024, 900),
+        ("flat", build_big_engine, BigKernelConfig, 2048, 1200),
     ]
     try:
         from block_aligner_tpu.ops._big_static import (

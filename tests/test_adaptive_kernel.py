@@ -428,3 +428,75 @@ def test_adaptive_trace_with_mode_flags():
             w.score, w.query_idx, w.reference_idx), k
         assert str(tr.cigar(k, w.query_idx, w.reference_idx)) == str(
             orc.cigar(w.query_idx, w.reference_idx)), k
+
+
+def test_profile_mode_flags():
+    """ProfileAligner with LOCAL_START / free-gap flags on both kernel
+    paths (the reference's align_profile shares the same const generics,
+    src/scan_block.rs:942-995): scores (and traced CIGARs for
+    local_start) bit-match the oracle."""
+    from block_aligner_tpu import AAProfile, ProfileAligner
+
+    rng = np.random.default_rng(91)
+
+    def rand_profile(n):
+        prof = AAProfile(n, 2048, -1)
+        base = rng.integers(-4, 3, size=(n, 26))
+        cons = rand_seq(rng, n)
+        base[np.arange(n), np.frombuffer(cons, np.uint8) - 65] = (
+            rng.integers(4, 12, size=n))
+        prof.pos_scores[1 : n + 1, :26] = base
+        prof.gap_open_C[: n + 1] = rng.integers(-13, -8, size=n + 1)
+        prof.gap_close_C[: n + 1] = 0
+        prof.gap_open_R[: n + 1] = rng.integers(-13, -8, size=n + 1)
+        return prof, cons
+
+    pairs = []
+    for _ in range(6):
+        n = int(rng.integers(30, 80))
+        prof, cons = rand_profile(n)
+        q = rand_seq(rng, int(rng.integers(8, 25))) + cons[: n // 2]
+        pairs.append((q, prof))
+
+    for flags in ({"local_start": True}, {"free_query_start_gaps": True}):
+        for size in ((16, 64), (32, 32)):
+            pa = ProfileAligner(size, batch=128, seq_cap=200, **flags)
+            got = pa.align_batch(pairs)
+            orc = BlockOracle(**flags)
+            for k, (q, prof) in enumerate(pairs):
+                pq = PaddedBytes.from_bytes(q, size[1], prof)
+                orc.align_profile(pq, prof, size, 0)
+                assert got[k].score == orc.res().score, (size, flags, k)
+
+    # short queries against long profiles: free trailing query gaps
+    shortp = []
+    for _ in range(5):
+        n = int(rng.integers(40, 100))
+        prof, cons = rand_profile(n)
+        shortp.append((bytes(cons[: int(rng.integers(8, 25))]), prof))
+    for size in ((32, 128), (32, 32)):
+        pa = ProfileAligner(size, batch=128, seq_cap=200,
+                            free_query_end_gaps=True)
+        got = pa.align_batch(shortp)
+        orc = BlockOracle(free_query_end_gaps=True)
+        for k, (q, prof) in enumerate(shortp):
+            pq = PaddedBytes.from_bytes(q, size[1], prof)
+            orc.align_profile(pq, prof, size, 0)
+            w = orc.res()
+            assert (got[k].score, got[k].query_idx,
+                    got[k].reference_idx) == (
+                w.score, w.query_idx, w.reference_idx), (size, k)
+
+    # trace composition: adaptive profile local_start (2-word stream)
+    pa = ProfileAligner((16, 64), batch=128, seq_cap=200, trace=True,
+                        local_start=True)
+    assert pa._adaptive
+    got = pa.align_batch(pairs)
+    tr = pa.trace()
+    orc = BlockOracle(trace=True, local_start=True)
+    for k, (q, prof) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 64, prof)
+        orc.align_profile(pq, prof, (16, 64), 0)
+        assert got[k].score == orc.res().score, k
+        assert str(tr.cigar(k, len(q), prof.str_len)) == str(
+            orc.cigar(len(q), prof.str_len)), k
