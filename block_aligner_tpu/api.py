@@ -17,7 +17,7 @@ Three device backends sit underneath, picked automatically:
   all composable as in the reference's const generics (seq-seq AND
   profile);
 * the big-block kernel (ops/big_kernel.py) -- row-segmented adaptive
-  sizing for 512 < max_size <= 2048 (global, byte);
+  sizing for 512 < max_size <= 8192 (global, byte);
 * the general lockstep engine (ops/engine.py) -- the oracle-chain
   cross-check and the fallback for explicitly engine-routed runs
   (use_lane_kernel=False); falling onto it implicitly emits a
@@ -166,12 +166,12 @@ class BatchAligner:
             self._lane = False
             self.cfg = None
             return
-        # big-block adaptive sizing (512 < max <= 2048): the row-segmented
+        # big-block adaptive sizing (512 < max <= 8192): the row-segmented
         # kernel with code-keyed score fetch (reference band configs up to
         # (128, 1024) / (512, 8192), examples/nanopore_accuracy.rs:37-54)
         self._big = (
             lane_ok and min_size < max_size and 16 <= min_size
-            and 512 < max_size <= 2048 and not trace and x_drop is None
+            and 512 < max_size <= 8192 and not trace and x_drop is None
             and not local_start and not free_query_start_gaps
             and not free_query_end_gaps and use_lane_kernel is not False
         )
@@ -276,8 +276,8 @@ class BatchAligner:
             import warnings
 
             why = []
-            if max_size > 2048:
-                why.append("max block size > 2048")
+            if max_size > 8192:
+                why.append("max block size > 8192")
             elif min_size < max_size and (trace or x_drop is not None) \
                     and max_size > 512:
                 why.append("adaptive trace/x-drop above block 512")

@@ -1,7 +1,7 @@
 """Pallas TPU big-block adaptive kernel: reference-exact grow/shrink/
 checkpoint for block sizes past the resident-stack kernels (512 < max_size
-<= 2048 in the VMEM-resident phase), with per-step work proportional to the
-*current* adaptive block size.
+<= 8192), with per-step work proportional to the *current* adaptive block
+size.
 
 Why a third kernel: ``ops/adaptive_kernel.py`` keeps NG = alpha/4 packed
 score planes per DP position (3 stacks x NG words/cell) and computes every
@@ -13,10 +13,10 @@ experiments need (128, 1024) and (512, 8192) bands
 (examples/nanopore_accuracy.rs:37-54, nanopore_bench_global.rs:183), which
 previously fell back to the ~70 us/iteration XLA engine.
 
-Design (both re-derivations, not translations):
+Design (all re-derivations, not translations):
 
 * **Code-keyed score fetch.**  Instead of per-position packed score-plane
-  stacks, each side keeps one int32 *code* plane.  Per step, the 8 entering
+  stacks, each side keeps one *code* plane.  Per step, the 8 entering
   column codes are scored once on the MXU (one-hot x table, exactly the
   packing of ``score_new_rows`` in the lane kernels); per column the packed
   row broadcasts against the lane-code plane (NG-way select + byte extract,
@@ -27,19 +27,53 @@ Design (both re-derivations, not translations):
   cell drops 24x, which is what lets the block state grow past 512 rows.
 
 * **Row segmentation with carry chaining.**  Every block-sized plane is
-  (R, SS, P): R row segments of SS = 256 sublanes, pairs in lanes.  One
-  ``fori_loop`` per step walks only the segments the current (per-program
-  max) block size needs; the DP recurrence chains between segments through
-  two (8, P) carries per column -- the diagonal's last row and the prefix
-  scan's closing value (R[p] = max_q<=p(v[q] + e(p-q)) composes across a
-  segment boundary as max(t_local, t_prev_end + e(loc+1))).
+  (R, SS, P): R row segments of SS sublanes, pairs in lanes.  The flat
+  (step, segment) while_loop walks only the segments the current
+  (per-program max) block size needs; the DP recurrence chains between
+  segments through two (8, P) carries per column -- the diagonal's last
+  row and the prefix scan's closing value (R[p] = max_q<=p(v[q] + e(p-q))
+  composes across a segment boundary as max(t_local, t_prev_end +
+  e(loc+1))).
+
+* **Packed resident planes.**  The reference's own block state is i16
+  SIMD vectors (src/avx2.rs), so two DP values pack one i32 word losslessly:
+  ``ACT`` holds the active column (D | C << 16), ``PAS`` the passive border
+  (D | R << 16), and ``CC`` all four code planes (CQ | CR<<8 | KQ<<16 |
+  KR<<24, codes < 32).  Three resident planes instead of twelve is what
+  lets max_size reach 8192 in ~12.6 MiB of VMEM.
+
+* **HBM-resident checkpoints.**  The grow-restore checkpoint pair
+  (CKC = column-orientation save, CKR = row-orientation save, both packed)
+  lives in HBM scratch.  Saves and restores are per-lane masked blends, so
+  on steps where any lane has a pending save/restore the walked segment is
+  DMA-staged through VMEM ((SS, P) in, blend, out); steps without pending
+  checkpoint events skip the DMA entirely.  The planes are zeroed per
+  program so a restore-before-first-save reads the same zeros the resident
+  zero-init used to provide.
 
 * **Deferred plane operations.**  Orientation swaps, checkpoint restores,
-  and checkpoint saves are not separate full-plane passes: post_step only
-  records pending flags (PH physical-orientation bit, PRST, PBSV/PBSEL),
-  and the next step's segment loop resolves them while it loads each
-  segment (the values it would read anyway).  Only the rare shrink keeps a
-  gated plane pass of its own.
+  checkpoint saves, the grow-window border write, and the shrink suffix
+  shift are all *pending flags* resolved by the next step's segment walk
+  while it loads each segment (values it would read anyway):
+
+  - swap: PH physical-orientation bit (load-time select);
+  - ckpt save/restore: PBSV/PBSEL/PRST -> the staged HBM blend above
+    (a shrink's checkpoint snapshot rides the same PBSV path -- PBSEL is
+    set post-PH-update, so the next step's physical resolution lands on
+    the logical orientation either way);
+  - grow window: GWROW + (GWD, GWR) hold the rect's bottom border; the
+    next walk splices it into PAS at the window rows (the window start is
+    a multiple of 8, so the 8-row tile trick addresses it in local and in
+    shifted source coordinates alike);
+  - shrink: SHV holds the per-lane shift (sz/2); the next walk's first
+    action shifts plane segment r in place from source rows r*SS + SHV
+    (sources sit at larger indices, still unshifted in ascending walk
+    order), and the 8-row next-segment slivers apply the same shift to
+    their static slices.
+
+  Removing the statically-unrolled R x HALF_SIZES shrink/grow plane sweeps
+  is what keeps the Mosaic unrolled-body size (and compile time) flat as R
+  grows to 32.
 
 Semantics are bit-identical to ``ops/adaptive_kernel.py`` / the scalar
 oracle (core/oracle.py): same phase machine (GROW_D/GROW_R halves, 8-column
@@ -69,6 +103,7 @@ __all__ = ["BigKernelConfig", "build_big_engine", "pack_big",
 
 P = 128
 NEG32 = I16_MIN
+I16_MAX = 32767
 
 DIR_R = 0
 DIR_D = 1
@@ -78,21 +113,22 @@ DIR_GR = 3
 SHRINK_SUFFIX_LEN = STEP // 4  # reference: src/scan_block.rs:786
 
 
-def big_vmem_bytes(max_size: int, seq_cap: int) -> int:
+def big_vmem_bytes(max_size: int, seq_cap: int, seg: int = 256) -> int:
     """VMEM scratch footprint of one big-kernel program (matches the
     scratch_shapes in ``build_big_engine``)."""
     S = max_size
     codes = 2 * seq_cap * P
-    planes = 12 * S * P * 4  # 8 borders + 4 code planes/ckpts
-    small = 40 * P * 4 + 4 * STEP * P * 4
-    return codes + planes + small
+    planes = 3 * S * P * 4  # packed ACT / PAS / CC
+    stage = 2 * seg * P * 4  # ckpt DMA staging
+    small = 42 * P * 4 + 8 * STEP * P * 4
+    return codes + planes + stage + small
 
 
 @dataclasses.dataclass(frozen=True)
 class BigKernelConfig:
     batch: int
     min_size: int  # starting block size (pow2 >= 16)
-    max_size: int  # block-size cap (pow2, 128..2048 resident)
+    max_size: int  # block-size cap (pow2, 128..8192)
     seq_cap: int  # padded sequence capacity, multiple of 128
     alpha: int = 32  # score-table rows (32 AA, 16 Nuc, 4 byte)
     seg: int = 256  # row-segment sublane extent (128 or 256)
@@ -102,7 +138,7 @@ class BigKernelConfig:
 
     def __post_init__(self):
         S, m = self.max_size, self.min_size
-        assert S & (S - 1) == 0 and 128 <= S <= 4096
+        assert S & (S - 1) == 0 and 128 <= S <= 8192
         assert m & (m - 1) == 0 and 16 <= m <= S
         assert self.seg in (128, 256) and self.seg <= S
         assert self.seq_cap % 128 == 0 and self.seq_cap >= 256
@@ -143,7 +179,21 @@ class BigKernelConfig:
 
     @property
     def vmem_bytes(self) -> int:
-        return big_vmem_bytes(self.max_size, self.seq_cap)
+        return big_vmem_bytes(self.max_size, self.seq_cap, self.seg)
+
+
+def _lo16(w):
+    return (w << 16) >> 16
+
+
+def _hi16(w):
+    return w >> 16
+
+
+def _pack2(lo, hi):
+    lo = jnp.clip(lo, I16_MIN, I16_MAX)
+    hi = jnp.clip(hi, I16_MIN, I16_MAX)
+    return (lo & 0xFFFF) | (hi << 16)
 
 
 # The while_loop iterates over (step, segment) PAIRS -- one row segment of
@@ -152,9 +202,9 @@ class BigKernelConfig:
 # exceeded 30 min even at small shapes (r3), while loop-free bodies of
 # this size compile in minutes (ops/adaptive_kernel.py).  Per-step cost
 # still tracks the CURRENT adaptive block size (the segment index wraps at
-# the per-program max nseg).  The rare whole-plane passes (grow window,
-# shrink shifts, shrink ckpt) run in the last-segment iteration as
-# statically unrolled sweeps guarded by @pl.when(r < nseg & any(mask)).
+# the per-program max nseg).  Whole-plane passes do not exist: shrink,
+# grow-window, swap, and checkpoint traffic are deferred flags resolved at
+# the next walk's segment loads (module docstring).
 def build_big_engine(cfg: BigKernelConfig):
     S = cfg.max_size
     A = cfg.alpha
@@ -173,15 +223,15 @@ def build_big_engine(cfg: BigKernelConfig):
 
     def kernel(qlen_ref, rlen_ref, M_ref, codes_hbm, gap_ref, score_ref,
                *scr):
-        (CODES, ACT_D, ACT_C, PAS_D, PAS_R, CKC_D, CKC_C, CKR_D, CKR_R,
-         CQ, CR, KQ, KR) = scr[:13]
-        scr = scr[13:]
+        (CODES, ACT, PAS, CC) = scr[:4]
+        scr = scr[4:]
         (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DIR, ST_PDIR, ST_DONE,
          CORN, CVEC, OUT, SZ, PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
          GNM, CURMAX, SUF, VAL, PH, PBSV, PBSEL, PRST,
-         FRA, FRT, FRIDX) = scr[:29]
-        scr = scr[29:]
-        (botD, botR, DCAR, TCAR, EC8, NR8, sem) = scr
+         FRA, FRT, FRIDX, SHV, GWROW) = scr[:31]
+        scr = scr[31:]
+        (botD, botR, DCAR, TCAR, EC8, GWD, GWR, NR8, SBC, SBR,
+         CKC_H, CKR_H, sem, semc, semr) = scr
 
         prog = pl.program_id(0)
         open_ = gap_ref[0, 0]
@@ -205,12 +255,11 @@ def build_big_engine(cfg: BigKernelConfig):
 
         # ---- init: reference start state (src/scan_block.rs:291-317) ----
         for r0 in range(R):
-            for ref in (ACT_D, ACT_C, PAS_D, PAS_R,
-                        CKC_D, CKC_C, CKR_D, CKR_R):
-                ref[pl.ds(r0, 1)] = zSS[None]
+            ACT[pl.ds(r0, 1)] = zSS[None]
+            PAS[pl.ds(r0, 1)] = zSS[None]
         for ref in (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DONE, OUT,
                     PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
-                    PBSV, PBSEL, PRST, FRA, FRT, FRIDX):
+                    PBSV, PBSEL, PRST, FRA, FRT, FRIDX, SHV):
             ref[...] = z1
         SZ[...] = z1 + MIN
         GNM[...] = z1 + 1  # the initial rect is a grow
@@ -220,22 +269,36 @@ def build_big_engine(cfg: BigKernelConfig):
         CVEC[...] = neg1
         CURMAX[...] = neg1
         PH[...] = z1 + 1
+        GWROW[...] = z1 - 1
+        # zero the HBM checkpoint planes: a restore before the first save
+        # must read the same zeros the resident zero-init provided
+        SBC[...] = zSS
+        SBR[...] = zSS
+        for r0 in range(R):
+            dc = pltpu.make_async_copy(SBC, CKC_H.at[r0], semc)
+            dr = pltpu.make_async_copy(SBR, CKR_H.at[r0], semr)
+            dc.start()
+            dr.start()
+            dc.wait()
+            dr.wait()
         dma.wait()
 
         # initial code planes: positions 0..S of each side, straight from
-        # the chunked code block (no host-side duplicate transfer)
+        # the chunked code block (no host-side duplicate transfer);
+        # checkpoint code bytes (bits 16..31) start zero
         for r0 in range(R):
-            CQ[pl.ds(r0, 1)] = jnp.concatenate(
+            icq = jnp.concatenate(
                 [CODES[r0 * SPC + c].astype(jnp.int32) for c in range(SPC)],
                 axis=0,
-            )[None]
-            CR[pl.ds(r0, 1)] = jnp.concatenate(
+            )
+            icr = jnp.concatenate(
                 [CODES[NCH + r0 * SPC + c].astype(jnp.int32)
                  for c in range(SPC)],
                 axis=0,
-            )[None]
-            KQ[pl.ds(r0, 1)] = zSS[None]
-            KR[pl.ds(r0, 1)] = zSS[None]
+            )
+            # byte-mode codes reach 255 and sign-extend out of the i8
+            # block -- mask to unsigned before packing
+            CC[pl.ds(r0, 1)] = ((icq & 255) | ((icr & 255) << 8))[None]
 
         Mb = None if cfg.byte_mode else M_ref[...].astype(jnp.bfloat16)
 
@@ -251,7 +314,9 @@ def build_big_engine(cfg: BigKernelConfig):
             for v in range(128 // STEP):
                 out = jnp.where(lo == v * STEP,
                                 acc[v * STEP : v * STEP + STEP], out)
-            return out
+            # unsigned codes: the packed CC planes hold 8-bit fields, so
+            # byte-mode codes >= 128 must not arrive sign-extended
+            return out & 255
 
         def score_rows(ec):
             """(NG, 8, P) packed score rows for the 8 entering column
@@ -376,6 +441,7 @@ def build_big_engine(cfg: BigKernelConfig):
             sel = PBSEL[...] == 1
             prst = PRST[...] == 1
             any_pb = jnp.any(pb)
+            any_prst = jnp.any(prst)
 
             # ================= one row segment of this step =============
             r = seg
@@ -384,44 +450,88 @@ def build_big_engine(cfg: BigKernelConfig):
             rn = jnp.minimum(r + 1, R - 1)
             row_g = r * SS + rows_l
 
-            aD = ACT_D[pl.ds(r, 1)][0]
-            aC = ACT_C[pl.ds(r, 1)][0]
-            pD = PAS_D[pl.ds(r, 1)][0]
-            pR = PAS_R[pl.ds(r, 1)][0]
+            shv = SHV[...]
+            pshr = shv > 0
+
+            # ---- deferred shrink: shift segment r in place from source
+            # rows r*SS + shv (ascending walk order leaves the sources,
+            # which sit at larger indices, unshifted until their turn) ----
+            @pl.when(jnp.any(pshr))
+            def _():
+                for v in HALF_SIZES:
+                    vm = shv == v
+
+                    @pl.when(jnp.any(vm))
+                    def _(v=v, vm=vm):
+                        sseg, cut = v // SS, v % SS
+                        s1 = jnp.minimum(r + sseg, R - 1)
+                        s2 = jnp.minimum(r + sseg + 1, R - 1)
+                        for ref in (ACT, PAS, CC):
+                            a = ref[pl.ds(s1, 1)][0]
+                            if cut:
+                                b = ref[pl.ds(s2, 1)][0, :cut]
+                                a = jnp.concatenate([a[cut:], b], axis=0)
+                            ref[pl.ds(r, 1)] = jnp.where(
+                                vm, a, ref[pl.ds(r, 1)][0])[None]
+
+            # ---- loads (packed) ----
+            actw = ACT[pl.ds(r, 1)][0]
+            pasw = PAS[pl.ds(r, 1)][0]
+            ccw = CC[pl.ds(r, 1)][0]
+            aD, aC = _lo16(actw), _hi16(actw)
+            pD, pR = _lo16(pasw), _hi16(pasw)
+            cq = ccw & 255
+            cr = (ccw >> 8) & 255
+            kq = (ccw >> 16) & 255
+            kr = (ccw >> 24) & 255
+
+            # ---- deferred grow window: splice the pending rect-bottom
+            # border into PAS at the window rows.  The mask runs in source
+            # coordinates (pre-shrink-shift rows); the window start and
+            # shift are both multiples of 8, so the 8-row tile addresses
+            # the window in local coordinates either way. ----
+            gwrow = GWROW[...]
+            rows_src = row_g + jnp.where(pshr, shv, 0)
+            gwm = (gwrow >= 0) & (rows_src >= gwrow) & (
+                rows_src < gwrow + STEP)
+            pD = jnp.where(gwm, jnp.tile(GWD[...], (SS // STEP, 1)), pD)
+            pR = jnp.where(gwm, jnp.tile(GWR[...], (SS // STEP, 1)), pR)
+
+            # ---- deferred swap (physical-orientation resolution) ----
             Dld = jnp.where(ph, aD, pD)
             Cld = jnp.where(ph, aC, pR)
             Pdld = jnp.where(ph, pD, aD)
             Prld = jnp.where(ph, pR, aC)
-            cq = CQ[pl.ds(r, 1)][0]
-            cr = CR[pl.ds(r, 1)][0]
 
-            ckc_d = CKC_D[pl.ds(r, 1)][0]
-            ckc_c = CKC_C[pl.ds(r, 1)][0]
-            ckr_d = CKR_D[pl.ds(r, 1)][0]
-            ckr_r = CKR_R[pl.ds(r, 1)][0]
-            kq = KQ[pl.ds(r, 1)][0]
-            kr = KR[pl.ds(r, 1)][0]
+            # ---- deferred ckpt save/restore via the HBM stage ----
+            @pl.when(any_pb | any_prst)
+            def _():
+                dc = pltpu.make_async_copy(CKC_H.at[r], SBC, semc)
+                dr = pltpu.make_async_copy(CKR_H.at[r], SBR, semr)
+                dc.start()
+                dr.start()
+                dc.wait()
+                dr.wait()
+
+            ckcw = SBC[...]
+            ckrw = SBR[...]
+            ckc_d = jnp.where(pb, jnp.where(sel, Dld, Pdld), _lo16(ckcw))
+            ckc_c = jnp.where(pb, jnp.where(sel, Cld, Prld), _hi16(ckcw))
+            ckr_d = jnp.where(pb, jnp.where(sel, Pdld, Dld), _lo16(ckrw))
+            ckr_r = jnp.where(pb, jnp.where(sel, Prld, Cld), _hi16(ckrw))
+            kq = jnp.where(pb, cq, kq)
+            kr = jnp.where(pb, cr, kr)
 
             @pl.when(any_pb)
             def _():
-                # deferred ckpt save: end-of-previous-step values
-                CKC_D[pl.ds(r, 1)] = jnp.where(
-                    pb, jnp.where(sel, Dld, Pdld), ckc_d)[None]
-                CKC_C[pl.ds(r, 1)] = jnp.where(
-                    pb, jnp.where(sel, Cld, Prld), ckc_c)[None]
-                CKR_D[pl.ds(r, 1)] = jnp.where(
-                    pb, jnp.where(sel, Pdld, Dld), ckr_d)[None]
-                CKR_R[pl.ds(r, 1)] = jnp.where(
-                    pb, jnp.where(sel, Prld, Cld), ckr_r)[None]
-                KQ[pl.ds(r, 1)] = jnp.where(pb, cq, kq)[None]
-                KR[pl.ds(r, 1)] = jnp.where(pb, cr, kr)[None]
-
-            ckc_d = jnp.where(pb, jnp.where(sel, Dld, Pdld), ckc_d)
-            ckc_c = jnp.where(pb, jnp.where(sel, Cld, Prld), ckc_c)
-            ckr_d = jnp.where(pb, jnp.where(sel, Pdld, Dld), ckr_d)
-            ckr_r = jnp.where(pb, jnp.where(sel, Prld, Cld), ckr_r)
-            kq = jnp.where(pb, cq, kq)
-            kr = jnp.where(pb, cr, kr)
+                SBC[...] = _pack2(ckc_d, ckc_c)
+                SBR[...] = _pack2(ckr_d, ckr_r)
+                dc = pltpu.make_async_copy(SBC, CKC_H.at[r], semc)
+                dr = pltpu.make_async_copy(SBR, CKR_H.at[r], semr)
+                dc.start()
+                dr.start()
+                dc.wait()
+                dr.wait()
 
             # deferred grow restore
             D0 = jnp.where(prst, ckr_d, Dld)
@@ -435,11 +545,35 @@ def build_big_engine(cfg: BigKernelConfig):
             D0 = jnp.maximum(D0 + oa, NEG32)
             C0 = jnp.maximum(C0 + oa, NEG32)
 
+            # ---- next-segment 8-row slivers (shrink-shift + grow-window
+            # applied to their static slices: segment rn is still raw at
+            # this iteration) ----
+            ccn = CC[pl.ds(rn, 1)][0, :STEP]
+            actn = ACT[pl.ds(rn, 1)][0, :STEP]
+            pasn = PAS[pl.ds(rn, 1)][0, :STEP]
+            for v in HALF_SIZES:
+                vm = shv == v
+                sseg, cut = v // SS, v % SS
+                s1 = jnp.minimum(rn + sseg, R - 1)
+                ccn_v = CC[pl.ds(s1, 1)][0, cut:cut + STEP]
+                actn_v = ACT[pl.ds(s1, 1)][0, cut:cut + STEP]
+                pasn_v = PAS[pl.ds(s1, 1)][0, cut:cut + STEP]
+                ccn = jnp.where(vm, ccn_v, ccn)
+                actn = jnp.where(vm, actn_v, actn)
+                pasn = jnp.where(vm, pasn_v, pasn)
+            rows_n = (rn * SS) + jax.lax.broadcasted_iota(
+                jnp.int32, (STEP, P), 0)
+            rows_n_src = rows_n + jnp.where(pshr, shv, 0)
+            gwm_n = (gwrow >= 0) & (rows_n_src >= gwrow) & (
+                rows_n_src < gwrow + STEP)
+            pdn_p = jnp.where(gwm_n, GWD[...], _lo16(pasn))
+            prn_p = jnp.where(gwm_n, GWR[...], _hi16(pasn))
+            cqn = ccn & 255
+            crn = (ccn >> 8) & 255
+
             # code-plane advance
             winp = (row_g >= sz - STEP) & (row_g < sz)
             wina = (row_g >= psz + cpos) & (row_g < psz + cpos + STEP)
-            cqn = CQ[pl.ds(rn, 1)][0, :STEP]
-            crn = CR[pl.ds(rn, 1)][0, :STEP]
             cq_sh = jnp.concatenate([cq0[STEP:], cqn], axis=0)
             cr_sh = jnp.concatenate([cr0[STEP:], crn], axis=0)
             cq1 = jnp.where(
@@ -448,8 +582,8 @@ def build_big_engine(cfg: BigKernelConfig):
             cr1 = jnp.where(
                 r_shift, jnp.where(winp, ec_t, cr_sh),
                 jnp.where(r_app & wina, ec_t, cr0))
-            CQ[pl.ds(r, 1)] = cq1[None]
-            CR[pl.ds(r, 1)] = cr1[None]
+            CC[pl.ds(r, 1)] = (
+                cq1 | (cr1 << 8) | (kq << 16) | (kr << 24))[None]
 
             # -- 8 DP columns on this segment --
             lc = jnp.where(right_or, cq1, cr1)
@@ -518,8 +652,7 @@ def build_big_engine(cfg: BigKernelConfig):
                                 axis=0, keepdims=True))
                 Dc = D11
                 Cc = C11
-            ACT_D[pl.ds(r, 1)] = Dc[None]
-            ACT_C[pl.ds(r, 1)] = Cc[None]
+            ACT[pl.ds(r, 1)] = _pack2(Dc, Cc)[None]
             CURMAX[...] = jnp.maximum(
                 CURMAX[...],
                 jnp.max(jnp.where(row_g < h, Dacc, NEG32), axis=0,
@@ -530,12 +663,10 @@ def build_big_engine(cfg: BigKernelConfig):
             pr_reb = jnp.maximum(Pr0 + oa, NEG32)
             CORN[...] = jnp.where(
                 (r == 0) & sdone, pd_reb[STEP - 1 : STEP], CORN[...])
-            pdn_a = ACT_D[pl.ds(rn, 1)][0, :STEP]
-            pdn_p = PAS_D[pl.ds(rn, 1)][0, :STEP]
-            prn_a = ACT_C[pl.ds(rn, 1)][0, :STEP]
-            prn_p = PAS_R[pl.ds(rn, 1)][0, :STEP]
-            pdn = jnp.maximum(jnp.where(ph, pdn_p, pdn_a) + oa, NEG32)
-            prn = jnp.maximum(jnp.where(ph, prn_p, prn_a) + oa, NEG32)
+            pdn = jnp.maximum(
+                jnp.where(ph, pdn_p, _lo16(actn)) + oa, NEG32)
+            prn = jnp.maximum(
+                jnp.where(ph, prn_p, _hi16(actn)) + oa, NEG32)
             tmD = jnp.tile(botD[...], (SS // STEP, 1))
             tmR = jnp.tile(botR[...], (SS // STEP, 1))
             pd1 = jnp.where(
@@ -544,8 +675,7 @@ def build_big_engine(cfg: BigKernelConfig):
                 winp, tmR, jnp.concatenate([pr_reb[STEP:], prn], axis=0))
             Pd_out = jnp.where(sdone, pd1, Pd0)
             Pr_out = jnp.where(sdone, pr1, Pr0)
-            PAS_D[pl.ds(r, 1)] = Pd_out[None]
-            PAS_R[pl.ds(r, 1)] = Pr_out[None]
+            PAS[pl.ds(r, 1)] = _pack2(Pd_out, Pr_out)[None]
 
             sufw = (row_g >= sz - SHRINK_SUFFIX_LEN) & (row_g < sz)
             SUF[...] = jnp.maximum(
@@ -564,26 +694,19 @@ def build_big_engine(cfg: BigKernelConfig):
                 PH[...] = z1 + 1
                 PBSV[...] = z1
                 PRST[...] = z1
+                SHV[...] = z1
+                GWROW[...] = z1 - 1
 
                 gact = grow & act
 
                 @pl.when(jnp.any(gact))
                 def _():
                     # grow halves write the passive border at rows
-                    # [psz+cpos, +8); botD is final only now
-                    gmD = jnp.tile(botD[...], (SS // STEP, 1))
-                    gmR = jnp.tile(botR[...], (SS // STEP, 1))
-                    for r0 in range(R):
-                        rg0 = r0 * SS + rows_l
-                        gm = gact & (rg0 >= psz + cpos) & (
-                            rg0 < psz + cpos + STEP)
-
-                        @pl.when((r0 < nseg) & jnp.any(gm))
-                        def _(r0=r0, gm=gm):
-                            PAS_D[pl.ds(r0, 1)] = jnp.where(
-                                gm, gmD, PAS_D[pl.ds(r0, 1)][0])[None]
-                            PAS_R[pl.ds(r0, 1)] = jnp.where(
-                                gm, gmR, PAS_R[pl.ds(r0, 1)][0])[None]
+                    # [psz+cpos, +8); botD is final only now -- pend it
+                    # for the next walk's loads
+                    GWD[...] = botD[...]
+                    GWR[...] = botR[...]
+                    GWROW[...] = jnp.where(gact, psz + cpos, GWROW[...])
                     wi = jax.lax.broadcasted_iota(jnp.int32, (STEP, P), 0)
                     gm2 = gact & (
                         psz + cpos + wi >= sz - SHRINK_SUFFIX_LEN
@@ -645,72 +768,22 @@ def build_big_engine(cfg: BigKernelConfig):
                 ST_DIR[...] = jnp.where(grow_trig, DIR_GD, ST_DIR[...])
                 ydi = jnp.where(grow_trig, 0, ydi)
 
-                # ---- shrink ----
+                # ---- shrink: pend the suffix shift (applied by the next
+                # walk's in-place segment loads); the post-shrink ckpt
+                # snapshot rides the deferred-save path below ----
                 canshrink = free & ~grow_trig & (SZ[...] > MIN) & (ydi == 0)
                 shrink_do = canshrink & (SUF[...] >= cur_max)
-
-                @pl.when(jnp.any(shrink_do))
-                def _():
-                    sz2 = SZ[...]
-                    for v in HALF_SIZES:
-                        vm = shrink_do & (sz2 // 2 == v)
-
-                        @pl.when(jnp.any(vm))
-                        def _(v=v, vm=vm):
-                            sseg = v // SS
-                            cut = v % SS
-                            for r0 in range(R):
-                                s1 = min(r0 + sseg, R - 1)
-                                s2 = min(r0 + sseg + 1, R - 1)
-
-                                @pl.when(r0 < nseg)
-                                def _(r0=r0, s1=s1, s2=s2, vm=vm, cut=cut):
-                                    for ref in (ACT_D, ACT_C, PAS_D, PAS_R,
-                                                CQ, CR):
-                                        a = ref[pl.ds(s1, 1)][0]
-                                        if cut:
-                                            b = ref[pl.ds(s2, 1)][0, :cut]
-                                            a = jnp.concatenate(
-                                                [a[cut:], b], axis=0)
-                                        ref[pl.ds(r0, 1)] = jnp.where(
-                                            vm, a, ref[pl.ds(r0, 1)][0]
-                                        )[None]
-                    SZ[...] = jnp.where(shrink_do, sz2 // 2, SZ[...])
-                    ST_I[...] = jnp.where(shrink_do, ST_I[...] + sz2 // 2,
-                                          ST_I[...])
-                    ST_J[...] = jnp.where(shrink_do, ST_J[...] + sz2 // 2,
-                                          ST_J[...])
-                    CK_I[...] = jnp.where(shrink_do, ST_I[...], CK_I[...])
-                    CK_J[...] = jnp.where(shrink_do, ST_J[...], CK_J[...])
-                    CK_OFF[...] = jnp.where(shrink_do, ST_OFF[...],
-                                            CK_OFF[...])
-                    ro = right_or_end
-                    for r0 in range(R):
-
-                        @pl.when(r0 < nseg)
-                        def _(r0=r0):
-                            ad = ACT_D[pl.ds(r0, 1)][0]
-                            ac = ACT_C[pl.ds(r0, 1)][0]
-                            pd2 = PAS_D[pl.ds(r0, 1)][0]
-                            pr2 = PAS_R[pl.ds(r0, 1)][0]
-                            CKC_D[pl.ds(r0, 1)] = jnp.where(
-                                shrink_do, jnp.where(ro, ad, pd2),
-                                CKC_D[pl.ds(r0, 1)][0])[None]
-                            CKC_C[pl.ds(r0, 1)] = jnp.where(
-                                shrink_do, jnp.where(ro, ac, pr2),
-                                CKC_C[pl.ds(r0, 1)][0])[None]
-                            CKR_D[pl.ds(r0, 1)] = jnp.where(
-                                shrink_do, jnp.where(ro, pd2, ad),
-                                CKR_D[pl.ds(r0, 1)][0])[None]
-                            CKR_R[pl.ds(r0, 1)] = jnp.where(
-                                shrink_do, jnp.where(ro, pr2, ac),
-                                CKR_R[pl.ds(r0, 1)][0])[None]
-                            KQ[pl.ds(r0, 1)] = jnp.where(
-                                shrink_do, CQ[pl.ds(r0, 1)][0],
-                                KQ[pl.ds(r0, 1)][0])[None]
-                            KR[pl.ds(r0, 1)] = jnp.where(
-                                shrink_do, CR[pl.ds(r0, 1)][0],
-                                KR[pl.ds(r0, 1)][0])[None]
+                sz2 = SZ[...]
+                SHV[...] = jnp.where(shrink_do, sz2 // 2, SHV[...])
+                SZ[...] = jnp.where(shrink_do, sz2 // 2, SZ[...])
+                ST_I[...] = jnp.where(shrink_do, ST_I[...] + sz2 // 2,
+                                      ST_I[...])
+                ST_J[...] = jnp.where(shrink_do, ST_J[...] + sz2 // 2,
+                                      ST_J[...])
+                CK_I[...] = jnp.where(shrink_do, ST_I[...], CK_I[...])
+                CK_J[...] = jnp.where(shrink_do, ST_J[...], CK_J[...])
+                CK_OFF[...] = jnp.where(shrink_do, ST_OFF[...],
+                                        CK_OFF[...])
                 ydi = jnp.where(shrink_do, 0, ydi)
 
                 YITER[...] = jnp.where(rdone, ydi, YITER[...])
@@ -718,12 +791,23 @@ def build_big_engine(cfg: BigKernelConfig):
                 pdir_new = jnp.where(shrink_do, DIR_GD, dirn)
                 ST_PDIR[...] = jnp.where(rdone, pdir_new, ST_PDIR[...])
 
-                # ---- direction choice (post-shrink borders) ----
+                # ---- direction choice (post-shrink borders: shrink lanes
+                # read the pre-shift rows [shv, shv+8), which never overlap
+                # a pending grow window for sz >= 32) ----
                 free_ng = free & ~grow_trig
-                act8 = ACT_D[pl.ds(0, 1)][0, :STEP]
-                pas8 = PAS_D[pl.ds(0, 1)][0, :STEP]
-                dcol8 = jnp.where(right_or_end, act8, pas8)
-                drow8 = jnp.where(right_or_end, pas8, act8)
+                shv2 = SHV[...]
+                act8 = ACT[pl.ds(0, 1)][0, :STEP]
+                pas8 = PAS[pl.ds(0, 1)][0, :STEP]
+                for v in HALF_SIZES:
+                    vm = shv2 == v
+                    sseg, cut = v // SS, v % SS
+                    s1 = min(sseg, R - 1)
+                    a8v = ACT[pl.ds(s1, 1)][0, cut:cut + STEP]
+                    p8v = PAS[pl.ds(s1, 1)][0, cut:cut + STEP]
+                    act8 = jnp.where(vm, a8v, act8)
+                    pas8 = jnp.where(vm, p8v, pas8)
+                dcol8 = jnp.where(right_or_end, _lo16(act8), _lo16(pas8))
+                drow8 = jnp.where(right_or_end, _lo16(pas8), _lo16(act8))
                 right_max = jnp.max(dcol8, axis=0, keepdims=True)
                 down_max = jnp.max(drow8, axis=0, keepdims=True)
                 godown = forced_down | (free_ng & (down_max > right_max))
@@ -736,10 +820,11 @@ def build_big_engine(cfg: BigKernelConfig):
                 new_right = new_dir != DIR_D
                 swap = choose & (right_or_end != new_right)
                 PH[...] = jnp.where(swap | gd_done, 0, PH[...])
-                PBSV[...] = jnp.where(bsave, 1, PBSV[...])
+                bsave2 = bsave | shrink_do
+                PBSV[...] = jnp.where(bsave2, 1, PBSV[...])
                 ro_i = right_or_end.astype(jnp.int32)
                 ro_eff = jnp.where(PH[...] == 1, ro_i, 1 - ro_i)
-                PBSEL[...] = jnp.where(bsave, ro_eff, PBSEL[...])
+                PBSEL[...] = jnp.where(bsave2, ro_eff, PBSEL[...])
 
             s_next = jnp.where(is_last, s_idx + 1, s_idx)
             seg_next = jnp.where(is_last, 0, seg + 1)
@@ -779,12 +864,17 @@ def build_big_engine(cfg: BigKernelConfig):
             out_shape=out_shape,
             scratch_shapes=(
                 [pltpu.VMEM((2 * NCH, 128, P), jnp.int8)]  # CODES
-                + [pltpu.VMEM((R, SS, P), jnp.int32) for _ in range(12)]
-                + [pltpu.VMEM((1, P), jnp.int32) for _ in range(29)]
-                # botD, botR, DCAR, TCAR, EC8
-                + [pltpu.VMEM((STEP, P), jnp.int32) for _ in range(5)]
+                + [pltpu.VMEM((R, SS, P), jnp.int32)
+                   for _ in range(3)]  # ACT / PAS / CC (packed)
+                + [pltpu.VMEM((1, P), jnp.int32) for _ in range(31)]
+                # botD, botR, DCAR, TCAR, EC8, GWD, GWR
+                + [pltpu.VMEM((STEP, P), jnp.int32) for _ in range(7)]
                 + [pltpu.VMEM((max(NG, 1), STEP, P), jnp.int32)]  # NR8
-                + [pltpu.SemaphoreType.DMA]
+                + [pltpu.VMEM((SS, P), jnp.int32)
+                   for _ in range(2)]  # SBC / SBR ckpt stage
+                + [pltpu.HBM((R, SS, P), jnp.int32)
+                   for _ in range(2)]  # CKC_H / CKR_H
+                + [pltpu.SemaphoreType.DMA for _ in range(3)]
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,

@@ -1,10 +1,11 @@
 """Big-kernel Mosaic compile-time probe (run on the real TPU).
 
-r3 finding: build_big_engine's first TPU compile exceeded 30 min at
-(min=32, max=1024).  This script times the compile of each variant at
-increasing sizes under a per-case timeout, so the fix hypothesis
-(_big_static: statically unrolled segment loops) can be accepted or
-rejected with data.  Run:  timeout 7200 python scripts_tpu/big_compile_probe.py
+r3 finding: the first big-kernel form (nested traced-bound fori_loops)
+exceeded 30 min of Mosaic compile at (min=32, max=1024).  The production
+kernel is now a flat (step, segment) while_loop with packed planes, HBM
+checkpoints, and deferred plane ops (no statically-unrolled R-sweeps);
+this script times its compile at increasing sizes under per-case
+timeouts.  Run:  timeout 7200 python scripts_tpu/big_compile_probe.py
 """
 import sys
 import time
@@ -56,21 +57,13 @@ def probe(tag, builder, cfg_cls, max_size, budget_s):
 def main():
     from block_aligner_tpu.ops.big_kernel import BigKernelConfig, build_big_engine
     # "flat" = the production kernel (while_loop over (step, segment)
-    # pairs, no traced-bound inner loops); "static" = the full static
-    # segment unroll (r3 fallback hypothesis, loses cost-proportionality)
+    # pairs, no traced-bound inner loops, deferred plane ops)
     cases = [
         ("flat", build_big_engine, BigKernelConfig, 1024, 900),
         ("flat", build_big_engine, BigKernelConfig, 2048, 1200),
+        ("flat", build_big_engine, BigKernelConfig, 4096, 1800),
+        ("flat", build_big_engine, BigKernelConfig, 8192, 2400),
     ]
-    try:
-        from block_aligner_tpu.ops._big_static import (
-            BigKernelConfig as SC, build_big_engine as sb)
-        cases += [
-            ("static", sb, SC, 1024, 900),
-            ("static", sb, SC, 2048, 1200),
-        ]
-    except Exception as ex:
-        print("static variant unavailable:", ex)
     for tag, b, c, m, t in cases:
         probe(tag, b, c, m, t)
 

@@ -114,6 +114,76 @@ def test_big_kernel_past_512():
     assert got == want
 
 
+def test_big_kernel_4096_growth():
+    """(512, 4096): a ~1800-residue random insert forces the y-drop ladder
+    past 2048 (asserted via the oracle's rect telemetry), exercising the
+    R=16 walk, the deferred shrink shifts, and the HBM checkpoint path at
+    depth (reference band: examples/nanopore_accuracy.rs:37-54)."""
+    rng = np.random.default_rng(83)
+    # both sides must stay longer than the grown block at the divergence
+    # point (the reference only grows while neither dimension is forced),
+    # so: long shared flanks around a 1600-residue random middle
+    a, b, c = rand_seq(rng, 1800), rand_seq(rng, 1600), rand_seq(rng, 1800)
+    pairs = [(a + b + c, a + rand_seq(rng, 1600) + c)]
+    qq = rand_seq(rng, 600)
+    pairs.append((qq, mutate(rng, qq, 60, indel=2)))
+    size = (512, 4096)
+    orc = BlockOracle(trace=True)
+    want = []
+    grown = 0
+    for qq, rr in pairs:
+        pq = PaddedBytes.from_bytes(qq, size[1], BLOSUM62)
+        pr = PaddedBytes.from_bytes(rr, size[1], BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, size, 0)
+        want.append(orc.res().score)
+        grown = max(grown, max(
+            max(b.width, b.height) for b in orc.trace_blocks()))
+    assert grown >= 4096, f"test inputs only grew to {grown}"
+    got = run_big(pairs, size, 256, 9344)
+    assert got == want
+
+
+def test_big_kernel_8192_r32():
+    """(512, 8192) config smoke: R=32 plane addressing, init, and the
+    deferred paths compile and stay oracle-exact (growth depth itself is
+    covered by the 4096 test; full-depth 8192 runs on hardware)."""
+    rng = np.random.default_rng(97)
+    pairs = structural_pairs(rng, 4, 250, 500)
+    got = run_big(pairs, (512, 8192), 256, 9088)
+    want = oracle_scores(pairs, (512, 8192))
+    assert got == want
+
+
+def test_big_kernel_byte_mode():
+    """ByteMatrix equality scoring through the big kernel (BatchAligner
+    route at (64, 1024)) vs the scalar oracle (reference: ByteMatrix /
+    BYTES1, src/scores.rs)."""
+    from block_aligner_tpu import BYTES1
+    from block_aligner_tpu.api import BatchAligner
+
+    rng = np.random.default_rng(101)
+    pairs = []
+    for _ in range(6):
+        n = int(rng.integers(200, 500))
+        q = bytes(rng.integers(0, 256, size=n, dtype=np.uint8).tolist())
+        r = bytearray(q)
+        for _ in range(n // 8):
+            r[int(rng.integers(0, len(r)))] = int(rng.integers(0, 256))
+        ins = bytes(rng.integers(0, 256, size=180, dtype=np.uint8).tolist())
+        pos = int(rng.integers(0, len(r)))
+        pairs.append((q, bytes(r[:pos]) + ins + bytes(r[pos:])))
+    al = BatchAligner(BYTES1, GAPS, size=(64, 1024), batch=128,
+                      seq_cap=1024)
+    assert al._big and al._lane_cfg.byte_mode
+    got = [res.score for res in al.align_batch(pairs)]
+    orc = BlockOracle()
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 1024, BYTES1)
+        pr = PaddedBytes.from_bytes(r, 1024, BYTES1)
+        orc.align(pq, pr, BYTES1, GAPS, (64, 1024), 0)
+        assert got[k] == orc.res().score, k
+
+
 def test_big_kernel_api_route():
     """BatchAligner((64, 1024)) routes to the big kernel and matches the
     oracle through align_batch and stage/align_staged."""
