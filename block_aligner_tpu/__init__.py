@@ -29,7 +29,7 @@ from .core.scores import (
     percent_len,
 )
 from .core.seqs import PaddedBytes
-from .api import (BatchAligner, LongBatchAligner,
+from .api import (BatchAligner, LongAdaptiveAligner, LongBatchAligner,
                   ProfileAligner, align_exp_all, align_profile_exp_all)
 
 __version__ = "0.1.0"
@@ -38,6 +38,7 @@ __all__ = [
     "AlignResult",
     "BatchAligner",
     "LongBatchAligner",
+    "LongAdaptiveAligner",
     "ProfileAligner",
     "align_exp_all",
     "align_profile_exp_all",

@@ -45,7 +45,8 @@ P_LANES = 128  # lane-kernel pairs per bank
 STEP_ = 8
 
 __all__ = ["BatchAligner", "ProfileAligner",
-           "LongBatchAligner", "align_exp_all", "align_profile_exp_all",
+           "LongBatchAligner", "LongAdaptiveAligner",
+           "align_exp_all", "align_profile_exp_all",
            "round_up"]
 
 
@@ -1419,3 +1420,117 @@ class LongBatchAligner:
             PaddedBytes.from_bytes(r, self.cfg.block, self.matrix)
         return self.trace().cigar_eq(k, pq, pr, i, j, cigar)
 
+
+
+class LongAdaptiveAligner:
+    """Adaptive (grow/shrink/checkpoint) alignment of long sequences via
+    host-windowed big-kernel launches.
+
+    The big kernel keeps both sequences' codes VMEM-resident, capping its
+    reach at seq_cap <= 16384; the reference's flagship 50 kbp experiments
+    run (512, 8192) on much longer reads (examples/nanopore_accuracy.rs:
+    37-54, nanopore_bench_global.rs:183).  This driver streams longer
+    pairs through the kernel in launches of ``cfg.seg_steps`` block steps
+    against per-pair code *windows*: DP state (the three packed planes,
+    the HBM checkpoint pair, and the pending-op scalars) persists on
+    device between launches, and the kernel emits each pair's next window
+    base (min of its position and its live checkpoint position, per side)
+    so window bases flow device-to-device with no host sync.  Results are
+    bit-exact with the unsegmented kernel / the scalar oracle.
+
+    Global scores only (like the big kernel: no trace/x-drop), AA/Nuc
+    tables and ByteMatrix.
+    """
+
+    def __init__(
+        self,
+        matrix,
+        gaps: Gaps,
+        size=(512, 4096),
+        *,
+        window: Optional[int] = None,
+        batch: int = 128,
+        seq_cap: int = 65536,
+    ):
+        import jax
+
+        from .ops.big_kernel import (
+            BigKernelConfig,
+            build_big_cutter,
+            build_big_engine,
+        )
+
+        min_size, max_size = size
+        assert 512 < max_size <= 8192 and min_size < max_size
+        is_byte = getattr(matrix, "kind", "") == "byte"
+        a_ = 4 if is_byte else (32 if matrix.kind != "nuc" else 16)
+        if window is None:
+            window = round_up(3 * max_size // 2 + 4096, 128)
+        full_cap = round_up(1 + seq_cap + max_size + 16, 128) + window
+        self.matrix = matrix
+        self.gaps = gaps
+        self.cfg = BigKernelConfig(
+            batch=round_up(max(batch, 128), 128),
+            min_size=min_size,
+            max_size=max_size,
+            seq_cap=window,
+            alpha=a_,
+            byte_mode=is_byte,
+            segmented=True,
+            full_cap=full_cap,
+            interpret=jax.default_backend() != "tpu",
+        )
+        self._fn = build_big_engine(self.cfg)
+        self._cut = build_big_cutter(self.cfg)
+
+    @property
+    def batch_size(self) -> int:
+        return self.cfg.batch
+
+    def align_batch(self, pairs) -> List[AlignResult]:
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.big_kernel import pack_big_full
+
+        cfg = self.cfg
+        assert len(pairs) <= cfg.batch
+        qlen, rlen, Mp, codes_full, g = pack_big_full(
+            pairs, self.matrix, cfg, self.gaps)
+        codes_full = jax.device_put(codes_full)
+        n_progs, R, SS = cfg.n_programs, cfg.n_segs, cfg.seg
+        NS = cfg.n_state_rows
+        shp = (n_progs, 1, P_LANES)
+        baseq = jnp.zeros(shp, jnp.int32)
+        baser = jnp.zeros(shp, jnp.int32)
+        sb = jnp.zeros((n_progs, 3, R, SS, P_LANES), jnp.int32)
+        ckb = jnp.zeros((n_progs, 2, R, SS, P_LANES), jnp.int32)
+        vb = jnp.zeros((n_progs, NS, 1, P_LANES), jnp.int32)
+        g0 = g.copy()
+        g0[0, 3] = 1  # first launch: init in-kernel
+        g1 = g.copy()
+        g1[0, 3] = 0
+
+        max_len = max(int(np.max(qlen)), int(np.max(rlen)))
+        total_steps = (4 * (max_len + 128) + 32 * cfg.max_size) // STEP_
+        max_segs = total_steps // cfg.seg_steps + 2
+        for seg in range(max_segs):
+            gseg = g0 if seg == 0 else g1
+            codes_t = self._cut(codes_full, baseq, baser)
+            score, sb, ckb, vb = self._fn(
+                qlen, rlen, Mp, codes_t, gseg, baseq, baser, sb, ckb, vb)
+            # window bases flow device-to-device: no host sync per launch
+            baseq = vb[:, 47]
+            baser = vb[:, 48]
+
+        vb_np = np.asarray(vb)
+        # vb rows mirror the kernel's small-state order: 6 = ST_DONE,
+        # 9 = OUT (ops/big_kernel.py SMALLS)
+        assert int(vb_np[:, 6].min()) == 1, (
+            "segmented adaptive run exceeded its launch budget"
+        )
+        out = vb_np[:, 9].reshape(cfg.batch)
+        return [
+            AlignResult(int(out[b]), len(q), len(r))
+            for b, (q, r) in enumerate(pairs)
+        ]

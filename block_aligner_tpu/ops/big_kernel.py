@@ -99,7 +99,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.oracle import I16_MIN, STEP, ZERO
 
 __all__ = ["BigKernelConfig", "build_big_engine", "pack_big",
-           "big_vmem_bytes"]
+           "pack_big_full", "build_big_cutter", "big_vmem_bytes"]
 
 P = 128
 NEG32 = I16_MIN
@@ -134,6 +134,12 @@ class BigKernelConfig:
     seg: int = 256  # row-segment sublane extent (128 or 256)
     byte_mode: bool = False  # ByteMatrix equality scoring
     x_drop: bool = False  # x-drop termination + best-position tracking
+    # host-windowed execution for sequences beyond the VMEM code budget:
+    # seq_cap becomes a per-pair code *window*; DP state round-trips
+    # through HBM between launches and the kernel emits per-pair next
+    # window bases (min of the position and the live checkpoint)
+    segmented: bool = False
+    full_cap: int = 0  # segmented: per-side length of the full code array
     interpret: bool = False
 
     def __post_init__(self):
@@ -147,6 +153,12 @@ class BigKernelConfig:
         if self.byte_mode:
             assert self.alpha == 4
         assert not self.x_drop, "big-kernel x-drop is staged work (Phase C)"
+        if self.segmented:
+            assert self.full_cap % 128 == 0 and self.full_cap >= self.seq_cap
+            assert self.seg_steps >= 32, (
+                "window too small for the adaptive read-span bound "
+                "(need seq_cap >= 3*max_size/2 + 8*32 + 32)"
+            )
         assert self.vmem_bytes <= 15 * 2**20, (
             f"~{self.vmem_bytes >> 20} MiB VMEM scratch exceeds the core "
             "budget; lower max_size or seq_cap"
@@ -175,7 +187,26 @@ class BigKernelConfig:
 
     @property
     def max_steps(self) -> int:
+        if self.segmented:
+            return self.seg_steps
         return (4 * self.seq_cap + 32 * self.max_size) // STEP
+
+    @property
+    def seg_steps(self) -> int:
+        """Steps per segment launch.  Sound because every code read during
+        a launch lies in [base, i0 + 8*t + max_size] where base is the
+        per-pair window base min(pos, ckpt pos) emitted by the previous
+        launch: positions advance <= 8/step, grow restores jump back only
+        to the checkpoint, and (pos - ckpt pos) at a launch boundary is
+        bounded by the y-drop run length before a grow (< max_size/2; at
+        full size or once an edge forces the direction the checkpoint is
+        dead and the base is the position itself)."""
+        return (self.seq_cap - 3 * self.max_size // 2 - 32) // STEP
+
+    @property
+    def n_state_rows(self) -> int:
+        # 31 small refs + GWD/GWR (8 rows each) + next baseq/baser
+        return 49
 
     @property
     def vmem_bytes(self) -> int:
@@ -221,19 +252,48 @@ def build_big_engine(cfg: BigKernelConfig):
         HALF_SIZES.append(s)
         s *= 2
 
-    def kernel(qlen_ref, rlen_ref, M_ref, codes_hbm, gap_ref, score_ref,
-               *scr):
+    NS = 49  # segmented small-state rows (cfg.n_state_rows)
+
+    def kernel(qlen_ref, rlen_ref, M_ref, codes_hbm, gap_ref, *rest):
+        if cfg.segmented:
+            (baseq_ref, baser_ref, sb_in, ckb_in, vb_in,
+             score_ref, sb_out, ckb_out, vb_out) = rest[:9]
+            rest = rest[9:]
+        else:
+            score_ref = rest[0]
+            rest = rest[1:]
+        scr = rest
         (CODES, ACT, PAS, CC) = scr[:4]
         scr = scr[4:]
         (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DIR, ST_PDIR, ST_DONE,
          CORN, CVEC, OUT, SZ, PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
          GNM, CURMAX, SUF, VAL, PH, PBSV, PBSEL, PRST,
          FRA, FRT, FRIDX, SHV, GWROW) = scr[:31]
+        SMALLS = scr[:31]
         scr = scr[31:]
-        (botD, botR, DCAR, TCAR, EC8, GWD, GWR, NR8, SBC, SBR,
-         CKC_H, CKR_H, sem, semc, semr) = scr
+        (botD, botR, DCAR, TCAR, EC8, GWD, GWR, NR8, SBC, SBR) = scr[:10]
+        scr = scr[10:]
+        if cfg.segmented:
+            (VBUF, sem, semc, semr) = scr
+        else:
+            (CKC_H, CKR_H, sem, semc, semr) = scr
 
         prog = pl.program_id(0)
+        # checkpoint plane targets: HBM scratch when single-launch, the
+        # persistent output buffer when segmented (state must survive
+        # across launches; scratch contents do not)
+        if cfg.segmented:
+            def ckc_at(r):
+                return ckb_out.at[prog, 0, r]
+
+            def ckr_at(r):
+                return ckb_out.at[prog, 1, r]
+        else:
+            def ckc_at(r):
+                return CKC_H.at[r]
+
+            def ckr_at(r):
+                return CKR_H.at[r]
         open_ = gap_ref[0, 0]
         e = gap_ref[0, 1]
         qlen = qlen_ref[0]  # (1, P)
@@ -253,52 +313,88 @@ def build_big_engine(cfg: BigKernelConfig):
         z1 = jnp.zeros((1, P), jnp.int32)
         neg1 = jnp.full((1, P), NEG32, jnp.int32)
 
-        # ---- init: reference start state (src/scan_block.rs:291-317) ----
-        for r0 in range(R):
-            ACT[pl.ds(r0, 1)] = zSS[None]
-            PAS[pl.ds(r0, 1)] = zSS[None]
-        for ref in (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DONE, OUT,
-                    PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
-                    PBSV, PBSEL, PRST, FRA, FRT, FRIDX, SHV):
-            ref[...] = z1
-        SZ[...] = z1 + MIN
-        GNM[...] = z1 + 1  # the initial rect is a grow
-        ST_DIR[...] = z1 + DIR_GR
-        ST_PDIR[...] = z1 + DIR_GR
-        CORN[...] = neg1
-        CVEC[...] = neg1
-        CURMAX[...] = neg1
-        PH[...] = z1 + 1
-        GWROW[...] = z1 - 1
-        # zero the HBM checkpoint planes: a restore before the first save
-        # must read the same zeros the resident zero-init provided
-        SBC[...] = zSS
-        SBR[...] = zSS
-        for r0 in range(R):
-            dc = pltpu.make_async_copy(SBC, CKC_H.at[r0], semc)
-            dr = pltpu.make_async_copy(SBR, CKR_H.at[r0], semr)
-            dc.start()
-            dr.start()
-            dc.wait()
-            dr.wait()
-        dma.wait()
+        def init_state():
+            # ---- init: reference start state (src/scan_block.rs:291-317)
+            for r0 in range(R):
+                ACT[pl.ds(r0, 1)] = zSS[None]
+                PAS[pl.ds(r0, 1)] = zSS[None]
+            for ref in (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DONE, OUT,
+                        PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
+                        PBSV, PBSEL, PRST, FRA, FRT, FRIDX, SHV):
+                ref[...] = z1
+            SZ[...] = z1 + MIN
+            GNM[...] = z1 + 1  # the initial rect is a grow
+            ST_DIR[...] = z1 + DIR_GR
+            ST_PDIR[...] = z1 + DIR_GR
+            CORN[...] = neg1
+            CVEC[...] = neg1
+            CURMAX[...] = neg1
+            PH[...] = z1 + 1
+            GWROW[...] = z1 - 1
+            # zero the HBM checkpoint planes: a restore before the first
+            # save must read the same zeros the resident zero-init gave
+            SBC[...] = zSS
+            SBR[...] = zSS
+            for r0 in range(R):
+                dc = pltpu.make_async_copy(SBC, ckc_at(r0), semc)
+                dr = pltpu.make_async_copy(SBR, ckr_at(r0), semr)
+                dc.start()
+                dr.start()
+                dc.wait()
+                dr.wait()
+            dma.wait()
 
-        # initial code planes: positions 0..S of each side, straight from
-        # the chunked code block (no host-side duplicate transfer);
-        # checkpoint code bytes (bits 16..31) start zero
-        for r0 in range(R):
-            icq = jnp.concatenate(
-                [CODES[r0 * SPC + c].astype(jnp.int32) for c in range(SPC)],
-                axis=0,
-            )
-            icr = jnp.concatenate(
-                [CODES[NCH + r0 * SPC + c].astype(jnp.int32)
-                 for c in range(SPC)],
-                axis=0,
-            )
-            # byte-mode codes reach 255 and sign-extend out of the i8
-            # block -- mask to unsigned before packing
-            CC[pl.ds(r0, 1)] = ((icq & 255) | ((icr & 255) << 8))[None]
+            # initial code planes: positions 0..S of each side, straight
+            # from the chunked code block (no host-side duplicate
+            # transfer); checkpoint code bytes (bits 16..31) start zero
+            for r0 in range(R):
+                icq = jnp.concatenate(
+                    [CODES[r0 * SPC + c].astype(jnp.int32)
+                     for c in range(SPC)],
+                    axis=0,
+                )
+                icr = jnp.concatenate(
+                    [CODES[NCH + r0 * SPC + c].astype(jnp.int32)
+                     for c in range(SPC)],
+                    axis=0,
+                )
+                # byte-mode codes reach 255 and sign-extend out of the i8
+                # block -- mask to unsigned before packing
+                CC[pl.ds(r0, 1)] = ((icq & 255) | ((icr & 255) << 8))[None]
+
+        if cfg.segmented:
+            seg_first = gap_ref[0, 3]
+
+            @pl.when(seg_first == 1)
+            def _():
+                init_state()
+
+            @pl.when(seg_first == 0)
+            def _():
+                # restore device state from the previous segment launch
+                d0 = pltpu.make_async_copy(sb_in.at[prog, 0], ACT, semc)
+                d1 = pltpu.make_async_copy(sb_in.at[prog, 1], PAS, semr)
+                d0.start()
+                d1.start()
+                d0.wait()
+                d1.wait()
+                d2 = pltpu.make_async_copy(sb_in.at[prog, 2], CC, semc)
+                d3 = pltpu.make_async_copy(
+                    ckb_in.at[prog], ckb_out.at[prog], semr)
+                d4 = pltpu.make_async_copy(vb_in.at[prog], VBUF, sem)
+                d2.start()
+                d3.start()
+                d4.start()
+                d2.wait()
+                d3.wait()
+                d4.wait()
+                for k, ref in enumerate(SMALLS):
+                    ref[...] = VBUF[k]
+                GWD[...] = VBUF[pl.ds(31, STEP)][:, 0, :]
+                GWR[...] = VBUF[pl.ds(31 + STEP, STEP)][:, 0, :]
+                dma.wait()
+        else:
+            init_state()
 
         Mb = None if cfg.byte_mode else M_ref[...].astype(jnp.bfloat16)
 
@@ -387,7 +483,13 @@ def build_big_engine(cfg: BigKernelConfig):
                     ),
                 )
                 side = jnp.where(right_or, 1, 0)
-                ec0 = extract8(pos8, side)
+                if cfg.segmented:
+                    # positions are absolute; the code block is a per-pair
+                    # window starting at the side's base
+                    base = jnp.where(right_or, baser_ref[0], baseq_ref[0])
+                    ec0 = extract8(pos8 - base, side)
+                else:
+                    ec0 = extract8(pos8, side)
                 EC8[...] = ec0
                 if not cfg.byte_mode:
                     NR8[...] = score_rows(ec0)
@@ -506,8 +608,8 @@ def build_big_engine(cfg: BigKernelConfig):
             # ---- deferred ckpt save/restore via the HBM stage ----
             @pl.when(any_pb | any_prst)
             def _():
-                dc = pltpu.make_async_copy(CKC_H.at[r], SBC, semc)
-                dr = pltpu.make_async_copy(CKR_H.at[r], SBR, semr)
+                dc = pltpu.make_async_copy(ckc_at(r), SBC, semc)
+                dr = pltpu.make_async_copy(ckr_at(r), SBR, semr)
                 dc.start()
                 dr.start()
                 dc.wait()
@@ -526,8 +628,8 @@ def build_big_engine(cfg: BigKernelConfig):
             def _():
                 SBC[...] = _pack2(ckc_d, ckc_c)
                 SBR[...] = _pack2(ckr_d, ckr_r)
-                dc = pltpu.make_async_copy(SBC, CKC_H.at[r], semc)
-                dr = pltpu.make_async_copy(SBR, CKR_H.at[r], semr)
+                dc = pltpu.make_async_copy(SBC, ckc_at(r), semc)
+                dr = pltpu.make_async_copy(SBR, ckr_at(r), semr)
                 dc.start()
                 dr.start()
                 dc.wait()
@@ -839,8 +941,43 @@ def build_big_engine(cfg: BigKernelConfig):
         rows = [OUT[...], 1 - ST_DONE[...]]
         score_ref[0] = jnp.concatenate(rows, axis=0)[None]
 
+        if cfg.segmented:
+            # ---- persist device state + emit next per-pair window bases.
+            # The checkpoint position is part of the covered span only
+            # while a grow restore can still read it: at full size grows
+            # are impossible, and once an edge forces the direction the
+            # lane can never be "free" again (positions are monotone
+            # without restores, restores need free rects) ----
+            szl = SZ[...]
+            ck_live = (szl < S) & (ST_I[...] + szl <= qlen) & (
+                ST_J[...] + szl <= rlen)
+            bq = jnp.where(ck_live, jnp.minimum(ST_I[...], CK_I[...]),
+                           ST_I[...])
+            br = jnp.where(ck_live, jnp.minimum(ST_J[...], CK_J[...]),
+                           ST_J[...])
+            bq = jnp.clip(bq, 0, cfg.full_cap - cfg.seq_cap)
+            br = jnp.clip(br, 0, cfg.full_cap - cfg.seq_cap)
+            for k, ref in enumerate(SMALLS):
+                VBUF[k] = ref[...]
+            VBUF[pl.ds(31, STEP)] = GWD[...][:, None, :]
+            VBUF[pl.ds(31 + STEP, STEP)] = GWR[...][:, None, :]
+            VBUF[47] = bq
+            VBUF[48] = br
+            d0 = pltpu.make_async_copy(ACT, sb_out.at[prog, 0], semc)
+            d1 = pltpu.make_async_copy(PAS, sb_out.at[prog, 1], semr)
+            d0.start()
+            d1.start()
+            d0.wait()
+            d1.wait()
+            d2 = pltpu.make_async_copy(CC, sb_out.at[prog, 2], semc)
+            d3 = pltpu.make_async_copy(VBUF, vb_out.at[prog], semr)
+            d2.start()
+            d3.start()
+            d2.wait()
+            d3.wait()
+
     # ------------------------------------------------------------------
-    def engine(qlen, rlen, M, codes, gaps):
+    def engine(qlen, rlen, M, codes, gaps, *seg_args):
         n_progs = cfg.n_programs
         in_specs = [
             pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0),
@@ -852,37 +989,167 @@ def build_big_engine(cfg: BigKernelConfig):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         OW = 2
-        out_specs = pl.BlockSpec(
+        score_spec = pl.BlockSpec(
             (1, 1, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
-        out_shape = jax.ShapeDtypeStruct((n_progs, 1, OW, P), jnp.int32)
+        score_shape = jax.ShapeDtypeStruct((n_progs, 1, OW, P), jnp.int32)
+        if cfg.segmented:
+            in_specs += [
+                pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # baseq
+                pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # baser
+                pl.BlockSpec(memory_space=pltpu.HBM),  # sb_in
+                pl.BlockSpec(memory_space=pltpu.HBM),  # ckb_in
+                pl.BlockSpec(memory_space=pltpu.HBM),  # vb_in
+            ]
+            out_specs = [
+                score_spec,
+                pl.BlockSpec(memory_space=pltpu.HBM),  # sb_out
+                pl.BlockSpec(memory_space=pltpu.HBM),  # ckb_out
+                pl.BlockSpec(memory_space=pltpu.HBM),  # vb_out
+            ]
+            out_shape = [
+                score_shape,
+                jax.ShapeDtypeStruct((n_progs, 3, R, SS, P), jnp.int32),
+                jax.ShapeDtypeStruct((n_progs, 2, R, SS, P), jnp.int32),
+                jax.ShapeDtypeStruct((n_progs, NS, 1, P), jnp.int32),
+            ]
+        else:
+            out_specs = score_spec
+            out_shape = score_shape
+        scratch = (
+            [pltpu.VMEM((2 * NCH, 128, P), jnp.int8)]  # CODES
+            + [pltpu.VMEM((R, SS, P), jnp.int32)
+               for _ in range(3)]  # ACT / PAS / CC (packed)
+            + [pltpu.VMEM((1, P), jnp.int32) for _ in range(31)]
+            # botD, botR, DCAR, TCAR, EC8, GWD, GWR
+            + [pltpu.VMEM((STEP, P), jnp.int32) for _ in range(7)]
+            + [pltpu.VMEM((max(NG, 1), STEP, P), jnp.int32)]  # NR8
+            + [pltpu.VMEM((SS, P), jnp.int32)
+               for _ in range(2)]  # SBC / SBR ckpt stage
+        )
+        if cfg.segmented:
+            scratch += [pltpu.VMEM((NS, 1, P), jnp.int32)]  # VBUF
+        else:
+            scratch += [pltpu.HBM((R, SS, P), jnp.int32)
+                        for _ in range(2)]  # CKC_H / CKR_H
+        scratch += [pltpu.SemaphoreType.DMA for _ in range(3)]
         return pl.pallas_call(
             kernel,
             grid=(n_progs,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
-            scratch_shapes=(
-                [pltpu.VMEM((2 * NCH, 128, P), jnp.int8)]  # CODES
-                + [pltpu.VMEM((R, SS, P), jnp.int32)
-                   for _ in range(3)]  # ACT / PAS / CC (packed)
-                + [pltpu.VMEM((1, P), jnp.int32) for _ in range(31)]
-                # botD, botR, DCAR, TCAR, EC8, GWD, GWR
-                + [pltpu.VMEM((STEP, P), jnp.int32) for _ in range(7)]
-                + [pltpu.VMEM((max(NG, 1), STEP, P), jnp.int32)]  # NR8
-                + [pltpu.VMEM((SS, P), jnp.int32)
-                   for _ in range(2)]  # SBC / SBR ckpt stage
-                + [pltpu.HBM((R, SS, P), jnp.int32)
-                   for _ in range(2)]  # CKC_H / CKR_H
-                + [pltpu.SemaphoreType.DMA for _ in range(3)]
-            ),
+            scratch_shapes=tuple(scratch),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=cfg.interpret,
-        )(qlen, rlen, M, codes, gaps)
+        )(qlen, rlen, M, codes, gaps, *seg_args)
 
     return jax.jit(engine)
+
+
+def pack_big_full(pairs, matrix, cfg: BigKernelConfig, gaps=None):
+    """Segmented-mode packing: per-pair FULL padded code arrays (windows
+    are cut per launch by ``build_big_cutter``), the byte-plane-ordered
+    score table, and the gap row.  Same position conventions as
+    ``pack_lane`` (position 0 is the NULL pad; sequences start at 1)."""
+    import numpy as np
+
+    B, S, A = cfg.batch, cfg.max_size, cfg.alpha
+    assert cfg.segmented
+    assert len(pairs) <= B
+    pairs = list(pairs) + [(b"", b"")] * (B - len(pairs))
+
+    M = np.full((A, A), -128, dtype=np.int32)
+    if cfg.byte_mode:
+        assert matrix.kind == "byte"
+        M[:] = 0
+        conv = matrix.convert
+        null_code = matrix.NULL
+    elif matrix.kind == "nuc":
+        tab = matrix.dense()
+        for x in range(16):
+            for y in range(16):
+                M[x, y] = tab[x & 7, y]
+
+        def conv(c):
+            return matrix.convert(c) & 15
+
+        null_code = matrix.NULL & 15
+    else:
+        tab = matrix.dense()
+        M[: tab.shape[0], : tab.shape[1]] = tab
+        conv = matrix.convert
+        null_code = int(matrix.convert(bytes([matrix.NULL]))[0])
+
+    def as_bytes(s):
+        return s.encode("ascii") if isinstance(s, str) else bytes(s)
+
+    qs = [as_bytes(q) for q, _ in pairs]
+    rs = [as_bytes(r) for _, r in pairs]
+    qlen = np.fromiter((len(q) for q in qs), np.int32, B)
+    rlen = np.fromiter((len(r) for r in rs), np.int32, B)
+    assert 1 + max(int(qlen.max()), int(rlen.max())) + S + 16 <= \
+        cfg.full_cap, "sequence too long for full_cap"
+    codes = np.full((B, 2, cfg.full_cap), null_code, dtype=np.int8)
+    qcat = conv(b"".join(qs)) if qlen.sum() else None
+    rcat = conv(b"".join(rs)) if rlen.sum() else None
+    qoff = np.concatenate([[0], np.cumsum(qlen)])
+    roff = np.concatenate([[0], np.cumsum(rlen)])
+    for b in range(B):
+        if qlen[b]:
+            codes[b, 0, 1 : 1 + qlen[b]] = qcat[qoff[b] : qoff[b + 1]]
+        if rlen[b]:
+            codes[b, 1, 1 : 1 + rlen[b]] = rcat[roff[b] : roff[b + 1]]
+
+    NG = A // 4
+    Mp = np.zeros((A, A), dtype=np.int32)
+    for b2 in range(4):
+        for gr in range(NG):
+            Mp[b2 * NG + gr] = M[4 * gr + b2] + 128
+
+    g = np.zeros((1, 6), dtype=np.int32)
+    if gaps is not None:
+        g[0, 0] = gaps.open
+        g[0, 1] = gaps.extend
+    if cfg.byte_mode:
+        g[0, 4] = matrix.match_score
+        g[0, 5] = matrix.mismatch_score
+    n_progs = cfg.n_programs
+    return (
+        np.ascontiguousarray(qlen.reshape(n_progs, 1, P)),
+        np.ascontiguousarray(rlen.reshape(n_progs, 1, P)),
+        Mp,
+        codes,
+        g,
+    )
+
+
+def build_big_cutter(cfg: BigKernelConfig):
+    """Jitted on-device window gather for segmented launches: per-pair
+    dynamic slices of the full code arrays at the kernel-emitted bases,
+    laid out position-major for the kernel ((n_progs, 2*NCH, 128, P))."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    B, W = cfg.batch, cfg.seq_cap
+    n_progs, NCH = cfg.n_programs, cfg.n_chunks
+
+    def cut(codes_full, baseq, baser):
+        base = jnp.stack([baseq.reshape(B), baser.reshape(B)], 1)
+        win = jax.vmap(
+            lambda c, s: jnp.stack([
+                lax.dynamic_slice(c[0], (s[0],), (W,)),
+                lax.dynamic_slice(c[1], (s[1],), (W,)),
+            ])
+        )(codes_full, base)
+        return win.reshape(n_progs, P, 2 * NCH, 128).transpose(0, 2, 3, 1)
+
+    return jax.jit(cut)
 
 
 def pack_big(pairs, matrix, cfg: BigKernelConfig, gaps=None, x_drop=0):

@@ -184,6 +184,66 @@ def test_big_kernel_byte_mode():
         assert got[k] == orc.res().score, k
 
 
+def test_big_kernel_segmented_long():
+    """LongAdaptiveAligner: host-windowed big-kernel launches on sequences
+    past the VMEM code budget.  A 3000-residue pair with a 600-residue
+    divergent middle grows to the full 1024 max (verified via the oracle's
+    rect telemetry) across ~70 windowed launches -- growth, checkpoint
+    restores, and window back-jumps all cross launch boundaries -- plus a
+    short early-done pair (reference long-read bands:
+    examples/nanopore_accuracy.rs:37-54)."""
+    from block_aligner_tpu import LongAdaptiveAligner
+
+    rng = np.random.default_rng(113)
+    a, b, c = rand_seq(rng, 1200), rand_seq(rng, 600), rand_seq(rng, 1200)
+    pairs = [(a + b + c, a + rand_seq(rng, 600) + c),
+             (rand_seq(rng, 150), rand_seq(rng, 160))]
+    al = LongAdaptiveAligner(BLOSUM62, GAPS, size=(64, 1024), window=1920,
+                             batch=128, seq_cap=3200)
+    got = [r.score for r in al.align_batch(pairs)]
+    size = (64, 1024)
+    orc = BlockOracle(trace=True)
+    grown = 0
+    want = []
+    for q, r in pairs:
+        pq = PaddedBytes.from_bytes(q, size[1], BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, size[1], BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, size, 0)
+        want.append(orc.res().score)
+        grown = max(grown, max(
+            max(bl.width, bl.height) for bl in orc.trace_blocks()))
+    assert grown == 1024, f"inputs only grew to {grown}"
+    assert got == want
+
+
+def test_big_kernel_segmented_byte():
+    """Segmented ByteMatrix equality scoring through LongAdaptiveAligner
+    vs the scalar oracle."""
+    from block_aligner_tpu import BYTES1, LongAdaptiveAligner
+
+    rng = np.random.default_rng(131)
+    pairs = []
+    for _ in range(3):
+        n = int(rng.integers(1800, 2400))
+        q = bytes(rng.integers(0, 256, size=n, dtype=np.uint8).tolist())
+        r = bytearray(q)
+        for _ in range(n // 10):
+            r[int(rng.integers(0, len(r)))] = int(rng.integers(0, 256))
+        ins = bytes(rng.integers(0, 256, size=300, dtype=np.uint8).tolist())
+        pos = int(rng.integers(0, len(r)))
+        pairs.append((q, bytes(r[:pos]) + ins + bytes(r[pos:])))
+    al = LongAdaptiveAligner(BYTES1, GAPS, size=(64, 1024), window=1920,
+                             batch=128, seq_cap=2816)
+    assert al.cfg.byte_mode
+    got = [res.score for res in al.align_batch(pairs)]
+    orc = BlockOracle()
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 1024, BYTES1)
+        pr = PaddedBytes.from_bytes(r, 1024, BYTES1)
+        orc.align(pq, pr, BYTES1, GAPS, (64, 1024), 0)
+        assert got[k] == orc.res().score, k
+
+
 def test_big_kernel_api_route():
     """BatchAligner((64, 1024)) routes to the big kernel and matches the
     oracle through align_batch and stage/align_staged."""
