@@ -175,6 +175,8 @@ class BatchAligner:
             and 512 < max_size <= 8192 and not trace and x_drop is None
             and not local_start and not free_query_start_gaps
             and not free_query_end_gaps and use_lane_kernel is not False
+            # resident code budget; longer sequences: LongAdaptiveAligner
+            and round_up(max(1 + seq_cap + max_size + 16, 256), 128) <= 16384
         )
         if self._big:
             import jax
@@ -282,6 +284,12 @@ class BatchAligner:
             elif min_size < max_size and (trace or x_drop is not None) \
                     and max_size > 512:
                 why.append("adaptive trace/x-drop above block 512")
+            elif min_size < max_size and max_size > 512 and round_up(
+                    max(1 + seq_cap + max_size + 16, 256), 128) > 16384:
+                why.append(
+                    "big blocks with sequences past the resident code "
+                    "budget -- use LongAdaptiveAligner"
+                )
             if (local_start or free_query_start_gaps or free_query_end_gaps) \
                     and trace and min_size < max_size:
                 why.append("adaptive trace with local-start/free-gap flags")

@@ -113,13 +113,14 @@ DIR_GR = 3
 SHRINK_SUFFIX_LEN = STEP // 4  # reference: src/scan_block.rs:786
 
 
-def big_vmem_bytes(max_size: int, seq_cap: int, seg: int = 256) -> int:
+def big_vmem_bytes(max_size: int, seq_cap: int, seg: int = 256,
+                   cc_stream: bool = False) -> int:
     """VMEM scratch footprint of one big-kernel program (matches the
     scratch_shapes in ``build_big_engine``)."""
     S = max_size
     codes = 2 * seq_cap * P
-    planes = 3 * S * P * 4  # packed ACT / PAS / CC
-    stage = 2 * seg * P * 4  # ckpt DMA staging
+    planes = (2 if cc_stream else 3) * S * P * 4  # packed ACT/PAS(/CC)
+    stage = (4 if cc_stream else 2) * seg * P * 4  # ckpt (+CC) DMA staging
     small = 42 * P * 4 + 8 * STEP * P * 4
     return codes + planes + stage + small
 
@@ -140,6 +141,7 @@ class BigKernelConfig:
     # window bases (min of the position and the live checkpoint)
     segmented: bool = False
     full_cap: int = 0  # segmented: per-side length of the full code array
+    force_cc_stream: bool = False  # test hook: stream CC at any size
     interpret: bool = False
 
     def __post_init__(self):
@@ -209,8 +211,18 @@ class BigKernelConfig:
         return 49
 
     @property
+    def cc_stream(self) -> bool:
+        """Stream the code plane from its persistent HBM slot instead of
+        keeping it VMEM-resident: at max_size 8192 the two DP planes
+        (8.4 MiB) plus the code window leave no room for a third
+        resident plane."""
+        return self.segmented and (
+            self.max_size >= 8192 or self.force_cc_stream)
+
+    @property
     def vmem_bytes(self) -> int:
-        return big_vmem_bytes(self.max_size, self.seq_cap, self.seg)
+        return big_vmem_bytes(self.max_size, self.seq_cap, self.seg,
+                              self.cc_stream)
 
 
 def _lo16(w):
@@ -263,8 +275,13 @@ def build_big_engine(cfg: BigKernelConfig):
             score_ref = rest[0]
             rest = rest[1:]
         scr = rest
-        (CODES, ACT, PAS, CC) = scr[:4]
-        scr = scr[4:]
+        if cfg.cc_stream:
+            (CODES, ACT, PAS) = scr[:3]
+            CC = None
+            scr = scr[3:]
+        else:
+            (CODES, ACT, PAS, CC) = scr[:4]
+            scr = scr[4:]
         (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DIR, ST_PDIR, ST_DONE,
          CORN, CVEC, OUT, SZ, PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
          GNM, CURMAX, SUF, VAL, PH, PBSV, PBSEL, PRST,
@@ -273,6 +290,9 @@ def build_big_engine(cfg: BigKernelConfig):
         scr = scr[31:]
         (botD, botR, DCAR, TCAR, EC8, GWD, GWR, NR8, SBC, SBR) = scr[:10]
         scr = scr[10:]
+        if cfg.cc_stream:
+            (CCB, CCS, CCNB, CCNS) = scr[:4]
+            scr = scr[4:]
         if cfg.segmented:
             (VBUF, sem, semc, semr) = scr
         else:
@@ -288,6 +308,10 @@ def build_big_engine(cfg: BigKernelConfig):
 
             def ckr_at(r):
                 return ckb_out.at[prog, 1, r]
+
+            def cc_at(r):
+                # streamed code plane lives in its persistent state slot
+                return sb_out.at[prog, 2, r]
         else:
             def ckc_at(r):
                 return CKC_H.at[r]
@@ -360,7 +384,14 @@ def build_big_engine(cfg: BigKernelConfig):
                 )
                 # byte-mode codes reach 255 and sign-extend out of the i8
                 # block -- mask to unsigned before packing
-                CC[pl.ds(r0, 1)] = ((icq & 255) | ((icr & 255) << 8))[None]
+                word0 = (icq & 255) | ((icr & 255) << 8)
+                if cfg.cc_stream:
+                    CCB[...] = word0
+                    dw = pltpu.make_async_copy(CCB, cc_at(r0), semc)
+                    dw.start()
+                    dw.wait()
+                else:
+                    CC[pl.ds(r0, 1)] = word0[None]
 
         if cfg.segmented:
             seg_first = gap_ref[0, 3]
@@ -378,7 +409,12 @@ def build_big_engine(cfg: BigKernelConfig):
                 d1.start()
                 d0.wait()
                 d1.wait()
-                d2 = pltpu.make_async_copy(sb_in.at[prog, 2], CC, semc)
+                if cfg.cc_stream:
+                    # streamed code plane: HBM-to-HBM into its live slot
+                    d2 = pltpu.make_async_copy(
+                        sb_in.at[prog, 2], sb_out.at[prog, 2], semc)
+                else:
+                    d2 = pltpu.make_async_copy(sb_in.at[prog, 2], CC, semc)
                 d3 = pltpu.make_async_copy(
                     ckb_in.at[prog], ckb_out.at[prog], semr)
                 d4 = pltpu.make_async_copy(vb_in.at[prog], VBUF, sem)
@@ -560,6 +596,7 @@ def build_big_engine(cfg: BigKernelConfig):
             # which sit at larger indices, unshifted until their turn) ----
             @pl.when(jnp.any(pshr))
             def _():
+                refs = (ACT, PAS) if cfg.cc_stream else (ACT, PAS, CC)
                 for v in HALF_SIZES:
                     vm = shv == v
 
@@ -568,7 +605,7 @@ def build_big_engine(cfg: BigKernelConfig):
                         sseg, cut = v // SS, v % SS
                         s1 = jnp.minimum(r + sseg, R - 1)
                         s2 = jnp.minimum(r + sseg + 1, R - 1)
-                        for ref in (ACT, PAS, CC):
+                        for ref in refs:
                             a = ref[pl.ds(s1, 1)][0]
                             if cut:
                                 b = ref[pl.ds(s2, 1)][0, :cut]
@@ -579,7 +616,45 @@ def build_big_engine(cfg: BigKernelConfig):
             # ---- loads (packed) ----
             actw = ACT[pl.ds(r, 1)][0]
             pasw = PAS[pl.ds(r, 1)][0]
-            ccw = CC[pl.ds(r, 1)][0]
+            if cfg.cc_stream:
+                # streamed code plane: DMA the segment in, folding the
+                # pending shrink shift into the load (HBM sources are
+                # still unshifted in ascending walk order)
+                dl = pltpu.make_async_copy(cc_at(r), CCB, semc)
+                dl.start()
+                dl.wait()
+
+                @pl.when(jnp.any(pshr))
+                def _():
+                    for v in HALF_SIZES:
+                        vm = shv == v
+
+                        @pl.when(jnp.any(vm))
+                        def _(v=v, vm=vm):
+                            sseg, cut = v // SS, v % SS
+                            s1 = jnp.minimum(r + sseg, R - 1)
+                            s2 = jnp.minimum(r + sseg + 1, R - 1)
+                            if cut:
+                                da = pltpu.make_async_copy(
+                                    sb_out.at[prog, 2, s1,
+                                              pl.ds(cut, SS - cut)],
+                                    CCS.at[pl.ds(0, SS - cut)], semc)
+                                db = pltpu.make_async_copy(
+                                    sb_out.at[prog, 2, s2, pl.ds(0, cut)],
+                                    CCS.at[pl.ds(SS - cut, cut)], semr)
+                                da.start()
+                                db.start()
+                                da.wait()
+                                db.wait()
+                            else:
+                                da = pltpu.make_async_copy(
+                                    cc_at(s1), CCS, semc)
+                                da.start()
+                                da.wait()
+                            CCB[...] = jnp.where(vm, CCS[...], CCB[...])
+                ccw = CCB[...]
+            else:
+                ccw = CC[pl.ds(r, 1)][0]
             aD, aC = _lo16(actw), _hi16(actw)
             pD, pR = _lo16(pasw), _hi16(pasw)
             cq = ccw & 255
@@ -650,19 +725,37 @@ def build_big_engine(cfg: BigKernelConfig):
             # ---- next-segment 8-row slivers (shrink-shift + grow-window
             # applied to their static slices: segment rn is still raw at
             # this iteration) ----
-            ccn = CC[pl.ds(rn, 1)][0, :STEP]
+            if cfg.cc_stream:
+                dn = pltpu.make_async_copy(
+                    sb_out.at[prog, 2, rn, pl.ds(0, STEP)], CCNB, semc)
+                dn.start()
+                dn.wait()
+            else:
+                ccn = CC[pl.ds(rn, 1)][0, :STEP]
             actn = ACT[pl.ds(rn, 1)][0, :STEP]
             pasn = PAS[pl.ds(rn, 1)][0, :STEP]
             for v in HALF_SIZES:
                 vm = shv == v
                 sseg, cut = v // SS, v % SS
                 s1 = jnp.minimum(rn + sseg, R - 1)
-                ccn_v = CC[pl.ds(s1, 1)][0, cut:cut + STEP]
+                if cfg.cc_stream:
+                    @pl.when(jnp.any(vm))
+                    def _(vm=vm, s1=s1, cut=cut):
+                        d2 = pltpu.make_async_copy(
+                            sb_out.at[prog, 2, s1, pl.ds(cut, STEP)],
+                            CCNS, semc)
+                        d2.start()
+                        d2.wait()
+                        CCNB[...] = jnp.where(vm, CCNS[...], CCNB[...])
+                else:
+                    ccn_v = CC[pl.ds(s1, 1)][0, cut:cut + STEP]
+                    ccn = jnp.where(vm, ccn_v, ccn)
                 actn_v = ACT[pl.ds(s1, 1)][0, cut:cut + STEP]
                 pasn_v = PAS[pl.ds(s1, 1)][0, cut:cut + STEP]
-                ccn = jnp.where(vm, ccn_v, ccn)
                 actn = jnp.where(vm, actn_v, actn)
                 pasn = jnp.where(vm, pasn_v, pasn)
+            if cfg.cc_stream:
+                ccn = CCNB[...]
             rows_n = (rn * SS) + jax.lax.broadcasted_iota(
                 jnp.int32, (STEP, P), 0)
             rows_n_src = rows_n + jnp.where(pshr, shv, 0)
@@ -684,8 +777,14 @@ def build_big_engine(cfg: BigKernelConfig):
             cr1 = jnp.where(
                 r_shift, jnp.where(winp, ec_t, cr_sh),
                 jnp.where(r_app & wina, ec_t, cr0))
-            CC[pl.ds(r, 1)] = (
-                cq1 | (cr1 << 8) | (kq << 16) | (kr << 24))[None]
+            ccw_out = cq1 | (cr1 << 8) | (kq << 16) | (kr << 24)
+            if cfg.cc_stream:
+                CCB[...] = ccw_out
+                ds_ = pltpu.make_async_copy(CCB, cc_at(r), semc)
+                ds_.start()
+                ds_.wait()
+            else:
+                CC[pl.ds(r, 1)] = ccw_out[None]
 
             # -- 8 DP columns on this segment --
             lc = jnp.where(right_or, cq1, cr1)
@@ -969,11 +1068,12 @@ def build_big_engine(cfg: BigKernelConfig):
             d1.start()
             d0.wait()
             d1.wait()
-            d2 = pltpu.make_async_copy(CC, sb_out.at[prog, 2], semc)
             d3 = pltpu.make_async_copy(VBUF, vb_out.at[prog], semr)
-            d2.start()
             d3.start()
-            d2.wait()
+            if not cfg.cc_stream:
+                d2 = pltpu.make_async_copy(CC, sb_out.at[prog, 2], semc)
+                d2.start()
+                d2.wait()
             d3.wait()
 
     # ------------------------------------------------------------------
@@ -1021,7 +1121,7 @@ def build_big_engine(cfg: BigKernelConfig):
         scratch = (
             [pltpu.VMEM((2 * NCH, 128, P), jnp.int8)]  # CODES
             + [pltpu.VMEM((R, SS, P), jnp.int32)
-               for _ in range(3)]  # ACT / PAS / CC (packed)
+               for _ in range(2 if cfg.cc_stream else 3)]  # ACT/PAS(/CC)
             + [pltpu.VMEM((1, P), jnp.int32) for _ in range(31)]
             # botD, botR, DCAR, TCAR, EC8, GWD, GWR
             + [pltpu.VMEM((STEP, P), jnp.int32) for _ in range(7)]
@@ -1029,6 +1129,11 @@ def build_big_engine(cfg: BigKernelConfig):
             + [pltpu.VMEM((SS, P), jnp.int32)
                for _ in range(2)]  # SBC / SBR ckpt stage
         )
+        if cfg.cc_stream:
+            scratch += [pltpu.VMEM((SS, P), jnp.int32),  # CCB
+                        pltpu.VMEM((SS, P), jnp.int32),  # CCS
+                        pltpu.VMEM((STEP, P), jnp.int32),  # CCNB
+                        pltpu.VMEM((STEP, P), jnp.int32)]  # CCNS
         if cfg.segmented:
             scratch += [pltpu.VMEM((NS, 1, P), jnp.int32)]  # VBUF
         else:

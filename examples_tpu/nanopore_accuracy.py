@@ -36,13 +36,34 @@ def main():
     print(f"# {len(pairs)} pairs, max len {max_len}, "
           f"sizes {min_size}..{max_size}")
 
-    al = BatchAligner(matrix, gaps, size=(min_size, max_size),
-                      batch=min(64, len(pairs)),
-                      seq_cap=max_len + max_len // 8 + 64)
-    al.align_batch(pairs[: al.batch_size])  # compile
-    t0 = time.perf_counter()
-    res = al.align_all(pairs)
-    dt = time.perf_counter() - t0
+    seq_cap = max_len + max_len // 8 + 64
+    if 1 + seq_cap + max_size + 16 <= 16384:
+        # resident path (e.g. 10 kbp at (128, 1024))
+        al = BatchAligner(matrix, gaps, size=(min_size, max_size),
+                          batch=min(64, len(pairs)), seq_cap=seq_cap)
+        al.align_batch(pairs[: al.batch_size])  # compile
+        t0 = time.perf_counter()
+        res = al.align_all(pairs)
+        dt = time.perf_counter() - t0
+    else:
+        # host-windowed path (e.g. 50 kbp at (512, 8192);
+        # reference: examples/nanopore_accuracy.rs:37-54)
+        from block_aligner_tpu import LongAdaptiveAligner
+
+        al = LongAdaptiveAligner(matrix, gaps, size=(min_size, max_size),
+                                 batch=128, seq_cap=seq_cap)
+        al.align_batch(pairs[: al.batch_size])  # compile
+        t0 = time.perf_counter()
+        res = []
+        order = sorted(range(len(pairs)),
+                       key=lambda k: max(len(pairs[k][0]), len(pairs[k][1])))
+        got = {}
+        for i in range(0, len(order), al.batch_size):
+            idx = order[i : i + al.batch_size]
+            for k, rr in zip(idx, al.align_batch([pairs[k] for k in idx])):
+                got[k] = rr
+        res = [got[k] for k in range(len(pairs))]
+        dt = time.perf_counter() - t0
 
     wrong = 0
     total_err = 0

@@ -244,6 +244,51 @@ def test_big_kernel_segmented_byte():
         assert got[k] == orc.res().score, k
 
 
+def test_big_kernel_segmented_cc_stream():
+    """The streamed-code-plane layout (mandatory at max_size 8192, where
+    two DP planes + the window leave no room for a resident code plane)
+    forced at test size: code-plane DMA loads/stores, in-load shrink
+    shifts, and sliver staging, bit-exact vs the resident-plane path."""
+    import dataclasses
+
+    from block_aligner_tpu import LongAdaptiveAligner
+    from block_aligner_tpu.ops.big_kernel import (
+        build_big_cutter,
+        build_big_engine,
+    )
+
+    rng = np.random.default_rng(113)
+    a, b, c = rand_seq(rng, 1200), rand_seq(rng, 600), rand_seq(rng, 1200)
+    pairs = [(a + b + c, a + rand_seq(rng, 600) + c),
+             (rand_seq(rng, 150), rand_seq(rng, 160))]
+    al = LongAdaptiveAligner(BLOSUM62, GAPS, size=(64, 1024), window=1920,
+                             batch=128, seq_cap=3200)
+    al.cfg = dataclasses.replace(al.cfg, force_cc_stream=True)
+    assert al.cfg.cc_stream
+    al._fn = build_big_engine(al.cfg)
+    al._cut = build_big_cutter(al.cfg)
+    got = [r.score for r in al.align_batch(pairs)]
+    want = oracle_scores(pairs, (64, 1024))
+    assert got == want
+
+
+def test_big_kernel_flagship_8192():
+    """The reference's 50 kbp band configuration (512, 8192)
+    (examples/nanopore_accuracy.rs:37-54): R=32 walk + streamed code
+    plane + windowed launches, within the VMEM budget, vs the oracle."""
+    from block_aligner_tpu import LongAdaptiveAligner
+
+    rng = np.random.default_rng(7)
+    q = rand_seq(rng, 2400)
+    r = q[:1200] + rand_seq(rng, 500) + q[1200:]
+    al = LongAdaptiveAligner(BLOSUM62, GAPS, size=(512, 8192), batch=128,
+                             seq_cap=4480)
+    assert al.cfg.cc_stream and al.cfg.vmem_bytes <= 15 * 2**20
+    got = al.align_batch([(q, r)])[0].score
+    want = oracle_scores([(q, r)], (512, 8192))[0]
+    assert got == want
+
+
 def test_big_kernel_api_route():
     """BatchAligner((64, 1024)) routes to the big kernel and matches the
     oracle through align_batch and stage/align_staged."""
