@@ -170,8 +170,12 @@ class BatchAligner:
         # big-block adaptive sizing (512 < max <= 8192): the row-segmented
         # kernel with code-keyed score fetch (reference band configs up to
         # (128, 1024) / (512, 8192), examples/nanopore_accuracy.rs:37-54)
+        # (min == max > 512 runs here too: the empty grow ladder makes it
+        # a fixed-block engine at per-step cost proportional to the size,
+        # where the lane kernel's S <= 512 ceiling would drop to the
+        # engine)
         self._big = (
-            lane_ok and min_size < max_size and 16 <= min_size
+            lane_ok and min_size <= max_size and 16 <= min_size
             and 512 < max_size <= 8192 and not trace and x_drop is None
             and not local_start and not free_query_start_gaps
             and not free_query_end_gaps and use_lane_kernel is not False
@@ -1469,7 +1473,7 @@ class LongAdaptiveAligner:
         )
 
         min_size, max_size = size
-        assert 512 < max_size <= 8192 and min_size < max_size
+        assert 512 < max_size <= 8192 and min_size <= max_size
         is_byte = getattr(matrix, "kind", "") == "byte"
         a_ = 4 if is_byte else (32 if matrix.kind != "nuc" else 16)
         if window is None:

@@ -289,6 +289,24 @@ def test_big_kernel_flagship_8192():
     assert got == want
 
 
+def test_big_kernel_fixed_block():
+    """min == max > 512 routes to the big kernel as a fixed-block engine
+    (the lane kernel caps at S <= 512; these previously fell to the
+    ~100x-slower XLA engine), oracle-exact at 1024."""
+    from block_aligner_tpu.api import BatchAligner
+
+    rng = np.random.default_rng(71)
+    pairs = []
+    for _ in range(4):
+        q = rand_seq(rng, int(rng.integers(500, 900)))
+        pairs.append((q, mutate(rng, q, len(q) // 8)))
+    al = BatchAligner(BLOSUM62, GAPS, size=(1024, 1024), batch=128,
+                      seq_cap=1024)
+    assert al._big and not al._lane
+    got = [r.score for r in al.align_batch(pairs)]
+    assert got == oracle_scores(pairs, (1024, 1024))
+
+
 def test_big_kernel_api_route():
     """BatchAligner((64, 1024)) routes to the big kernel and matches the
     oracle through align_batch and stage/align_staged."""
