@@ -54,6 +54,24 @@ def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pick_row_split(block: int, banks: int, profile: bool = False) -> int:
+    """Lane-kernel row split: re-bank a (banks, block, 128) DP column into
+    (banks*r, block/r, 128) sub-banks with chained carries — byte-identical
+    VMEM, but Mosaic sees sub-256-row shapes with >=2 banks, removing the
+    S=512 cliff (K=2 spills / K=1 unit-dim pessimization) and the K=1
+    penalty at 128-256."""
+    if profile or block < 128:
+        return 1
+    r = 1
+    while (
+        (block // r > 256 or (banks * r < 2 and block // r >= 128))
+        and r < 4
+        and block // (2 * r) >= 64
+    ):
+        r *= 2
+    return r
+
+
 class BatchAligner:
     """Batched block aligner over a fixed configuration.
 
@@ -247,6 +265,7 @@ class BatchAligner:
                 local_start=local_start,
                 free_query_start_gaps=free_query_start_gaps,
                 free_query_end_gaps=free_query_end_gaps,
+                row_split=pick_row_split(min_size, banks),
                 # Mosaic compiles only on TPU; elsewhere run interpreted
                 interpret=jax.default_backend() != "tpu",
             )
@@ -1194,8 +1213,10 @@ class LongBatchAligner:
         while banks & (banks - 1):
             banks -= 1
         a_ = 32 if profile or matrix.kind != "nuc" else 16
-        # banks=1 pessimizes Mosaic layouts but is the only way block 512
-        # (the reference's 1% band for 50 kbp reads) fits the VMEM budget
+        # block 512 (the reference's 1% band for 50 kbp reads) only fits
+        # the VMEM budget at banks=1; row-splitting re-banks it to
+        # (2, 256, P) so Mosaic never sees the pessimized 512-row/unit-dim
+        # shapes (the S=512 cliff fix)
         while banks > 1 and lane_vmem_bytes(
             block, window, a_, banks, trace=trace, profile=profile,
             local_start=local_start,
@@ -1214,6 +1235,7 @@ class LongBatchAligner:
             local_start=local_start,
             free_query_start_gaps=free_query_start_gaps,
             free_query_end_gaps=free_query_end_gaps,
+            row_split=pick_row_split(block, banks, profile=profile),
             interpret=jax.default_backend() != "tpu",
         )
         self._fn = build_lane_engine(self.cfg)

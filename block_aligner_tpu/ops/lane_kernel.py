@@ -15,7 +15,13 @@ Measured TPU op costs drove the design:
   of the inherently sequential DP column chain.
 
 Layout: each grid program owns K*128 pairs.  DP state is (K, S, 128):
-bank k, in-block position s, pair lane b.  Both sequences' codes live in
+bank k, in-block position s, pair lane b.  For large blocks the column
+*row-splits*: (K, S, 128) re-banks to (K*r, S/r, 128) (byte-identical
+row-major layout, so the host and HBM streams never notice) with
+prefix-scan/shift carries chained across the r sub-banks and per-pair
+scalar rows duplicated -- Mosaic then schedules the same sub-256-row
+multi-bank shapes that the measured op costs favour, instead of the
+S=512 / banks=1 shapes it pessimizes (the "S=512 cliff").  Both sequences' codes live in
 VMEM as int8 (K, 2*NCH, 128, 128) (position-major), DMA'd once at program
 start -- no mid-run DMA.  Entering codes are extracted with a masked
 chunk/offset reduction; per-side score-plane stacks SCQ/SCR
@@ -82,13 +88,20 @@ PROF_NW = PROF_NGP + 1
 
 
 def lane_vmem_bytes(block, seq_cap, alpha, banks, *, trace=False,
-                    profile=False, local_start=False) -> int:
+                    profile=False, local_start=False,
+                    row_split=1) -> int:
     """VMEM scratch footprint of one lane-kernel program (matches the
     scratch_shapes in ``build_lane_engine``); usable for bank-count budget
-    searches without constructing (and assert-checking) a config."""
+    searches without constructing (and assert-checking) a config.
+
+    ``row_split`` changes only the small duplicated scalar rows (the DP
+    planes are byte-identical under the (K*r, S/r, P) re-banking), so the
+    footprint is essentially split-invariant."""
     K, S, A = banks, block, alpha
-    borders = 7 * K * S * P * 4
-    x16 = 3 * K * 16 * P * 4
+    KR = K * row_split
+    # ACT_D/ACT_C/PAS_D/PAS_R/DMAX planes + (K, 8, P) temp rows
+    borders = 5 * K * S * P * 4 + 2 * K * STEP * P * 4
+    x16 = 3 * KR * 16 * P * 4 + 23 * (KR - K) * P * 4
     ec8 = K * 8 * P * 4
     # trace staging: int32 words (1/step, or 2 in local-start mode);
     # double-buffered so the per-step HBM DMA overlaps the next step
@@ -124,6 +137,12 @@ class LaneKernelConfig:
     local_start: bool = False  # alignment may start anywhere (local prefix)
     free_query_start_gaps: bool = False  # leading query gaps are free
     free_query_end_gaps: bool = False  # trailing query gaps are free
+    row_split: int = 1  # split each bank's S-row DP column into this many
+    # chained (S/row_split)-row sub-banks: identical bytes/VMEM (the
+    # (K, S, P) planes re-bank to (K*r, S/r, P), row-major-equal), but
+    # Mosaic sees the small-S shapes it schedules well -- this removes the
+    # S=512 cliff (K=1 unit-dim pessimization / K=2 spills) by chaining
+    # prefix-scan and shift carries across sub-banks instead of spilling
     interpret: bool = False
 
     def __post_init__(self):
@@ -132,6 +151,14 @@ class LaneKernelConfig:
         assert self.seq_cap % 128 == 0 and self.seq_cap >= 256
         assert self.seq_cap <= 16384, "lane kernel keeps codes VMEM-resident"
         assert self.banks in (1, 2, 4, 8, 16, 32)
+        assert self.row_split in (1, 2, 4)
+        if self.row_split > 1:
+            assert not self.profile, "profile mode does not row-split"
+            assert S % self.row_split == 0
+            assert S // self.row_split >= 64, (
+                "sub-banks below 64 rows lose more to carry chaining than "
+                "they gain"
+            )
         # K == 1 leaves a unit leading dim that pessimizes Mosaic layouts
         # ~5x (measured); prefer K >= 2 whenever the batch allows it
         assert self.batch % (P * self.banks) == 0
@@ -197,7 +224,8 @@ class LaneKernelConfig:
         the margin)."""
         return lane_vmem_bytes(self.block, self.seq_cap, self.alpha,
                                self.banks, trace=self.trace,
-                               profile=self.profile)
+                               profile=self.profile,
+                               row_split=self.row_split)
 
     @property
     def n_chunks(self) -> int:
@@ -223,11 +251,122 @@ def build_lane_engine(cfg: LaneKernelConfig):
     PRO_STEPS = S // STEP
     MAX_STEPS = cfg.max_steps
 
-    def shift_up_rows(x, k, fill):
-        """position p <- p - k along axis 1; first k rows filled."""
-        return jnp.concatenate(
-            [jnp.full((K, k, P), fill, x.dtype), x[:, : S - k, :]], axis=1
+    # row-splitting: the (K, S, P) DP planes are stored (KR, SR, P) --
+    # byte-identical row-major layout, but sub-bank b of group k holds
+    # logical rows [b*SR, (b+1)*SR).  Along-S operations chain carries
+    # across the R sub-banks of a group; per-pair scalar rows are
+    # duplicated across sub-banks so elementwise code is split-agnostic.
+    R = cfg.row_split
+    SR = S // R
+    KR = K * R
+
+    def dup(x):
+        """(..., K, n, P) -> (..., KR, n, P): duplicate across sub-banks
+        (leading-dim broadcast + merge; free in Mosaic)."""
+        if R == 1:
+            return x
+        sh = x.shape
+        b = jnp.broadcast_to(
+            x[..., :, None, :, :], sh[:-3] + (K, R) + sh[-2:]
         )
+        return b.reshape(sh[:-3] + (KR,) + sh[-2:])
+
+    def undup(x):
+        """(..., KR, n, P) -> (..., K, n, P): take sub-bank 0's copy."""
+        if R == 1:
+            return x
+        sh = x.shape
+        return x.reshape(sh[:-3] + (K, R) + sh[-2:])[..., :, 0, :, :]
+
+    def gmax(x):
+        """group max over sub-banks, returned duplicated (for reductions
+        whose per-sub-bank results must agree with the logical full-column
+        reduction)."""
+        if R == 1:
+            return x
+        sh = x.shape
+        x4 = x.reshape(sh[:-3] + (K, R) + sh[-2:])
+        return dup(jnp.max(x4, axis=-3))
+
+    def row_select(x, row):
+        """logical row (static) of every group -> (K, 1, P)."""
+        if R == 1:
+            return x[:, row : row + 1, :]
+        b, s = divmod(row, SR)
+        return x.reshape(K, R, SR, P)[:, b, s : s + 1, :]
+
+    def head_rows(x, n):
+        """logical rows 0..n-1 (n <= SR static) -> duplicated (KR, n, P)."""
+        if R == 1:
+            return x[:, :n, :]
+        return dup(x.reshape(K, R, SR, P)[:, 0, :n, :])
+
+    def shift_up_rows(x, k, fill):
+        """position p <- p - k along the logical S axis; first k rows
+        filled.  Carries chain from sub-bank b-1 into b."""
+        lead = x.shape[:-3]
+        if R == 1:
+            return jnp.concatenate(
+                [jnp.full(lead + (K, k, P), fill, x.dtype),
+                 x[..., :, : S - k, :]], axis=-2
+            )
+        x4 = x.reshape(lead + (K, R, SR, P))
+        q, rem = divmod(k, SR)
+        fill_blk = jnp.full(lead + (K, 1, SR, P), fill, x.dtype)
+
+        def src(b):
+            hi_b = b - q  # supplies dest rows rem..SR-1
+            lo_b = b - q - 1  # supplies dest rows 0..rem-1
+            hi = (x4[..., :, hi_b : hi_b + 1, : SR - rem, :]
+                  if hi_b >= 0 else fill_blk[..., : SR - rem, :])
+            if rem == 0:
+                return hi
+            lo = (x4[..., :, lo_b : lo_b + 1, SR - rem :, :]
+                  if lo_b >= 0 else fill_blk[..., :rem, :])
+            return jnp.concatenate([lo, hi], axis=-2)
+
+        out = jnp.concatenate([src(b) for b in range(R)], axis=-3)
+        return out.reshape(lead + (KR, SR, P))
+
+    def shift1_up(x, head):
+        """result[0] = head (one (K, 1, P) row per group),
+        result[p] = x[p-1]: the D00 diagonal shift."""
+        if R == 1:
+            return jnp.concatenate([head, x[:, : S - 1, :]], axis=1)
+        x4 = x.reshape(K, R, SR, P)
+        pieces = []
+        for b in range(R):
+            first = (head[:, None] if b == 0
+                     else x4[:, b - 1 : b, SR - 1 :, :])
+            pieces.append(
+                jnp.concatenate([first, x4[:, b : b + 1, : SR - 1, :]],
+                                axis=-2)
+            )
+        return jnp.concatenate(pieces, axis=1).reshape(KR, SR, P)
+
+    def shift_down_tail(x, tail):
+        """drop the first STEP logical rows, append tail ((..., K, STEP, P))
+        at the end: the lane-window stack advance / border splice."""
+        lead = x.shape[:-3]
+        if R == 1:
+            return jnp.concatenate([x[..., :, STEP:, :], tail], axis=-2)
+        x4 = x.reshape(lead + (K, R, SR, P))
+        pieces = []
+        for b in range(R):
+            main = x4[..., :, b : b + 1, STEP:, :]
+            nxt = (x4[..., :, b + 1 : b + 2, :STEP, :]
+                   if b < R - 1 else tail[..., :, None, :, :])
+            pieces.append(jnp.concatenate([main, nxt], axis=-2))
+        out = jnp.concatenate(pieces, axis=-3)
+        return out.reshape(lead + (KR, SR, P))
+
+    def set_row0(x, row0):
+        """replace logical row 0 of every group with row0 ((K, 1, P))."""
+        if R == 1:
+            return jnp.concatenate([row0, x[:, 1:, :]], axis=1)
+        x4 = x.reshape(K, R, SR, P)
+        b0 = jnp.concatenate([row0[:, None], x4[:, 0:1, 1:, :]], axis=-2)
+        return jnp.concatenate([b0, x4[:, 1:]], axis=1).reshape(KR, SR, P)
 
     def kernel(qlen_ref, rlen_ref, scq0_ref, scr0_ref, M_ref, codes_hbm,
                gap_ref, *rest):
@@ -290,15 +429,28 @@ def build_lane_engine(cfg: LaneKernelConfig):
         open_ = gap_ref[0, 0]
         e = gap_ref[0, 1]
         xdrop_x = gap_ref[0, 2]
-        qlen = qlen_ref[0]  # (K, 1, P)
-        rlen = rlen_ref[0]
+        qlen = dup(qlen_ref[0])  # (KR, 1, P), duplicated per sub-bank
+        rlen = dup(rlen_ref[0])
 
-        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (S, P), 0)
+        # global logical row index per sub-bank (row-split aware)
+        if R == 1:
+            rows_iota = jax.lax.broadcasted_iota(jnp.int32, (S, P), 0)
+        else:
+            rows_iota = (
+                jax.lax.broadcasted_iota(jnp.int32, (KR, SR, P), 1)
+                + (jax.lax.broadcasted_iota(jnp.int32, (KR, SR, P), 0) % R)
+                * SR
+            )
         oh_iota = jax.lax.broadcasted_iota(jnp.int32, (A, K, P), 0)
         zc = e * ((rows_iota % STEP) + 1)  # scan zero-correction constants
-        NCHK = S // 16  # 16-lane residue chunks (reference AVX2 L = 16)
-        r16_iota = jax.lax.broadcasted_iota(jnp.int32, (K, 16, P), 1)
-        ch_iota = jax.lax.broadcasted_iota(jnp.int32, (K, NCHK, 16, P), 1)
+        NCHK = SR // 16  # 16-lane residue chunks per sub-bank (AVX2 L = 16)
+        r16_iota = jax.lax.broadcasted_iota(jnp.int32, (KR, 16, P), 1)
+        # global chunk index (sub-bank offset folded in)
+        ch_iota = (
+            jax.lax.broadcasted_iota(jnp.int32, (KR, NCHK, 16, P), 1)
+            + (jax.lax.broadcasted_iota(jnp.int32, (KR, NCHK, 16, P), 0) % R)
+            * NCHK
+        )
 
         # ---------------- init ----------------
         if cfg.profile:
@@ -310,8 +462,9 @@ def build_lane_engine(cfg: LaneKernelConfig):
             dma = pltpu.make_async_copy(codes_hbm.at[prog], CODES, sem)
             dma.start()
             dma_q = None
-        zS = jnp.zeros((K, S, P), jnp.int32)
-        z1 = jnp.zeros((K, 1, P), jnp.int32)
+        zS = jnp.zeros((KR, SR, P), jnp.int32)
+        z1 = jnp.zeros((KR, 1, P), jnp.int32)
+        z1g = jnp.zeros((K, 1, P), jnp.int32)
         seg_first = gap_ref[0, 3] if cfg.segmented else 1
 
         SCALARS = (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DIR, ST_PDIR, ST_DONE,
@@ -387,19 +540,19 @@ def build_lane_engine(cfg: LaneKernelConfig):
                     SCACT[...] = jnp.where(right0, SCQ[...], SCR[...])
 
         for ref in (tempD, tempR):
-            ref[...] = zS
-        DMAX[...] = jnp.full((K, S, P), NEG32, jnp.int32)
+            ref[...] = jnp.zeros((K, STEP, P), jnp.int32)
+        DMAX[...] = jnp.full((KR, SR, P), NEG32, jnp.int32)
         ST_OA[...] = z1
         CVEC[...] = z1 + NEG32
         if cfg.x_drop or cfg.free_query_end_gaps:
-            XVM[...] = jnp.full((K, 16, P), NEG32, jnp.int32)
-            XAI[...] = jnp.zeros((K, 16, P), jnp.int32)
-            XAJ[...] = jnp.zeros((K, 16, P), jnp.int32)
+            XVM[...] = jnp.full((KR, 16, P), NEG32, jnp.int32)
+            XAI[...] = jnp.zeros((KR, 16, P), jnp.int32)
+            XAJ[...] = jnp.zeros((KR, 16, P), jnp.int32)
         if cfg.trace:
             # the prologue rect descriptor: right, origin (0, 0), not done
             # (both slots: prologue steps DMA whichever slot is theirs)
             MST[...] = jnp.broadcast_to(
-                jnp.concatenate([z1 + 1, z1, z1, z1], axis=1)[None],
+                jnp.concatenate([z1g + 1, z1g, z1g, z1g], axis=1)[None],
                 (2, K, 4, P),
             )
         dma.wait()
@@ -494,11 +647,15 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
             # entering codes: the prologue reads the reference at column 8*s;
             # steady steps read the advancing side at (i|j) + S - 8
-            side = jnp.where(in_pro, 1, jnp.where(dirn == 0, 1, 0))
+            # (computed in group space: the code window and EC8 stay
+            # un-split, one extraction per pair group)
+            dirn_g = undup(dirn)
+            side = jnp.where(in_pro, 1, jnp.where(dirn_g == 0, 1, 0))
             pos8 = jnp.where(
                 in_pro,
                 jnp.broadcast_to(s_idx * STEP, (K, 1, P)),
-                jnp.where(dirn == 0, ST_J[...], ST_I[...]) + (S - STEP),
+                jnp.where(dirn_g == 0, undup(ST_J[...]), undup(ST_I[...]))
+                + (S - STEP),
             )
             pos8_prof = pos8
             if cfg.segmented:
@@ -511,7 +668,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 else:
                     pos8 = pos8 - jnp.where(
                         in_pro, 0,
-                        jnp.where(dirn == 0, baser_ref[0], baseq_ref[0]),
+                        jnp.where(dirn_g == 0, baser_ref[0], baseq_ref[0]),
                     )
             if cfg.profile:
                 # both fetches run every step; lanes moving the other way
@@ -541,8 +698,10 @@ def build_lane_engine(cfg: LaneKernelConfig):
                     FRIDX[...] = jnp.clip(lane_len - starti, 0, S - 1)
                 if cfg.trace:
                     # this step's rect descriptor for the host-side decoder
+                    # (one (K, 4, P) row set per group, never split)
                     MST[pl.ds(slot, 1)] = jnp.concatenate(
-                        [right.astype(jnp.int32), starti, colpos0, done],
+                        [undup(right.astype(jnp.int32)), undup(starti),
+                         undup(colpos0), undup(done)],
                         axis=1,
                     )[None]
 
@@ -573,17 +732,13 @@ def build_lane_engine(cfg: LaneKernelConfig):
                     )
                     return
                 score_new_rows()
-                qmoved = (dirn == 1)[None]  # (1, K, 1, P)
+                qmoved = (dirn == 1)[None]  # (1, KR, 1, P)
                 rmoved = (dirn == 0)[None]
-                nr = NR[...]  # (A, K, STEP, P)
+                nr = NR[...]  # (NG, K, STEP, P)
                 sq = SCQ[...]
                 sr = SCR[...]
-                sq_new = jnp.where(
-                    qmoved, jnp.concatenate([sq[:, :, STEP:, :], nr], axis=2), sq
-                )
-                sr_new = jnp.where(
-                    rmoved, jnp.concatenate([sr[:, :, STEP:, :], nr], axis=2), sr
-                )
+                sq_new = jnp.where(qmoved, shift_down_tail(sq, nr), sq)
+                sr_new = jnp.where(rmoved, shift_down_tail(sr, nr), sr)
                 SCQ[...] = sq_new
                 SCR[...] = sr_new
                 SCACT[...] = jnp.where(rmoved, sq_new, sr_new)
@@ -599,7 +754,8 @@ def build_lane_engine(cfg: LaneKernelConfig):
             (bit-exactness is still enforced by the oracle-parity tests)."""
             done = ST_DONE[...]
 
-            c_w = EC8[:, w, :][:, None, :]  # (K, 1, P) column codes
+            # (KR, 1, P) column codes, duplicated per sub-bank
+            c_w = dup(EC8[:, w, :][:, None, :])
             if cfg.profile:
                 # asymmetric profile fetch (reference: src/scan_block.rs:
                 # 597-783): right rects select the entering profile
@@ -648,10 +804,10 @@ def build_lane_engine(cfg: LaneKernelConfig):
             D10 = ACT_D[...]
             C10 = ACT_C[...]
             if w == 0:
-                corner = CVEC[...]
+                corner = undup(CVEC[...])
             else:
                 corner = jnp.full((K, 1, P), NEG32, jnp.int32)
-            D00 = jnp.concatenate([corner, D10[:, : S - 1, :]], axis=1)
+            D00 = shift1_up(D10, corner)
 
             D11 = _sat(D00 + scores)
             if cfg.local_start:
@@ -662,17 +818,19 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 # free leading query gaps: right rects starting at lane 0
                 # re-insert the relative zero at row 0 of every column
                 # (reference: src/scan_block.rs:1130-1132)
-                row0 = jnp.where(INS0[...] == 1, RZ[...], D11[:, 0:1, :])
-                D11 = jnp.concatenate([row0, D11[:, 1:, :]], axis=1)
+                row0 = jnp.where(undup(INS0[...]) == 1, undup(RZ[...]),
+                                 row_select(D11, 0))
+                D11 = set_row0(D11, row0)
             elif w == 0:
                 # DP origin cell = relative zero (reference:
                 # src/scan_block.rs:1130); only at global column 0, where
                 # off == 0 so the relative zero is exactly ZERO
                 origin = in_pro & (s_idx == 0)
                 row0 = jnp.where(
-                    origin, jnp.full((K, 1, P), ZERO, jnp.int32), D11[:, 0:1, :]
+                    origin, jnp.full((K, 1, P), ZERO, jnp.int32),
+                    row_select(D11, 0)
                 )
-                D11 = jnp.concatenate([row0, D11[:, 1:, :]], axis=1)
+                D11 = set_row0(D11, row0)
 
             if cfg.profile:
                 # C opens with the position-specific cost (+e, the engine's
@@ -721,10 +879,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
                     (D11 == r_end).astype(jnp.int32) << 1
                 )
                 temp_tr = (R11 == D11_open).astype(jnp.int32)
-                tr_R = jnp.concatenate(
-                    [jnp.zeros((K, 1, P), jnp.int32), temp_tr[:, : S - 1, :]],
-                    axis=1,
-                )
+                tr_R = shift1_up(temp_tr, z1g)
                 t2b = (C11 == C11_open).astype(jnp.int32) | (tr_R << 1)
                 word = tb | (t2b << 2)
                 if cfg.local_start:
@@ -756,19 +911,37 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
             # stage the column's bottom cell; the prologue rect writes
             # straight into the passive border (reference: src/scan_block.rs:289)
-            bot_d = D11[:, S - 1 : S, :]
-            bot_r = R11[:, S - 1 : S, :]
+            bot_d = row_select(D11, S - 1)  # (K, 1, P)
+            bot_r = row_select(R11, S - 1)
 
             @pl.when(in_pro)
             def _():
                 tgt = s_idx * STEP + w
-                PAS_D[:, pl.ds(tgt, 1), :] = bot_d
-                PAS_R[:, pl.ds(tgt, 1), :] = bot_r
+                if R == 1:
+                    PAS_D[:, pl.ds(tgt, 1), :] = bot_d
+                    PAS_R[:, pl.ds(tgt, 1), :] = bot_r
+                else:
+                    # dynamic logical row -> (sub-bank, local row): a
+                    # masked RMW of one local row across the sub-banks
+                    bq = tgt // SR
+                    trow = lax.rem(tgt, SR)
+                    sub_iota = (
+                        jax.lax.broadcasted_iota(jnp.int32, (KR, 1, P), 0)
+                        % R
+                    )
+                    PAS_D[:, pl.ds(trow, 1), :] = jnp.where(
+                        sub_iota == bq, dup(bot_d),
+                        PAS_D[:, pl.ds(trow, 1), :],
+                    )
+                    PAS_R[:, pl.ds(trow, 1), :] = jnp.where(
+                        sub_iota == bq, dup(bot_r),
+                        PAS_R[:, pl.ds(trow, 1), :],
+                    )
 
             @pl.when(jnp.logical_not(in_pro))
             def _():
-                tempD[:, S - STEP + w : S - STEP + w + 1, :] = bot_d
-                tempR[:, S - STEP + w : S - STEP + w + 1, :] = bot_r
+                tempD[:, w : w + 1, :] = bot_d
+                tempR[:, w : w + 1, :] = bot_r
 
             wloc = jnp.where(in_pro, s_idx * STEP + w, w)
             if cfg.x_drop or cfg.free_query_end_gaps:
@@ -776,8 +949,8 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 # replicating the reference SIMD bookkeeping exactly
                 # (reference: src/scan_block.rs:1192-1201; ties: highest
                 # chunk this column, latest column overall)
-                Dr = D11.reshape(K, NCHK, 16, P)
-                vm_new = jnp.maximum(XVM[...], Dr.max(axis=1))
+                Dr = D11.reshape(KR, NCHK, 16, P)
+                vm_new = gmax(jnp.maximum(XVM[...], Dr.max(axis=1)))
                 eqm = Dr == vm_new[:, None]
                 if cfg.free_query_end_gaps:
                     # argmax restricted to chunks whose end passes qlen
@@ -785,9 +958,10 @@ def build_lane_engine(cfg: LaneKernelConfig):
                     eqm = eqm & (
                         FRA[...][:, None] + ch_iota * 16 + 16 > qlen[:, None]
                     )
-                hit = jnp.max(
-                    jnp.where(eqm, ch_iota, -1), axis=1
-                )  # (K, 16, P): highest chunk matching the running max
+                # (KR, 16, P): highest global chunk matching the running
+                # max (ch_iota carries the sub-bank offset; gmax picks the
+                # winner across sub-banks)
+                hit = gmax(jnp.max(jnp.where(eqm, ch_iota, -1), axis=1))
                 upd = hit >= 0
                 XAI[...] = jnp.where(upd, FRA[...] + hit * 16, XAI[...])
                 XAJ[...] = jnp.where(upd, FRT[...] + wloc, XAJ[...])
@@ -801,11 +975,11 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
                 @pl.when(jnp.any(fr_new))
                 def _():
-                    val = jnp.max(
+                    val = gmax(jnp.max(
                         jnp.where(rows_iota == FRIDX[...], D11,
                                   jnp.iinfo(jnp.int32).min),
                         axis=1, keepdims=True,
-                    )
+                    ))
                     fscore = ST_OFF[...] + val - ZERO
                     OUT[...] = jnp.where(fr_new, fscore, OUT[...])
                     ST_DONE[...] = jnp.where(fr_new, 1, ST_DONE[...])
@@ -817,7 +991,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
             @pl.when(in_pro_end)
             def _():
-                ST_DIR[...] = jnp.full((K, 1, P), 2, jnp.int32)
+                ST_DIR[...] = jnp.full((KR, 1, P), 2, jnp.int32)
 
             @pl.when(jnp.logical_not(in_pro_end))
             def _():
@@ -829,17 +1003,13 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 pd = _sat(PAS_D[...] + oa)
                 pr = _sat(PAS_R[...] + oa)
                 CORN[...] = jnp.where(
-                    active, pd[:, STEP - 1 : STEP, :], CORN[...]
+                    active, dup(row_select(pd, STEP - 1)), CORN[...]
                 )
-                PAS_D[...] = jnp.concatenate(
-                    [pd[:, STEP:, :], tempD[:, S - STEP :, :]], axis=1
-                )
-                PAS_R[...] = jnp.concatenate(
-                    [pr[:, STEP:, :], tempR[:, S - STEP :, :]], axis=1
-                )
+                PAS_D[...] = shift_down_tail(pd, tempD[...])
+                PAS_R[...] = shift_down_tail(pr, tempR[...])
 
             # off_max update (reference: src/scan_block.rs:333-345)
-            cur_max = jnp.max(DMAX[...], axis=1, keepdims=True)
+            cur_max = gmax(jnp.max(DMAX[...], axis=1, keepdims=True))
             if cfg.free_query_end_gaps:
                 # free-end mode tracks (and rebases to) the qlen-residue
                 # lane max (reference: tracker.vmax[qlen % L])
@@ -850,7 +1020,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 )
             off_max = ST_OFF[...] + cur_max - ZERO
             ST_OFFMAX[...] = jnp.where(active, off_max, ST_OFFMAX[...])
-            DMAX[...] = jnp.full((K, S, P), NEG32, jnp.int32)
+            DMAX[...] = jnp.full((KR, SR, P), NEG32, jnp.int32)
 
             # y-drop stall tracking: the reference grows its block when the
             # running best hasn't improved for block_size/STEP free steps
@@ -875,7 +1045,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 XBEST[...] = jnp.where(improved, off_max, XBEST[...])
                 XBI[...] = jnp.where(improved, qlen, XBI[...])
                 XBJ[...] = jnp.where(improved, aj, XBJ[...])
-                XVM[...] = jnp.full((K, 16, P), NEG32, jnp.int32)
+                XVM[...] = jnp.full((KR, 16, P), NEG32, jnp.int32)
                 reached = active & ((ST_I[...] + S) > qlen) & (
                     (ST_J[...] + S) > rlen
                 )
@@ -905,7 +1075,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 XBEST[...] = jnp.where(improved, off_max, XBEST[...])
                 XBI[...] = jnp.where(improved, bi, XBI[...])
                 XBJ[...] = jnp.where(improved, bj, XBJ[...])
-                XVM[...] = jnp.full((K, 16, P), NEG32, jnp.int32)
+                XVM[...] = jnp.full((KR, 16, P), NEG32, jnp.int32)
 
                 xfail = active & (off_max < XBEST[...] - xdrop_x)
                 terminate = xfail & (XITER[...] >= 1)  # X_DROP_ITER = 2
@@ -922,8 +1092,8 @@ def build_lane_engine(cfg: LaneKernelConfig):
             j_ = ST_J[...]
             dirn = ST_DIR[...]
             right_now = dirn != 1
-            act8 = ACT_D[...][:, :STEP, :]
-            pas8 = PAS_D[...][:, :STEP, :]
+            act8 = head_rows(ACT_D[...], STEP)
+            pas8 = head_rows(PAS_D[...], STEP)
             dcol8 = jnp.where(right_now, act8, pas8)
             drow8 = jnp.where(right_now, pas8, act8)
             right_max = jnp.max(dcol8, axis=1, keepdims=True)
@@ -1017,7 +1187,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
         wide = cfg.x_drop or cfg.free_query_end_gaps
         # last output row in every mode: the y-drop "suspect" flag
         if wide and cfg.trace:
-            steps = jnp.full((K, 1, P), final[0], jnp.int32)
+            steps = jnp.full((KR, 1, P), final[0], jnp.int32)
             score_ref[0] = jnp.concatenate(
                 [XBEST[...], XBI[...], XBJ[...], steps, SUSP[...]], axis=1
             )
@@ -1026,7 +1196,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 [XBEST[...], XBI[...], XBJ[...], SUSP[...]], axis=1
             )
         elif cfg.trace:
-            steps = jnp.full((K, 1, P), final[0], jnp.int32)
+            steps = jnp.full((KR, 1, P), final[0], jnp.int32)
             score_ref[0] = jnp.concatenate(
                 [OUT[...], steps, SUSP[...]], axis=1
             )
@@ -1075,6 +1245,25 @@ def build_lane_engine(cfg: LaneKernelConfig):
     # ------------------------------------------------------------------
     def engine(qlen, rlen, scq0, scr0, M, codes, gaps, *seg_args):
         n_progs = cfg.n_programs
+        if R > 1:
+            # re-bank the S-axis inputs to the split (KR, SR, P) layout
+            # (free: row-major byte-identical) and duplicate the scalar
+            # rows of the segmented restore buffer across sub-banks.
+            # All external shapes stay legacy (K, S, P).
+            scq0 = scq0.reshape(n_progs, NG, KR, SR, P)
+            scr0 = scr0.reshape(n_progs, NG, KR, SR, P)
+            if cfg.segmented:
+                seg_args = list(seg_args)
+                seg_args[2] = seg_args[2].reshape(
+                    n_progs, 2 * NG, KR, SR, P)  # sb_in
+                seg_args[3] = seg_args[3].reshape(
+                    n_progs, 4, KR, SR, P)  # bb_in
+                vb = seg_args[4]  # (n_progs, rows, K, 1, P)
+                seg_args[4] = jnp.broadcast_to(
+                    vb[:, :, :, None],
+                    (n_progs, cfg.n_scalar_rows, K, R, 1, P),
+                ).reshape(n_progs, cfg.n_scalar_rows, KR, 1, P)
+                seg_args = tuple(seg_args)
         if cfg.profile:
             # scq0 = qc0 stack, scr0 = profile-row stack, M = gap-word
             # stack, codes = packed profile words, seg_args = (qcodes,)
@@ -1092,8 +1281,8 @@ def build_lane_engine(cfg: LaneKernelConfig):
             in_specs = [
                 pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, K, 1, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, NG, K, S, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NG, KR, SR, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NG, KR, SR, P), lambda t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1115,28 +1304,28 @@ def build_lane_engine(cfg: LaneKernelConfig):
         else:
             OW = 3 if cfg.trace else 2
         out_specs = pl.BlockSpec(
-            (1, K, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, KR, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
-        out_shape = jax.ShapeDtypeStruct((n_progs, K, OW, P), jnp.int32)
+        out_shape = jax.ShapeDtypeStruct((n_progs, KR, OW, P), jnp.int32)
         out_specs_t, out_shape_t = [out_specs], [out_shape]
         if cfg.segmented:
             out_specs_t += [pl.BlockSpec(memory_space=pltpu.HBM)] * 3
             sb_shape = (
                 (n_progs, K, PROF_NW + 1, S, P) if cfg.profile
-                else (n_progs, 2 * NG, K, S, P)
+                else (n_progs, 2 * NG, KR, SR, P)
             )
             out_shape_t += [
                 jax.ShapeDtypeStruct(sb_shape, jnp.int32),
-                jax.ShapeDtypeStruct((n_progs, 4, K, S, P), jnp.int32),
+                jax.ShapeDtypeStruct((n_progs, 4, KR, SR, P), jnp.int32),
                 jax.ShapeDtypeStruct(
-                    (n_progs, cfg.n_scalar_rows, K, 1, P), jnp.int32
+                    (n_progs, cfg.n_scalar_rows, KR, 1, P), jnp.int32
                 ),
             ]
         if cfg.trace:
             out_specs_t += [pl.BlockSpec(memory_space=pltpu.HBM)] * 2
             out_shape_t += [
                 jax.ShapeDtypeStruct(
-                    (n_progs, cfg.trace_cols, K, S, P), jnp.int32
+                    (n_progs, cfg.trace_cols, KR, SR, P), jnp.int32
                 ),
                 jax.ShapeDtypeStruct(
                     (n_progs, cfg.max_steps, K, 4, P), jnp.int32
@@ -1145,7 +1334,7 @@ def build_lane_engine(cfg: LaneKernelConfig):
         if len(out_specs_t) > 1:
             out_specs = tuple(out_specs_t)
             out_shape = tuple(out_shape_t)
-        return pl.pallas_call(
+        res = pl.pallas_call(
             kernel,
             grid=(n_progs,),
             in_specs=in_specs,
@@ -1163,33 +1352,33 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 if cfg.profile
                 else [
                     pltpu.VMEM((K, 2 * NCH, 128, P), jnp.int8),  # CODES
-                    pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCQ (packed)
-                    pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCR (packed)
-                    pltpu.VMEM((NG, K, S, P), jnp.int32),  # SCACT (packed)
+                    pltpu.VMEM((NG, KR, SR, P), jnp.int32),  # SCQ (packed)
+                    pltpu.VMEM((NG, KR, SR, P), jnp.int32),  # SCR (packed)
+                    pltpu.VMEM((NG, KR, SR, P), jnp.int32),  # SCACT (packed)
                     pltpu.VMEM((NG, K, STEP, P), jnp.int32),  # NR (packed)
                 ]
             )
             + [
                 pltpu.VMEM((K, STEP, P), jnp.int32),  # EC8
-                pltpu.VMEM((K, S, P), jnp.int32),  # ACT_D
-                pltpu.VMEM((K, S, P), jnp.int32),  # ACT_C
-                pltpu.VMEM((K, S, P), jnp.int32),  # PAS_D
-                pltpu.VMEM((K, S, P), jnp.int32),  # PAS_R
-                pltpu.VMEM((K, S, P), jnp.int32),  # tempD
-                pltpu.VMEM((K, S, P), jnp.int32),  # tempR
-                pltpu.VMEM((K, S, P), jnp.int32),  # DMAX
+                pltpu.VMEM((KR, SR, P), jnp.int32),  # ACT_D
+                pltpu.VMEM((KR, SR, P), jnp.int32),  # ACT_C
+                pltpu.VMEM((KR, SR, P), jnp.int32),  # PAS_D
+                pltpu.VMEM((KR, SR, P), jnp.int32),  # PAS_R
+                pltpu.VMEM((K, STEP, P), jnp.int32),  # tempD
+                pltpu.VMEM((K, STEP, P), jnp.int32),  # tempR
+                pltpu.VMEM((KR, SR, P), jnp.int32),  # DMAX
             ]
-            + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(14)]
+            + [pltpu.VMEM((KR, 1, P), jnp.int32) for _ in range(14)]
             + [
-                pltpu.VMEM((K, 16, P), jnp.int32),  # XVM
-                pltpu.VMEM((K, 16, P), jnp.int32),  # XAI
-                pltpu.VMEM((K, 16, P), jnp.int32),  # XAJ
+                pltpu.VMEM((KR, 16, P), jnp.int32),  # XVM
+                pltpu.VMEM((KR, 16, P), jnp.int32),  # XAI
+                pltpu.VMEM((KR, 16, P), jnp.int32),  # XAJ
             ]
-            + [pltpu.VMEM((K, 1, P), jnp.int32) for _ in range(9)]
+            + [pltpu.VMEM((KR, 1, P), jnp.int32) for _ in range(9)]
             + (
                 [
                     pltpu.VMEM(
-                        (2, cfg.trace_words, K, S, P), jnp.int32
+                        (2, cfg.trace_words, KR, SR, P), jnp.int32
                     ),  # TST x2 slots (8 cols/word; 4 in local-start)
                     pltpu.VMEM((2, K, 4, P), jnp.int32),  # MST x2 slots
                 ]
@@ -1211,6 +1400,23 @@ def build_lane_engine(cfg: LaneKernelConfig):
             ),
             interpret=cfg.interpret,
         )(qlen, rlen, scq0, scr0, M, codes, gaps, *seg_args)
+        if R == 1:
+            return res
+        # convert outputs back to the legacy (K, S, P) shapes: planes are
+        # free reshapes; duplicated scalar rows take sub-bank 0's copy
+        single = not isinstance(res, (tuple, list))
+        outs = [res] if single else list(res)
+        outs[0] = outs[0].reshape(n_progs, K, R, OW, P)[:, :, 0]
+        i = 1
+        if cfg.segmented:
+            outs[i] = outs[i].reshape(n_progs, 2 * NG, K, S, P)
+            outs[i + 1] = outs[i + 1].reshape(n_progs, 4, K, S, P)
+            outs[i + 2] = outs[i + 2].reshape(
+                n_progs, cfg.n_scalar_rows, K, R, 1, P)[:, :, :, 0]
+            i += 3
+        if cfg.trace:
+            outs[i] = outs[i].reshape(n_progs, cfg.trace_cols, K, S, P)
+        return outs[0] if single else tuple(outs)
 
     return jax.jit(engine)
 

@@ -1,0 +1,230 @@
+"""Turnkey TPU validation run for everything that was CPU-only-verified
+while the tunnel was down.
+
+Each stage runs in its own subprocess under a timeout (a Mosaic compile
+hang or a dead tunnel must not kill the whole run) and appends one JSON
+line to ``/tmp/tpu_validate.jsonl``:
+
+  A  device sanity: jax.devices() + one BatchAligner score (expect 77)
+  B  lane row_split A/B: segmented block-512 compile + per-pair device
+     rate at row_split 1 vs 2 (the S=512 cliff fix; CLAUDE.md)
+  C  big-kernel compiles: resident (32,1024) and (128,1024); segmented
+     (512,8192) window config (the r3 compile blocker)
+  D  bench.py headline (one JSON line of its own)
+  E  band rows: nanopore <10 kbp (128,1024) resident big-kernel rate and
+     <50 kbp (512,8192) LongAdaptiveAligner rate vs BASELINE.md targets
+     (350 us/pair and 6.03 ms/pair, reference notebook cell 27)
+
+Run:  timeout 10800 python scripts_tpu/tpu_validate.py [A B C D E]
+"""
+import json
+import multiprocessing as mp
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+OUT = Path("/tmp/tpu_validate.jsonl")
+
+
+def log(rec):
+    rec["ts"] = time.time()
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def run_stage(tag, target, budget_s):
+    q = mp.Queue()
+    p = mp.Process(target=target, args=(q,))
+    t0 = time.time()
+    p.start()
+    p.join(budget_s)
+    if p.is_alive():
+        p.terminate()
+        p.join()
+        log({"stage": tag, "status": "timeout", "budget_s": budget_s})
+        return
+    try:
+        status, payload = q.get_nowait()
+    except Exception:
+        status, payload = "died", {}
+    log({"stage": tag, "status": status, "wall_s": round(time.time() - t0, 1),
+         **payload})
+
+
+# ---------------------------------------------------------------- stages
+def stage_a(q):
+    import jax
+    devs = jax.devices()
+    from block_aligner_tpu import BLOSUM62, Gaps
+    from block_aligner_tpu.api import BatchAligner
+    al = BatchAligner(BLOSUM62, Gaps(-11, -1), size=(16, 32), batch=8,
+                      seq_cap=128)
+    res = al.align_batch(
+        [(b"CAGGATTAGCGGATCACG", b"CTGGAGTCTTTTAGCGGATCACGC")])
+    ok = res[0].score == 77
+    q.put(("ok" if ok else "wrong",
+           {"devices": [str(d) for d in devs], "score": res[0].score}))
+
+
+def _rate(fn, args, reps=6):
+    import numpy as np
+    out = fn(*args)
+    first = out[0] if isinstance(out, (tuple, list)) else out
+    np.asarray(first)  # sync after compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    first = out[0] if isinstance(out, (tuple, list)) else out
+    np.asarray(first)  # queue reps, fetch last (axon timing gotcha)
+    return (time.perf_counter() - t0) / reps
+
+
+def stage_b(q):
+    import dataclasses
+
+    import numpy as np
+    from block_aligner_tpu import NucMatrix, Gaps
+    from block_aligner_tpu.api import LongBatchAligner
+    from block_aligner_tpu.ops.lane_kernel import build_lane_engine
+
+    rng = np.random.default_rng(4)
+    DNA = b"ACGT"
+    matrix = NucMatrix.new_simple(2, -4)
+    gaps = Gaps(open=-6, extend=-2)
+    pairs = []
+    for _ in range(256):
+        n = int(rng.integers(2800, 3200))
+        r = bytes(rng.choice(list(DNA), size=n).tolist())
+        b = bytearray(r)
+        for _ in range(n // 12):
+            b[int(rng.integers(0, len(b)))] = int(rng.choice(list(DNA)))
+        pairs.append((bytes(b), r))
+    res = {}
+    al = LongBatchAligner(matrix, gaps, block=512, window=2048, batch=256)
+    base_cfg = al.cfg
+    for rs in (2, 1):
+        # A/B the segmented launch chain with the re-banked vs flat engine
+        al.cfg = dataclasses.replace(base_cfg, row_split=rs)
+        al._fn = build_lane_engine(al.cfg)
+        t0 = time.perf_counter()
+        got = al.align_batch(pairs)
+        res[f"split{rs}_compile_plus_run_s"] = round(
+            time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        got = al.align_batch(pairs)
+        dt = time.perf_counter() - t0
+        res[f"split{rs}_us_per_pair"] = round(dt / len(pairs) * 1e6, 2)
+        res[f"split{rs}_score0"] = int(got[0].score)
+    q.put(("ok", res))
+
+
+def stage_c(q):
+    # compile-probe the big kernel at the nanopore band shapes; scores
+    # cross-checked against the oracle chain on a few pairs
+    import numpy as np
+    from block_aligner_tpu import NucMatrix, Gaps, BlockOracle, PaddedBytes
+    from block_aligner_tpu.ops.big_kernel import (
+        BigKernelConfig, build_big_engine, pack_big)
+
+    rng = np.random.default_rng(5)
+    DNA = b"ACGT"
+    matrix = NucMatrix.new_simple(2, -4)
+    gaps = Gaps(open=-6, extend=-2)
+    res = {}
+    for mn, mx, ln in ((32, 1024, 900), (128, 1024, 2000)):
+        pairs = []
+        for _ in range(128):
+            n = int(rng.integers(ln - 100, ln + 100))
+            r = bytes(rng.choice(list(DNA), size=n).tolist())
+            b = bytearray(r)
+            for _ in range(n // 10):
+                b[int(rng.integers(0, len(b)))] = int(rng.choice(list(DNA)))
+            pairs.append((bytes(b), r))
+        cap = -(-(max(max(len(a), len(b)) for a, b in pairs) + mx + 16)
+                // 128) * 128
+        cfg = BigKernelConfig(batch=128, min_size=mn, max_size=mx,
+                              seq_cap=max(cap, 256), alpha=16)
+        t0 = time.perf_counter()
+        fn = build_big_engine(cfg)
+        args = pack_big(pairs, matrix, cfg, gaps)
+        out = np.asarray(fn(*args))
+        res[f"big_{mn}_{mx}_compile_s"] = round(time.perf_counter() - t0, 1)
+        orc = BlockOracle()
+        wrong = 0
+        for k in range(4):
+            qb, rb = pairs[k]
+            pq = PaddedBytes.from_bytes(qb, mx, matrix)
+            pr = PaddedBytes.from_bytes(rb, mx, matrix)
+            orc.align(pq, pr, matrix, gaps, (mn, mx), 0)
+            if int(out[0, 0, 0, k]) != orc.res().score:
+                wrong += 1
+        res[f"big_{mn}_{mx}_wrong_of_4"] = wrong
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out2 = fn(*args)
+        np.asarray(out2)
+        res[f"big_{mn}_{mx}_us_per_pair"] = round(
+            (time.perf_counter() - t0) / 4 / len(pairs) * 1e6, 1)
+    q.put(("ok", res))
+
+
+def stage_d(q):
+    r = subprocess.run([sys.executable, str(ROOT / "bench.py")],
+                       capture_output=True, text=True, timeout=3000)
+    line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+    try:
+        q.put(("ok", json.loads(line)))
+    except Exception:
+        q.put(("err", {"stdout": r.stdout[-400:], "stderr": r.stderr[-400:]}))
+
+
+def stage_e(q):
+    import numpy as np
+    from block_aligner_tpu import NucMatrix, Gaps
+    from block_aligner_tpu.api import LongAdaptiveAligner
+
+    rng = np.random.default_rng(6)
+    DNA = b"ACGT"
+    matrix = NucMatrix.new_simple(2, -4)
+    gaps = Gaps(open=-6, extend=-2)
+    res = {}
+    # 50 kbp (512, 8192) band (BASELINE <50 kbp 1%-10%: 6.03 ms/pair)
+    pairs = []
+    for _ in range(128):
+        n = int(rng.integers(42000, 50000))
+        r = bytes(rng.choice(list(DNA), size=n).tolist())
+        b = bytearray(r)
+        for _ in range(n // 12):
+            b[int(rng.integers(0, len(b)))] = int(rng.choice(list(DNA)))
+        pairs.append((bytes(b), r))
+    al = LongAdaptiveAligner(matrix, gaps, size=(512, 8192), batch=128)
+    t0 = time.perf_counter()
+    got = al.align_batch(pairs)
+    res["band50k_compile_plus_run_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    got = al.align_batch(pairs)
+    res["band50k_ms_per_pair"] = round(
+        (time.perf_counter() - t0) / len(pairs) * 1e3, 2)
+    res["band50k_score0"] = int(got[0].score)
+    q.put(("ok", res))
+
+
+STAGES = {"A": (stage_a, 300), "B": (stage_b, 2400), "C": (stage_c, 3600),
+          "D": (stage_d, 3000), "E": (stage_e, 3600)}
+
+
+def main():
+    which = sys.argv[1:] or list(STAGES)
+    log({"stage": "start", "which": which})
+    for tag in which:
+        fn, budget = STAGES[tag]
+        run_stage(tag, fn, budget)
+    log({"stage": "done"})
+
+
+if __name__ == "__main__":
+    main()

@@ -636,3 +636,78 @@ def test_align_all_trace_pipeline():
         assert res[k].score == orc.res().score, k
         want = orc.cigar_eq(pq, pr, len(q), len(r))
         assert str(cigs[k]) == str(want), k
+
+
+def _run_split(pairs, matrix, gaps, S, rs, xd=0, **kw):
+    maxlen = max(max(len(q), len(r)) for q, r in pairs)
+    cap = max(256, -(-(1 + maxlen + S + 16) // 128) * 128)
+    cfg = LaneKernelConfig(batch=256, block=S, seq_cap=cap,
+                           alpha=32 if matrix.kind != "nuc" else 16,
+                           banks=2, row_split=rs, interpret=True, **kw)
+    fn = build_lane_engine(cfg)
+    out = fn(*pack_lane(pairs, matrix, cfg, gaps, x_drop=xd))
+    if isinstance(out, (tuple, list)):
+        return [np.asarray(o) for o in out]
+    return [np.asarray(out)]
+
+
+def test_lane_row_split_vs_oracle():
+    """row_split=2: the (K, S, P) column re-banked as chained (2K, S/2, P)
+    sub-banks is bit-exact vs the scalar oracle (global scores)."""
+    rng = np.random.default_rng(31)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(24):
+        n = int(rng.integers(40, 300))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 5, AA)))
+    want = oracle_scores(pairs, BLOSUM62, gaps, 128)
+    got = _run_split(pairs, BLOSUM62, gaps, 128, 2)[0]
+    got = got[:, :, 0, :].reshape(-1)[: len(pairs)]
+    assert [int(g) for g in got] == want
+
+
+@pytest.mark.parametrize("mode", [
+    "x_drop", "trace", "local_start", "local_start_trace",
+    "fq_start", "fq_end", "xdrop_trace",
+])
+def test_lane_row_split_modes(mode):
+    """every lane mode produces identical outputs (scores, trace streams,
+    rect meta) under row_split=2 -- the split is a pure re-banking."""
+    kw = {
+        "x_drop": dict(x_drop=True), "trace": dict(trace=True),
+        "local_start": dict(local_start=True),
+        "local_start_trace": dict(local_start=True, trace=True),
+        "fq_start": dict(free_query_start_gaps=True),
+        "fq_end": dict(free_query_end_gaps=True),
+        "xdrop_trace": dict(x_drop=True, trace=True),
+    }[mode]
+    rng = np.random.default_rng(37)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(16):
+        n = int(rng.integers(40, 220))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 6, AA)))
+    xd = 50 if kw.get("x_drop") else 0
+    a = _run_split(pairs, BLOSUM62, gaps, 128, 1, xd=xd, **kw)
+    b = _run_split(pairs, BLOSUM62, gaps, 128, 2, xd=xd, **kw)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.shape == y.shape
+        assert (x == y).all()
+
+
+def test_lane_row_split4():
+    """row_split=4 at S=256 (sub-banks of 64 rows, 3-deep carry chains)."""
+    rng = np.random.default_rng(41)
+    gaps = Gaps(open=-6, extend=-2)
+    pairs = []
+    for _ in range(12):
+        n = int(rng.integers(60, 360))
+        q = rand_seq(rng, DNA, n)
+        pairs.append((q, mutate(rng, q, n // 8, DNA)))
+    want = oracle_scores(pairs, NW1, gaps, 256)
+    got = _run_split(pairs, NW1, gaps, 256, 4)[0]
+    got = got[:, :, 0, :].reshape(-1)[: len(pairs)]
+    assert [int(g) for g in got] == want
