@@ -194,7 +194,7 @@ class BatchAligner:
         # engine)
         self._big = (
             lane_ok and min_size <= max_size and 16 <= min_size
-            and 512 < max_size <= 8192 and not trace and x_drop is None
+            and 512 < max_size <= 8192 and not trace
             and not local_start and not free_query_start_gaps
             and not free_query_end_gaps and use_lane_kernel is not False
             # resident code budget; longer sequences: LongAdaptiveAligner
@@ -214,6 +214,7 @@ class BatchAligner:
                 seq_cap=cap,
                 alpha=a_,
                 byte_mode=is_byte,
+                x_drop=x_drop is not None,
                 interpret=jax.default_backend() != "tpu",
             )
             if mesh is not None:
@@ -304,9 +305,8 @@ class BatchAligner:
             why = []
             if max_size > 8192:
                 why.append("max block size > 8192")
-            elif min_size < max_size and (trace or x_drop is not None) \
-                    and max_size > 512:
-                why.append("adaptive trace/x-drop above block 512")
+            elif min_size < max_size and trace and max_size > 512:
+                why.append("adaptive trace above block 512")
             elif min_size < max_size and max_size > 512 and round_up(
                     max(1 + seq_cap + max_size + 16, 256), 128) > 16384:
                 why.append(
@@ -382,7 +382,8 @@ class BatchAligner:
         if self._big:
             from .ops.big_kernel import pack_big
 
-            args = pack_big(pairs, self.matrix, self._lane_cfg, self.gaps)
+            args = pack_big(pairs, self.matrix, self._lane_cfg, self.gaps,
+                            x_drop=self.x_drop or 0)
             return self._adaptive_results(
                 np.asarray(self._lane_fn(*args)), pairs)
         if self._lane:
@@ -632,7 +633,8 @@ class BatchAligner:
         if self._big:
             from .ops.big_kernel import pack_big
 
-            args = pack_big(pairs, self.matrix, self._lane_cfg, self.gaps)
+            args = pack_big(pairs, self.matrix, self._lane_cfg, self.gaps,
+                            x_drop=self.x_drop or 0)
             ql = np.asarray(args[0]).reshape(self._lane_cfg.batch).copy()
             rl = np.asarray(args[1]).reshape(self._lane_cfg.batch).copy()
             return (len(pairs), jax.device_put(args), (ql, rl))

@@ -114,7 +114,7 @@ SHRINK_SUFFIX_LEN = STEP // 4  # reference: src/scan_block.rs:786
 
 
 def big_vmem_bytes(max_size: int, seq_cap: int, seg: int = 256,
-                   cc_stream: bool = False) -> int:
+                   cc_stream: bool = False, x_drop: bool = False) -> int:
     """VMEM scratch footprint of one big-kernel program (matches the
     scratch_shapes in ``build_big_engine``)."""
     S = max_size
@@ -122,6 +122,9 @@ def big_vmem_bytes(max_size: int, seq_cap: int, seg: int = 256,
     planes = (2 if cc_stream else 3) * S * P * 4  # packed ACT/PAS(/CC)
     stage = (4 if cc_stream else 2) * seg * P * 4  # ckpt (+CC) DMA staging
     small = 42 * P * 4 + 8 * STEP * P * 4
+    if x_drop:
+        # XVM/XAI/XAJ + per-column staging XCM/XCAI + 6 small refs
+        small += (3 * 16 + 2 * 16 * STEP + 6) * P * 4
     return codes + planes + stage + small
 
 
@@ -154,7 +157,11 @@ class BigKernelConfig:
         assert self.batch % P == 0
         if self.byte_mode:
             assert self.alpha == 4
-        assert not self.x_drop, "big-kernel x-drop is staged work (Phase C)"
+        # reference surface: x-drop is not implemented for ByteMatrix
+        assert not (self.x_drop and self.byte_mode)
+        # segmented x-drop long reads ride the <=512 lane path (api.py):
+        # the tracker state would add 54 persisted rows per pair
+        assert not (self.x_drop and self.segmented)
         if self.segmented:
             assert self.full_cap % 128 == 0 and self.full_cap >= self.seq_cap
             assert self.seg_steps >= 32, (
@@ -222,7 +229,7 @@ class BigKernelConfig:
     @property
     def vmem_bytes(self) -> int:
         return big_vmem_bytes(self.max_size, self.seq_cap, self.seg,
-                              self.cc_stream)
+                              self.cc_stream, self.x_drop)
 
 
 def _lo16(w):
@@ -290,6 +297,17 @@ def build_big_engine(cfg: BigKernelConfig):
         scr = scr[31:]
         (botD, botR, DCAR, TCAR, EC8, GWD, GWR, NR8, SBC, SBR) = scr[:10]
         scr = scr[10:]
+        if cfg.x_drop:
+            # per-rect 16-residue max tracker (XVM) with chunk-granular
+            # argmax (XAI = rect-local chunk base row, XAJ = absolute DP
+            # column), per-step per-column staging (XCM/XCAI, merged in
+            # oracle (j, i0) update order at is_last), the banked GROW_D
+            # candidate, best-position outputs, and the X_DROP_ITER=2
+            # hysteresis counter (reference: src/scan_block.rs:497-507,
+            # 1192-1201; core/oracle.py:141-169,452-504)
+            (XVM, XAI, XAJ, XCM, XCAI,
+             XBI, XBJ, XITER, GDMAX, GDBI, GDBJ) = scr[:11]
+            scr = scr[11:]
         if cfg.cc_stream:
             (CCB, CCS, CCNB, CCNS) = scr[:4]
             scr = scr[4:]
@@ -320,11 +338,16 @@ def build_big_engine(cfg: BigKernelConfig):
                 return CKR_H.at[r]
         open_ = gap_ref[0, 0]
         e = gap_ref[0, 1]
+        xdrop_x = gap_ref[0, 2]
         qlen = qlen_ref[0]  # (1, P)
         rlen = rlen_ref[0]
 
         rows_l = jax.lax.broadcasted_iota(jnp.int32, (SS, P), 0)
         oh_iota = jax.lax.broadcasted_iota(jnp.int32, (A, P), 0)
+        if cfg.x_drop:
+            ch16_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (SS // 16, 16, P), 0)
+            i16_iota = jax.lax.broadcasted_iota(jnp.int32, (16, P), 0)
         zc = e * ((rows_l % STEP) + 1)
         evec = e * (rows_l + 1)
         NEG_I32 = jnp.iinfo(jnp.int32).min
@@ -355,6 +378,13 @@ def build_big_engine(cfg: BigKernelConfig):
             CURMAX[...] = neg1
             PH[...] = z1 + 1
             GWROW[...] = z1 - 1
+            if cfg.x_drop:
+                XVM[...] = jnp.full((16, P), NEG_I32, jnp.int32)
+                XAI[...] = jnp.zeros((16, P), jnp.int32)
+                XAJ[...] = jnp.zeros((16, P), jnp.int32)
+                GDMAX[...] = jnp.full((1, P), NEG_I32, jnp.int32)
+                for ref in (XBI, XBJ, XITER, GDBI, GDBJ):
+                    ref[...] = z1
             # zero the HBM checkpoint planes: a restore before the first
             # save must read the same zeros the resident zero-init gave
             SBC[...] = zSS
@@ -529,21 +559,28 @@ def build_big_engine(cfg: BigKernelConfig):
                 EC8[...] = ec0
                 if not cfg.byte_mode:
                     NR8[...] = score_rows(ec0)
-                cstart = jnp.where(
-                    dirn == DIR_R, j_ + sz - STEP,
-                    jnp.where(
-                        dirn == DIR_D, i_ + sz - STEP,
-                        jnp.where(dirn == DIR_GD, i_ + psz + cpos,
-                                  j_ + psz + cpos),
-                    ),
-                )
-                ls = jnp.where(right_or, i_, j_)
-                FRA[...] = (
-                    (ls + h > lane_len) & (dirn != DIR_GD)
-                ).astype(jnp.int32)
-                FRT[...] = col_len - cstart
-                FRIDX[...] = jnp.clip(lane_len - ls, 0, S - 1)
-                VAL[...] = z1 + NEG_I32
+                if cfg.x_drop:
+                    # no in-column freeze in x-drop mode (the oracle's
+                    # early-exit is `not X_DROP`-gated, oracle.py:691-697);
+                    # reset the per-step per-column tracker staging
+                    XCM[...] = jnp.full((STEP * 16, P), NEG_I32, jnp.int32)
+                    XCAI[...] = jnp.zeros((STEP * 16, P), jnp.int32)
+                else:
+                    cstart = jnp.where(
+                        dirn == DIR_R, j_ + sz - STEP,
+                        jnp.where(
+                            dirn == DIR_D, i_ + sz - STEP,
+                            jnp.where(dirn == DIR_GD, i_ + psz + cpos,
+                                      j_ + psz + cpos),
+                        ),
+                    )
+                    ls = jnp.where(right_or, i_, j_)
+                    FRA[...] = (
+                        (ls + h > lane_len) & (dirn != DIR_GD)
+                    ).astype(jnp.int32)
+                    FRT[...] = col_len - cstart
+                    FRIDX[...] = jnp.clip(lane_len - ls, 0, S - 1)
+                    VAL[...] = z1 + NEG_I32
                 SUF[...] = z1 + NEG_I32
                 botD[...] = jnp.full((STEP, P), NEG_I32, jnp.int32)
                 botR[...] = jnp.full((STEP, P), NEG_I32, jnp.int32)
@@ -561,9 +598,14 @@ def build_big_engine(cfg: BigKernelConfig):
             )
             cvec = jnp.where(corner_ok,
                              jnp.maximum(CORN[...] + oa, NEG32), neg1)
-            frz_lane = (FRA[...] == 1) & (FRT[...] <= STEP - 1) & act
-            fcol = jnp.clip(FRT[...], 0, STEP - 1)
-            frz_any = jnp.any(frz_lane)
+            if cfg.x_drop:
+                frz_lane = jnp.zeros((1, P), jnp.bool_)  # never freezes
+                fcol = z1
+                frz_any = jnp.bool_(False)
+            else:
+                frz_lane = (FRA[...] == 1) & (FRT[...] <= STEP - 1) & act
+                fcol = jnp.clip(FRT[...], 0, STEP - 1)
+                frz_any = jnp.any(frz_lane)
             q_shift = (dirn == DIR_D) & act
             r_shift = (dirn == DIR_R) & act
             q_app = (dirn == DIR_GD) & act
@@ -844,13 +886,30 @@ def build_big_engine(cfg: BigKernelConfig):
                     jnp.max(jnp.where(hm, R11, NEG_I32), axis=0,
                             keepdims=True))
 
-                @pl.when(frz_any)
-                def _(w=w, D11=D11):
-                    em = (row_g == FRIDX[...]) & (fcol == w)
-                    VAL[...] = jnp.maximum(
-                        VAL[...],
-                        jnp.max(jnp.where(em & frz_lane, D11, NEG_I32),
-                                axis=0, keepdims=True))
+                if cfg.x_drop:
+                    # 16-residue tracker staging for this column: segment
+                    # max per residue + the LAST chunk achieving it
+                    # (ascending segments preserve the oracle's ascending
+                    # chunk update order within a column; ties overwrite,
+                    # oracle.py:153-158)
+                    Dm = jnp.where(row_g < h, D11, NEG_I32).reshape(
+                        SS // 16, 16, P)
+                    m16 = Dm.max(axis=0)
+                    hit = jnp.max(
+                        jnp.where(Dm == m16[None], ch16_iota, -1), axis=0)
+                    xc_old = XCM[pl.ds(w * 16, 16)]
+                    updc = m16 >= xc_old
+                    XCM[pl.ds(w * 16, 16)] = jnp.where(updc, m16, xc_old)
+                    XCAI[pl.ds(w * 16, 16)] = jnp.where(
+                        updc, r * SS + hit * 16, XCAI[pl.ds(w * 16, 16)])
+                else:
+                    @pl.when(frz_any)
+                    def _(w=w, D11=D11):
+                        em = (row_g == FRIDX[...]) & (fcol == w)
+                        VAL[...] = jnp.maximum(
+                            VAL[...],
+                            jnp.max(jnp.where(em & frz_lane, D11, NEG_I32),
+                                    axis=0, keepdims=True))
                 Dc = D11
                 Cc = C11
             ACT[pl.ds(r, 1)] = _pack2(Dc, Cc)[None]
@@ -917,11 +976,32 @@ def build_big_engine(cfg: BigKernelConfig):
                         jnp.max(jnp.where(gm2, botD[...], NEG_I32), axis=0,
                                 keepdims=True))
 
-                @pl.when(frz_any)
-                def _():
-                    fscore = ST_OFF[...] + VAL[...] - ZERO
-                    OUT[...] = jnp.where(frz_lane, fscore, OUT[...])
-                    ST_DONE[...] = jnp.where(frz_lane, 1, ST_DONE[...])
+                if cfg.x_drop:
+                    # merge this step's 8 column candidates into the rect
+                    # tracker in ascending column order (ties overwrite:
+                    # the oracle's (j, i0)-lexicographic update order);
+                    # XAJ stores the ABSOLUTE DP column
+                    colbase = jnp.where(
+                        dirn == DIR_R, j_ + sz - STEP,
+                        jnp.where(
+                            dirn == DIR_D, i_ + sz - STEP,
+                            jnp.where(dirn == DIR_GD, i_ + psz + cpos,
+                                      j_ + psz + cpos),
+                        ),
+                    )
+                    for w in range(STEP):
+                        mw = XCM[pl.ds(w * 16, 16)]
+                        updw = mw >= XVM[...]
+                        XAI[...] = jnp.where(
+                            updw, XCAI[pl.ds(w * 16, 16)], XAI[...])
+                        XAJ[...] = jnp.where(updw, colbase + w, XAJ[...])
+                        XVM[...] = jnp.where(updw, mw, XVM[...])
+                else:
+                    @pl.when(frz_any)
+                    def _():
+                        fscore = ST_OFF[...] + VAL[...] - ZERO
+                        OUT[...] = jnp.where(frz_lane, fscore, OUT[...])
+                        ST_DONE[...] = jnp.where(frz_lane, 1, ST_DONE[...])
 
                 # ---- post-step decision ladder ----
                 done2 = ST_DONE[...]
@@ -932,6 +1012,30 @@ def build_big_engine(cfg: BigKernelConfig):
                 CPOS[...] = jnp.where(phase_done, 0, cpos_new)
 
                 gd_done = active & (dirn == DIR_GD) & phase_done
+                if cfg.x_drop:
+                    # rect-tracker candidate: lowest residue achieving the
+                    # max (reference hargmax, src/avx2.rs:269-274), mapped
+                    # to absolute (i, j) by the current orientation
+                    vm16 = XVM[...]
+                    cm = jnp.max(vm16, axis=0, keepdims=True)
+                    ridx = jnp.min(
+                        jnp.where(vm16 == cm, i16_iota, 16),
+                        axis=0, keepdims=True)
+                    sel16 = i16_iota == ridx
+                    ai_c = jnp.max(
+                        jnp.where(sel16, XAI[...] + i16_iota, NEG_I32),
+                        axis=0, keepdims=True)
+                    aj_c = jnp.max(jnp.where(sel16, XAJ[...], NEG_I32),
+                                   axis=0, keepdims=True)
+                    row_abs = jnp.where(right_or, i_, j_) + ai_c
+                    bi_c = jnp.where(right_or, row_abs, aj_c)
+                    bj_c = jnp.where(right_or, aj_c, row_abs)
+                    # bank the GROW_D half's candidate (the reference's
+                    # separate grow_tracker) and reset for the GROW_R half
+                    GDMAX[...] = jnp.where(gd_done, cm, GDMAX[...])
+                    GDBI[...] = jnp.where(gd_done, bi_c, GDBI[...])
+                    GDBJ[...] = jnp.where(gd_done, bj_c, GDBJ[...])
+                    XVM[...] = jnp.where(gd_done, NEG_I32, XVM[...])
                 ST_DIR[...] = jnp.where(gd_done, DIR_GR, ST_DIR[...])
 
                 rdone = active & phase_done & (dirn != DIR_GD)
@@ -952,6 +1056,33 @@ def build_big_engine(cfg: BigKernelConfig):
                 gnm = jnp.where(save, 0, gnm)
                 BEST[...] = jnp.where(new_best, off_max, BEST[...])
                 ydi = jnp.where(new_best, 0, ydi)
+
+                if cfg.x_drop:
+                    # best-position bookkeeping: the rect tracker's
+                    # candidate, or for grow rects the banked GROW_D
+                    # candidate when it strictly beats the GROW_R half
+                    # (reference ties favor the right tracker,
+                    # oracle.py:475)
+                    use_right = (~was_grow) | (cm >= GDMAX[...])
+                    XBI[...] = jnp.where(
+                        new_best, jnp.where(use_right, bi_c, GDBI[...]),
+                        XBI[...])
+                    XBJ[...] = jnp.where(
+                        new_best, jnp.where(use_right, bj_c, GDBJ[...]),
+                        XBJ[...])
+                    XVM[...] = jnp.where(rdone, NEG_I32, XVM[...])
+                    GDMAX[...] = jnp.where(rdone, NEG_I32, GDMAX[...])
+                    # termination: X_DROP_ITER = 2 hysteresis + the
+                    # both-ends reach (reference: src/scan_block.rs:497-507)
+                    xfail = rdone & (off_max < BEST[...] - xdrop_x)
+                    terminate = xfail & (XITER[...] >= 1)
+                    XITER[...] = jnp.where(
+                        xfail, XITER[...] + 1,
+                        jnp.where(rdone, 0, XITER[...]))
+                    reached = rdone & ((i_ + sz) > qlen) & ((j_ + sz) > rlen)
+                    done_now = terminate | reached
+                    ST_DONE[...] = jnp.where(done_now, 1, ST_DONE[...])
+                    rdone = rdone & ~done_now
 
                 forced_down = rdone & ((j_ + sz) > rlen)
                 forced_right = rdone & ~forced_down & ((i_ + sz) > qlen)
@@ -1037,7 +1168,12 @@ def build_big_engine(cfg: BigKernelConfig):
 
         lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0),
                                     jnp.int32(0)))
-        rows = [OUT[...], 1 - ST_DONE[...]]
+        if cfg.x_drop:
+            # (best score, best i, best j, step-cap overrun) — the same
+            # wide-result rows as the adaptive kernel
+            rows = [BEST[...], XBI[...], XBJ[...], 1 - ST_DONE[...]]
+        else:
+            rows = [OUT[...], 1 - ST_DONE[...]]
         score_ref[0] = jnp.concatenate(rows, axis=0)[None]
 
         if cfg.segmented:
@@ -1088,7 +1224,7 @@ def build_big_engine(cfg: BigKernelConfig):
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        OW = 2
+        OW = 4 if cfg.x_drop else 2
         score_spec = pl.BlockSpec(
             (1, 1, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
@@ -1129,6 +1265,15 @@ def build_big_engine(cfg: BigKernelConfig):
             + [pltpu.VMEM((SS, P), jnp.int32)
                for _ in range(2)]  # SBC / SBR ckpt stage
         )
+        if cfg.x_drop:
+            scratch += (
+                [pltpu.VMEM((16, P), jnp.int32)
+                 for _ in range(3)]  # XVM / XAI / XAJ
+                + [pltpu.VMEM((STEP * 16, P), jnp.int32)
+                   for _ in range(2)]  # XCM / XCAI per-column staging
+                + [pltpu.VMEM((1, P), jnp.int32)
+                   for _ in range(6)]  # XBI XBJ XITER GDMAX GDBI GDBJ
+            )
         if cfg.cc_stream:
             scratch += [pltpu.VMEM((SS, P), jnp.int32),  # CCB
                         pltpu.VMEM((SS, P), jnp.int32),  # CCS

@@ -14,8 +14,9 @@ line to ``/tmp/tpu_validate.jsonl``:
   E  band rows: nanopore <10 kbp (128,1024) resident big-kernel rate and
      <50 kbp (512,8192) LongAdaptiveAligner rate vs BASELINE.md targets
      (350 us/pair and 6.03 ms/pair, reference notebook cell 27)
+  F  big-kernel x-drop: compile + rate + oracle spot-check at (128,1024)
 
-Run:  timeout 10800 python scripts_tpu/tpu_validate.py [A B C D E]
+Run:  timeout 10800 python scripts_tpu/tpu_validate.py [A B C D E F]
 """
 import json
 import multiprocessing as mp
@@ -213,8 +214,58 @@ def stage_e(q):
     q.put(("ok", res))
 
 
+def stage_f(q):
+    # big-kernel x-drop: compile + device rate + oracle cross-check at the
+    # (128, 1024) shape (the tracker staging adds per-column work)
+    import numpy as np
+    from block_aligner_tpu import NucMatrix, Gaps, BlockOracle, PaddedBytes
+    from block_aligner_tpu.ops.big_kernel import (
+        BigKernelConfig, build_big_engine, pack_big)
+
+    rng = np.random.default_rng(7)
+    DNA = b"ACGT"
+    matrix = NucMatrix.new_simple(2, -4)
+    gaps = Gaps(open=-6, extend=-2)
+    pairs = []
+    for _ in range(128):
+        n = int(rng.integers(1900, 2100))
+        r = bytes(rng.choice(list(DNA), size=n).tolist())
+        b = bytearray(r)
+        for _ in range(n // 10):
+            b[int(rng.integers(0, len(b)))] = int(rng.choice(list(DNA)))
+        pairs.append((bytes(b), r))
+    X = 100
+    cfg = BigKernelConfig(batch=128, min_size=128, max_size=1024,
+                          seq_cap=3328, alpha=16, x_drop=True)
+    res = {}
+    t0 = time.perf_counter()
+    fn = build_big_engine(cfg)
+    args = pack_big(pairs, matrix, cfg, gaps, x_drop=X)
+    out = np.asarray(fn(*args))
+    res["bigx_compile_s"] = round(time.perf_counter() - t0, 1)
+    orc = BlockOracle(x_drop=True)
+    wrong = 0
+    for k in range(4):
+        qb, rb = pairs[k]
+        pq = PaddedBytes.from_bytes(qb, 1024, matrix)
+        pr = PaddedBytes.from_bytes(rb, 1024, matrix)
+        orc.align(pq, pr, matrix, gaps, (128, 1024), X)
+        w = orc.res()
+        if tuple(int(out[0, 0, i, k]) for i in range(3)) != (
+                w.score, w.query_idx, w.reference_idx):
+            wrong += 1
+    res["bigx_wrong_of_4"] = wrong
+    t0 = time.perf_counter()
+    for _ in range(4):
+        out2 = fn(*args)
+    np.asarray(out2)
+    res["bigx_us_per_pair"] = round(
+        (time.perf_counter() - t0) / 4 / len(pairs) * 1e6, 1)
+    q.put(("ok", res))
+
+
 STAGES = {"A": (stage_a, 300), "B": (stage_b, 2400), "C": (stage_c, 3600),
-          "D": (stage_d, 3000), "E": (stage_e, 3600)}
+          "D": (stage_d, 3000), "E": (stage_e, 3600), "F": (stage_f, 2400)}
 
 
 def main():

@@ -289,6 +289,74 @@ def test_big_kernel_flagship_8192():
     assert got == want
 
 
+def test_big_kernel_x_drop_vs_oracle():
+    """X-drop mode past block 512 (reference: any pow2 size composes with
+    X_DROP, src/scan_block.rs:89,886-888): score AND best end position,
+    bit-exact vs the oracle, across end-reached pairs, early-terminated
+    dissimilar pairs, and big-indel pairs that fire the grow ladder (the
+    banked GROW_D tracker candidate)."""
+    rng = np.random.default_rng(17)
+    pairs = []
+    for _ in range(4):
+        q = rand_seq(rng, int(rng.integers(150, 400)))
+        pairs.append((q, mutate(rng, q, len(q) // 10)))
+    for _ in range(3):
+        pairs.append((rand_seq(rng, 300), rand_seq(rng, 320)))
+    for _ in range(3):
+        q = rand_seq(rng, int(rng.integers(200, 400)))
+        r = mutate(rng, q, len(q) // 12)
+        pos = int(rng.integers(0, len(r)))
+        pairs.append((q, r[:pos] + rand_seq(rng, 120) + r[pos:]))
+    X = 50
+    cfg = BigKernelConfig(
+        batch=128, min_size=16, max_size=1024, seq_cap=1536,
+        alpha=32, seg=256, x_drop=True, interpret=True,
+    )
+    eng = build_big_engine(cfg)
+    out = np.asarray(eng(*pack_big(pairs, BLOSUM62, cfg, GAPS, x_drop=X)))
+    assert not out[0, 0, 3, : len(pairs)].any(), "step-cap overflow"
+    orc = BlockOracle(x_drop=True, trace=True)
+    grown = 0
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 1024, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 1024, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (16, 1024), X)
+        res = orc.res()
+        got = tuple(int(out[0, 0, i, k]) for i in range(3))
+        assert got == (res.score, res.query_idx, res.reference_idx), k
+        grown = max(grown, max(
+            max(bl.width, bl.height) for bl in orc.trace_blocks()))
+    assert grown >= 64, f"inputs never grew (reached {grown})"
+
+
+def test_big_kernel_x_drop_api_route():
+    """BatchAligner((128, 1024), x_drop=...) routes to the big kernel (it
+    previously warned and fell back to the ~100x-slower XLA engine) and
+    matches the oracle through align_batch."""
+    from block_aligner_tpu.api import BatchAligner
+
+    rng = np.random.default_rng(19)
+    pairs = []
+    for _ in range(3):
+        q = rand_seq(rng, int(rng.integers(400, 700)))
+        r = mutate(rng, q, len(q) // 10)
+        pos = int(rng.integers(0, len(r)))
+        pairs.append((q, r[:pos] + rand_seq(rng, 200) + r[pos:]))
+    pairs.append((rand_seq(rng, 500), rand_seq(rng, 500)))
+    al = BatchAligner(BLOSUM62, GAPS, size=(128, 1024), batch=128,
+                      seq_cap=1024, x_drop=100)
+    assert al._big and al._lane_cfg.x_drop
+    got = al.align_batch(pairs)
+    orc = BlockOracle(x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 1024, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 1024, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (128, 1024), 100)
+        res = orc.res()
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
+            res.score, res.query_idx, res.reference_idx), k
+
+
 def test_big_kernel_fixed_block():
     """min == max > 512 routes to the big kernel as a fixed-block engine
     (the lane kernel caps at S <= 512; these previously fell to the
