@@ -195,8 +195,7 @@ class BatchAligner:
         self._big = (
             lane_ok and min_size <= max_size and 16 <= min_size
             and 512 < max_size <= 8192 and not trace
-            and not local_start and not free_query_start_gaps
-            and not free_query_end_gaps and use_lane_kernel is not False
+            and use_lane_kernel is not False
             # resident code budget; longer sequences: LongAdaptiveAligner
             and round_up(max(1 + seq_cap + max_size + 16, 256), 128) <= 16384
         )
@@ -215,6 +214,9 @@ class BatchAligner:
                 alpha=a_,
                 byte_mode=is_byte,
                 x_drop=x_drop is not None,
+                local_start=local_start,
+                free_query_start_gaps=free_query_start_gaps,
+                free_query_end_gaps=free_query_end_gaps,
                 interpret=jax.default_backend() != "tpu",
             )
             if mesh is not None:
@@ -1474,8 +1476,9 @@ class LongAdaptiveAligner:
     so window bases flow device-to-device with no host sync.  Results are
     bit-exact with the unsegmented kernel / the scalar oracle.
 
-    Global scores only (like the big kernel: no trace/x-drop), AA/Nuc
-    tables and ByteMatrix.
+    Global scores (plus the local-start / free-leading-query-gap flags);
+    no trace/x-drop — wide modes ride the <=512 segmented lane path.
+    AA/Nuc tables and ByteMatrix.
     """
 
     def __init__(
@@ -1487,6 +1490,8 @@ class LongAdaptiveAligner:
         window: Optional[int] = None,
         batch: int = 128,
         seq_cap: int = 65536,
+        local_start: bool = False,
+        free_query_start_gaps: bool = False,
     ):
         import jax
 
@@ -1512,6 +1517,8 @@ class LongAdaptiveAligner:
             seq_cap=window,
             alpha=a_,
             byte_mode=is_byte,
+            local_start=local_start,
+            free_query_start_gaps=free_query_start_gaps,
             segmented=True,
             full_cap=full_cap,
             interpret=jax.default_backend() != "tpu",

@@ -138,6 +138,9 @@ class BigKernelConfig:
     seg: int = 256  # row-segment sublane extent (128 or 256)
     byte_mode: bool = False  # ByteMatrix equality scoring
     x_drop: bool = False  # x-drop termination + best-position tracking
+    local_start: bool = False  # alignment may start anywhere (D >= rel 0)
+    free_query_start_gaps: bool = False  # row 0 rides relative zero
+    free_query_end_gaps: bool = False  # score read at row qlen, any column
     # host-windowed execution for sequences beyond the VMEM code budget:
     # seq_cap becomes a per-pair code *window*; DP state round-trips
     # through HBM between launches and the kernel emits per-pair next
@@ -159,9 +162,12 @@ class BigKernelConfig:
             assert self.alpha == 4
         # reference surface: x-drop is not implemented for ByteMatrix
         assert not (self.x_drop and self.byte_mode)
-        # segmented x-drop long reads ride the <=512 lane path (api.py):
+        # segmented wide-mode long reads ride the <=512 lane path (api.py):
         # the tracker state would add 54 persisted rows per pair
-        assert not (self.x_drop and self.segmented)
+        assert not (self.wide and self.segmented)
+        # reference const-generic exclusions (src/scan_block.rs asserts)
+        assert not (self.local_start and self.free_query_start_gaps)
+        assert not (self.x_drop and self.free_query_end_gaps)
         if self.segmented:
             assert self.full_cap % 128 == 0 and self.full_cap >= self.seq_cap
             assert self.seg_steps >= 32, (
@@ -218,6 +224,11 @@ class BigKernelConfig:
         return 49
 
     @property
+    def wide(self) -> bool:
+        """Wide result (score, end_i, end_j) + 16-residue max tracker."""
+        return self.x_drop or self.free_query_end_gaps
+
+    @property
     def cc_stream(self) -> bool:
         """Stream the code plane from its persistent HBM slot instead of
         keeping it VMEM-resident: at max_size 8192 the two DP planes
@@ -229,7 +240,7 @@ class BigKernelConfig:
     @property
     def vmem_bytes(self) -> int:
         return big_vmem_bytes(self.max_size, self.seq_cap, self.seg,
-                              self.cc_stream, self.x_drop)
+                              self.cc_stream, self.wide)
 
 
 def _lo16(w):
@@ -297,7 +308,7 @@ def build_big_engine(cfg: BigKernelConfig):
         scr = scr[31:]
         (botD, botR, DCAR, TCAR, EC8, GWD, GWR, NR8, SBC, SBR) = scr[:10]
         scr = scr[10:]
-        if cfg.x_drop:
+        if cfg.wide:
             # per-rect 16-residue max tracker (XVM) with chunk-granular
             # argmax (XAI = rect-local chunk base row, XAJ = absolute DP
             # column), per-step per-column staging (XCM/XCAI, merged in
@@ -344,7 +355,7 @@ def build_big_engine(cfg: BigKernelConfig):
 
         rows_l = jax.lax.broadcasted_iota(jnp.int32, (SS, P), 0)
         oh_iota = jax.lax.broadcasted_iota(jnp.int32, (A, P), 0)
-        if cfg.x_drop:
+        if cfg.wide:
             ch16_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (SS // 16, 16, P), 0)
             i16_iota = jax.lax.broadcasted_iota(jnp.int32, (16, P), 0)
@@ -378,7 +389,7 @@ def build_big_engine(cfg: BigKernelConfig):
             CURMAX[...] = neg1
             PH[...] = z1 + 1
             GWROW[...] = z1 - 1
-            if cfg.x_drop:
+            if cfg.wide:
                 XVM[...] = jnp.full((16, P), NEG_I32, jnp.int32)
                 XAI[...] = jnp.zeros((16, P), jnp.int32)
                 XAJ[...] = jnp.zeros((16, P), jnp.int32)
@@ -559,10 +570,11 @@ def build_big_engine(cfg: BigKernelConfig):
                 EC8[...] = ec0
                 if not cfg.byte_mode:
                     NR8[...] = score_rows(ec0)
-                if cfg.x_drop:
-                    # no in-column freeze in x-drop mode (the oracle's
-                    # early-exit is `not X_DROP`-gated, oracle.py:691-697);
-                    # reset the per-step per-column tracker staging
+                if cfg.wide:
+                    # no in-column freeze in wide modes (the oracle's
+                    # early-exit is `not X_DROP and not FREE_QUERY_END`-
+                    # gated, oracle.py:691-697); reset the per-step
+                    # per-column tracker staging
                     XCM[...] = jnp.full((STEP * 16, P), NEG_I32, jnp.int32)
                     XCAI[...] = jnp.zeros((STEP * 16, P), jnp.int32)
                 else:
@@ -598,7 +610,7 @@ def build_big_engine(cfg: BigKernelConfig):
             )
             cvec = jnp.where(corner_ok,
                              jnp.maximum(CORN[...] + oa, NEG32), neg1)
-            if cfg.x_drop:
+            if cfg.wide:
                 frz_lane = jnp.zeros((1, P), jnp.bool_)  # never freezes
                 fcol = z1
                 frz_any = jnp.bool_(False)
@@ -615,6 +627,11 @@ def build_big_engine(cfg: BigKernelConfig):
             ec = EC8[...]
             NR = None if cfg.byte_mode else NR8[...]
             ec_t = jnp.tile(ec, (SS // STEP, 1))
+
+            if cfg.local_start or cfg.free_query_start_gaps:
+                # per-lane relative zero: clamp16(-off + ZERO)
+                # (reference: src/scan_block.rs:1130-1136, oracle.py:426)
+                rz = jnp.clip(ZERO - ST_OFF[...], NEG32, I16_MAX)
 
             ph = PH[...] == 1
             pb = PBSV[...] == 1
@@ -856,11 +873,22 @@ def build_big_engine(cfg: BigKernelConfig):
                 )
                 D00 = jnp.concatenate([crow, Dc[: SS - 1]], axis=0)
                 D11 = jnp.maximum(D00 + scores, NEG32)
-                if w == 0:
+                if w == 0 and not cfg.local_start:
+                    # the (0, 0) origin seed is `not LOCAL_START`-gated
+                    # (oracle.py:635-638); with local_start the rz max
+                    # below covers the same cell
                     row0 = jnp.where(
                         (r == 0) & origin,
                         jnp.full((1, P), ZERO, jnp.int32), D11[0:1])
                     D11 = jnp.concatenate([row0, D11[1:]], axis=0)
+                if cfg.free_query_start_gaps:
+                    # row 0 rides the relative zero in right orientation
+                    # (free leading query gaps; oracle.py:635-638)
+                    row0f = jnp.where((r == 0) & right_or & (i_ == 0),
+                                      rz, D11[0:1])
+                    D11 = jnp.concatenate([row0f, D11[1:]], axis=0)
+                if cfg.local_start:
+                    D11 = jnp.maximum(D11, rz)
                 C11_open = jnp.maximum(Dc + open_, NEG32)
                 C11 = jnp.maximum(jnp.maximum(Cc + e, NEG32), C11_open)
                 D11 = jnp.maximum(D11, C11)
@@ -886,22 +914,34 @@ def build_big_engine(cfg: BigKernelConfig):
                     jnp.max(jnp.where(hm, R11, NEG_I32), axis=0,
                             keepdims=True))
 
-                if cfg.x_drop:
+                if cfg.wide:
                     # 16-residue tracker staging for this column: segment
                     # max per residue + the LAST chunk achieving it
                     # (ascending segments preserve the oracle's ascending
                     # chunk update order within a column; ties overwrite,
-                    # oracle.py:153-158)
+                    # oracle.py:153-158).  XCAI = -1 marks a value with no
+                    # arg-eligible representative (free_query_end_gaps
+                    # filters arg updates to chunks past qlen,
+                    # oracle.py:677-679)
                     Dm = jnp.where(row_g < h, D11, NEG_I32).reshape(
                         SS // 16, 16, P)
                     m16 = Dm.max(axis=0)
-                    hit = jnp.max(
-                        jnp.where(Dm == m16[None], ch16_iota, -1), axis=0)
+                    eqc = Dm == m16[None]
+                    if cfg.free_query_end_gaps:
+                        lstart = jnp.where(right_or, i_, j_)
+                        eqc = eqc & (
+                            lstart[None] + r * SS + ch16_iota * 16 + 16
+                            > qlen[None])
+                    hit = jnp.max(jnp.where(eqc, ch16_iota, -1), axis=0)
                     xc_old = XCM[pl.ds(w * 16, 16)]
-                    updc = m16 >= xc_old
-                    XCM[pl.ds(w * 16, 16)] = jnp.where(updc, m16, xc_old)
+                    gtc = m16 > xc_old
+                    tiec = m16 == xc_old
+                    validc = hit >= 0
+                    XCM[pl.ds(w * 16, 16)] = jnp.where(gtc, m16, xc_old)
                     XCAI[pl.ds(w * 16, 16)] = jnp.where(
-                        updc, r * SS + hit * 16, XCAI[pl.ds(w * 16, 16)])
+                        gtc | (tiec & validc),
+                        jnp.where(validc, r * SS + hit * 16, -1),
+                        XCAI[pl.ds(w * 16, 16)])
                 else:
                     @pl.when(frz_any)
                     def _(w=w, D11=D11):
@@ -976,11 +1016,13 @@ def build_big_engine(cfg: BigKernelConfig):
                         jnp.max(jnp.where(gm2, botD[...], NEG_I32), axis=0,
                                 keepdims=True))
 
-                if cfg.x_drop:
+                if cfg.wide:
                     # merge this step's 8 column candidates into the rect
                     # tracker in ascending column order (ties overwrite:
                     # the oracle's (j, i0)-lexicographic update order);
-                    # XAJ stores the ABSOLUTE DP column
+                    # XAJ stores the ABSOLUTE DP column.  Args only move
+                    # when the column had an arg-eligible representative
+                    # (XCAI >= 0; always true outside free_query_end_gaps)
                     colbase = jnp.where(
                         dirn == DIR_R, j_ + sz - STEP,
                         jnp.where(
@@ -991,10 +1033,11 @@ def build_big_engine(cfg: BigKernelConfig):
                     )
                     for w in range(STEP):
                         mw = XCM[pl.ds(w * 16, 16)]
+                        aw = XCAI[pl.ds(w * 16, 16)]
                         updw = mw >= XVM[...]
-                        XAI[...] = jnp.where(
-                            updw, XCAI[pl.ds(w * 16, 16)], XAI[...])
-                        XAJ[...] = jnp.where(updw, colbase + w, XAJ[...])
+                        argw = updw & (aw >= 0)
+                        XAI[...] = jnp.where(argw, aw, XAI[...])
+                        XAJ[...] = jnp.where(argw, colbase + w, XAJ[...])
                         XVM[...] = jnp.where(updw, mw, XVM[...])
                 else:
                     @pl.when(frz_any)
@@ -1041,7 +1084,16 @@ def build_big_engine(cfg: BigKernelConfig):
                 rdone = active & phase_done & (dirn != DIR_GD)
                 was_grow = dirn == DIR_GR
                 right_or_end = right_or
-                cur_max = CURMAX[...]
+                if cfg.free_query_end_gaps:
+                    # free trailing query gaps: the rect max is read at
+                    # the row == qlen residue of the tracker (reference:
+                    # tracker.vmax[qlen % L], oracle.py:441-444)
+                    fqe_sel = i16_iota == qlen % 16
+                    cur_max = jnp.max(
+                        jnp.where(fqe_sel, XVM[...], NEG_I32),
+                        axis=0, keepdims=True)
+                else:
+                    cur_max = CURMAX[...]
                 off_max = ST_OFF[...] + cur_max - ZERO
                 ST_OFFMAX[...] = jnp.where(rdone, off_max, ST_OFFMAX[...])
                 ydi = jnp.where(rdone, YITER[...] + 1, YITER[...])
@@ -1083,6 +1135,25 @@ def build_big_engine(cfg: BigKernelConfig):
                     done_now = terminate | reached
                     ST_DONE[...] = jnp.where(done_now, 1, ST_DONE[...])
                     rdone = rdone & ~done_now
+                elif cfg.free_query_end_gaps:
+                    # best position: row is always qlen; the column is the
+                    # residue lane's absolute-column arg (reference:
+                    # oracle.py:452-461 — the right tracker even on grows)
+                    aj_f = jnp.max(
+                        jnp.where(fqe_sel, XAJ[...], NEG_I32),
+                        axis=0, keepdims=True)
+                    XBI[...] = jnp.where(new_best, qlen, XBI[...])
+                    XBJ[...] = jnp.where(new_best, aj_f, XBJ[...])
+                    # fresh tracker per rect (oracle's per-rect
+                    # _MaxTracker): untracked residues must read arg 0
+                    XVM[...] = jnp.where(rdone, NEG_I32, XVM[...])
+                    XAI[...] = jnp.where(rdone, 0, XAI[...])
+                    XAJ[...] = jnp.where(rdone, 0, XAJ[...])
+                    # no in-column freeze: terminate on the both-ends
+                    # break (reference: src/scan_block.rs:506-507)
+                    reached = rdone & ((i_ + sz) > qlen) & ((j_ + sz) > rlen)
+                    ST_DONE[...] = jnp.where(reached, 1, ST_DONE[...])
+                    rdone = rdone & ~reached
 
                 forced_down = rdone & ((j_ + sz) > rlen)
                 forced_right = rdone & ~forced_down & ((i_ + sz) > qlen)
@@ -1168,7 +1239,7 @@ def build_big_engine(cfg: BigKernelConfig):
 
         lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0),
                                     jnp.int32(0)))
-        if cfg.x_drop:
+        if cfg.wide:
             # (best score, best i, best j, step-cap overrun) — the same
             # wide-result rows as the adaptive kernel
             rows = [BEST[...], XBI[...], XBJ[...], 1 - ST_DONE[...]]
@@ -1224,7 +1295,7 @@ def build_big_engine(cfg: BigKernelConfig):
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        OW = 4 if cfg.x_drop else 2
+        OW = 4 if cfg.wide else 2
         score_spec = pl.BlockSpec(
             (1, 1, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
@@ -1265,7 +1336,7 @@ def build_big_engine(cfg: BigKernelConfig):
             + [pltpu.VMEM((SS, P), jnp.int32)
                for _ in range(2)]  # SBC / SBR ckpt stage
         )
-        if cfg.x_drop:
+        if cfg.wide:
             scratch += (
                 [pltpu.VMEM((16, P), jnp.int32)
                  for _ in range(3)]  # XVM / XAI / XAJ

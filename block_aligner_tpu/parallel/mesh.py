@@ -107,7 +107,7 @@ def data_parallel_lane(cfg, mesh: Mesh, axis: str = "data"):
 
 
 def data_parallel_big(cfg, mesh: Mesh, axis: str = "data"):
-    """Shard the big-block (row-segmented, 512 < max <= 2048) adaptive
+    """Shard the big-block (row-segmented, 512 < max <= 8192) adaptive
     kernel's program grid over a device mesh; embarrassingly parallel like
     ``data_parallel_lane``.  Inputs: qlen/rlen (n_progs, 1, P), score
     table (replicated), code block (n_progs, 2*NCH, 128, P), gaps

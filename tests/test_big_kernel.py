@@ -357,6 +357,99 @@ def test_big_kernel_x_drop_api_route():
             res.score, res.query_idx, res.reference_idx), k
 
 
+def test_big_kernel_local_start_and_free_start_gaps():
+    """LOCAL_START and FREE_QUERY_START_GAPS compose with big blocks
+    (reference const generics compose freely, src/scan_block.rs:89,
+    1130-1136): BatchAligner((32, 1024), flag) routes to the big kernel,
+    oracle-exact on pairs with shifted starts / reference-only prefixes."""
+    from block_aligner_tpu.api import BatchAligner
+
+    rng = np.random.default_rng(37)
+    ls_pairs = []
+    for _ in range(4):
+        q = rand_seq(rng, int(rng.integers(200, 500)))
+        r = mutate(rng, q, len(q) // 10)
+        pos = int(rng.integers(0, len(r)))
+        ls_pairs.append((rand_seq(rng, 50) + q,
+                         r[:pos] + rand_seq(rng, 120) + r[pos:]))
+    al = BatchAligner(BLOSUM62, GAPS, size=(32, 1024), batch=128,
+                      seq_cap=1024, local_start=True)
+    assert al._big and al._lane_cfg.local_start
+    got = [r.score for r in al.align_batch(ls_pairs)]
+    orc = BlockOracle(local_start=True)
+    for k, (q, r) in enumerate(ls_pairs):
+        pq = PaddedBytes.from_bytes(q, 1024, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 1024, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (32, 1024), 0)
+        assert got[k] == orc.res().score, ("local_start", k)
+
+    fqs_pairs = []
+    for _ in range(4):
+        q = rand_seq(rng, int(rng.integers(200, 400)))
+        fqs_pairs.append(
+            (q, rand_seq(rng, 150) + mutate(rng, q, len(q) // 10)))
+    al2 = BatchAligner(BLOSUM62, GAPS, size=(32, 1024), batch=128,
+                      seq_cap=1024, free_query_start_gaps=True)
+    assert al2._big and al2._lane_cfg.free_query_start_gaps
+    got2 = [r.score for r in al2.align_batch(fqs_pairs)]
+    orc2 = BlockOracle(free_query_start_gaps=True)
+    for k, (q, r) in enumerate(fqs_pairs):
+        pq = PaddedBytes.from_bytes(q, 1024, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 1024, BLOSUM62)
+        orc2.align(pq, pr, BLOSUM62, GAPS, (32, 1024), 0)
+        assert got2[k] == orc2.res().score, ("fqs", k)
+
+
+def test_big_kernel_free_query_end_gaps():
+    """FREE_QUERY_END_GAPS above 512 (wide result read at row qlen;
+    reference: tracker.vmax[qlen % L], src/scan_block.rs:1597-1600):
+    score AND (qlen, best column), oracle-exact."""
+    rng = np.random.default_rng(41)
+    pairs = []
+    for _ in range(4):
+        q = rand_seq(rng, int(rng.integers(60, 120)))
+        pos = int(rng.integers(0, 500))
+        pairs.append((q, rand_seq(rng, pos) + mutate(rng, q, len(q) // 8)
+                      + rand_seq(rng, 400)))
+    cfg = BigKernelConfig(
+        batch=128, min_size=1024, max_size=1024, seq_cap=2176,
+        alpha=32, free_query_end_gaps=True, interpret=True,
+    )
+    eng = build_big_engine(cfg)
+    out = np.asarray(eng(*pack_big(pairs, BLOSUM62, cfg, GAPS)))
+    assert not out[0, 0, 3, : len(pairs)].any(), "step-cap overflow"
+    orc = BlockOracle(free_query_end_gaps=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 1024, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 1024, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (1024, 1024), 0)
+        w = orc.res()
+        got = tuple(int(out[0, 0, i, k]) for i in range(3))
+        assert got == (w.score, w.query_idx, w.reference_idx), k
+
+
+def test_big_kernel_segmented_local_start():
+    """local_start through the host-windowed LongAdaptiveAligner (the
+    relative-zero offset state persists across launches)."""
+    from block_aligner_tpu import LongAdaptiveAligner
+
+    rng = np.random.default_rng(43)
+    a, b, c = rand_seq(rng, 900), rand_seq(rng, 400), rand_seq(rng, 900)
+    pairs = [(rand_seq(rng, 80) + a + b + c,
+              a + rand_seq(rng, 400) + c + rand_seq(rng, 60)),
+             (rand_seq(rng, 150), rand_seq(rng, 160))]
+    al = LongAdaptiveAligner(BLOSUM62, GAPS, size=(64, 1024), window=1920,
+                             batch=128, seq_cap=3200, local_start=True)
+    assert al.cfg.local_start and al.cfg.segmented
+    got = [r.score for r in al.align_batch(pairs)]
+    orc = BlockOracle(local_start=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 1024, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 1024, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (64, 1024), 0)
+        assert got[k] == orc.res().score, k
+
+
 def test_big_kernel_fixed_block():
     """min == max > 512 routes to the big kernel as a fixed-block engine
     (the lane kernel caps at S <= 512; these previously fell to the
