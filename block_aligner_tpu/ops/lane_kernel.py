@@ -743,7 +743,8 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 SCR[...] = sr_new
                 SCACT[...] = jnp.where(rmoved, sq_new, sr_new)
 
-        def column(w, s_idx, in_pro, slot=None, tr_pend=None):
+        def column(w, s_idx, in_pro, slot=None, tr_pend=None,
+                   frz_step=None):
             """One DP column for all K*P pairs (reference place_block inner
             loop, src/scan_block.rs:1119-1209; lanes = sublane rows here).
 
@@ -752,7 +753,6 @@ def build_lane_engine(cfg: LaneKernelConfig):
             produce a candidate above the zero-correction floor once they
             pass -32768, so their clamps are provably no-ops and omitted
             (bit-exactness is still enforced by the oracle-parity tests)."""
-            done = ST_DONE[...]
 
             # (KR, 1, P) column codes, duplicated per sub-bank
             c_w = dup(EC8[:, w, :][:, None, :])
@@ -970,19 +970,25 @@ def build_lane_engine(cfg: LaneKernelConfig):
                 # freeze + immediate score extraction once this rect passed
                 # both sequence ends (see module docstring; reference early
                 # exit: src/scan_block.rs:1216-1224 + extraction :567-592);
-                # the rect geometry predicates are hoisted to pre_step
-                fr_new = (FRA[...] == 1) & (wloc >= FRT[...]) & (done == 0)
-
-                @pl.when(jnp.any(fr_new))
+                # the rect geometry predicates are hoisted to pre_step and
+                # the whole per-column check is skipped on steps where no
+                # lane's freeze column can fall (frz_step, hoisted to body:
+                # one vector->scalar reduce per step instead of eight)
+                @pl.when(frz_step)
                 def _():
-                    val = gmax(jnp.max(
-                        jnp.where(rows_iota == FRIDX[...], D11,
-                                  jnp.iinfo(jnp.int32).min),
-                        axis=1, keepdims=True,
-                    ))
-                    fscore = ST_OFF[...] + val - ZERO
-                    OUT[...] = jnp.where(fr_new, fscore, OUT[...])
-                    ST_DONE[...] = jnp.where(fr_new, 1, ST_DONE[...])
+                    fr_new = (FRA[...] == 1) & (wloc >= FRT[...]) & (
+                        ST_DONE[...] == 0)
+
+                    @pl.when(jnp.any(fr_new))
+                    def _():
+                        val = gmax(jnp.max(
+                            jnp.where(rows_iota == FRIDX[...], D11,
+                                      jnp.iinfo(jnp.int32).min),
+                            axis=1, keepdims=True,
+                        ))
+                        fscore = ST_OFF[...] + val - ZERO
+                        OUT[...] = jnp.where(fr_new, fscore, OUT[...])
+                        ST_DONE[...] = jnp.where(fr_new, 1, ST_DONE[...])
 
         def post_step(s_idx):
             in_pro_end = s_idx == PRO_STEPS - 1
@@ -1143,9 +1149,17 @@ def build_lane_engine(cfg: LaneKernelConfig):
             else:
                 slot = None
             pre_step(s_idx, in_pro, slot)
+            if cfg.x_drop or cfg.free_query_end_gaps:
+                frz_step = None
+            else:
+                # can ANY lane's freeze column fall within this step?
+                wmax = jnp.where(in_pro, s_idx * STEP + STEP - 1, STEP - 1)
+                frz_step = jnp.any(
+                    (FRA[...] == 1) & (FRT[...] <= wmax)
+                    & (ST_DONE[...] == 0))
             tr_pend = [None]
             for w in range(STEP):
-                column(w, s_idx, in_pro, slot, tr_pend)
+                column(w, s_idx, in_pro, slot, tr_pend, frz_step)
 
             if cfg.trace:
                 # stream this step's trace bits + rect descriptor to HBM;

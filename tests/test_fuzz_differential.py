@@ -124,3 +124,49 @@ def test_fuzz_adaptive_kernel_vs_oracle(round_seed):
             orc.align(pq, pr, matrix, gaps, (mins, maxs), 0)
             assert got[k].score == orc.res().score, (
                 it, k, mins, maxs, got[k].score, orc.res().score)
+
+
+@pytest.mark.parametrize("round_seed", [107, 211])
+def test_fuzz_big_kernel_vs_oracle(round_seed):
+    """Randomized big-kernel sweeps across max sizes crossing 512 and mode
+    flags (global / x-drop / local-start / free-query-start-gaps), shape
+    corners included, checked against the oracle's grow/shrink machine."""
+    from block_aligner_tpu.api import BatchAligner
+
+    rng = np.random.default_rng(round_seed)
+    for it in range(2):
+        matrix, alpha, (go, ge) = MATRICES[int(rng.integers(len(MATRICES)))]
+        mins = int(2 ** rng.integers(5, 8))  # 32..128
+        maxs = 1024
+        gaps = Gaps(open=go, extend=ge)
+        mode = int(rng.integers(0, 3))
+        x_drop = int(rng.integers(30, 150)) if mode == 0 else None
+        local_start = mode == 1
+        fqs = mode == 2
+        pairs = [
+            (b"", b""), (b"A", b"A"),
+            (bytes(alpha[:1]) * 60, bytes(alpha[:1])),
+        ]
+        for _ in range(8):
+            pairs.append(rand_pair(rng, alpha, 1, 400,
+                                   bool(rng.integers(0, 2))))
+        al = BatchAligner(matrix, gaps, (mins, maxs), batch=128,
+                          seq_cap=1024, x_drop=x_drop,
+                          local_start=local_start,
+                          free_query_start_gaps=fqs)
+        assert al._big
+        got = al.align_batch(pairs)
+        orc = BlockOracle(x_drop=x_drop is not None, local_start=local_start,
+                          free_query_start_gaps=fqs)
+        for k, (q, r) in enumerate(pairs):
+            pq = PaddedBytes.from_bytes(q, maxs, matrix)
+            pr = PaddedBytes.from_bytes(r, maxs, matrix)
+            orc.align(pq, pr, matrix, gaps, (mins, maxs), x_drop or 0)
+            w = orc.res()
+            if x_drop is not None:
+                assert (got[k].score, got[k].query_idx,
+                        got[k].reference_idx) == (
+                    w.score, w.query_idx, w.reference_idx), (it, k, mode)
+            else:
+                assert got[k].score == w.score, (
+                    it, k, mode, got[k].score, w.score)
