@@ -130,6 +130,19 @@ int block_tpu_init(void) {
     PyEval_SaveThread();
   }
   Gil g;
+  // honor JAX_PLATFORMS=cpu via the config knob: site hooks may override
+  // the environment variable at interpreter startup, and an unreachable
+  // accelerator otherwise hangs the first batched dispatch inside jax
+  // backend init
+  const char* plats = getenv("JAX_PLATFORMS");
+  if (plats && strstr(plats, "cpu")) {
+    PyRun_SimpleString(
+        "try:\n"
+        "    import jax\n"
+        "    jax.config.update('jax_platforms', 'cpu')\n"
+        "except Exception:\n"
+        "    pass\n");
+  }
   g_mod = PyImport_ImportModule("block_aligner_tpu");
   if (!g_mod) {
     PyErr_Print();

@@ -246,6 +246,60 @@ def bench_nanopore():
         "reference keeps its trace in RAM without building CIGARs)")
 
 
+def bench_nanopore_band10k():
+    """The reference's <10 kbp 1%-10% ADAPTIVE band: percent_len(len, 1%)
+    .. percent_len(len, 10%) resolves to (128, 1024) at ~10 kbp
+    (reference: examples/nanopore_accuracy.rs:37-54; baseline 1.75 s /
+    5000 = 350 us/pair, bench notebook cell 27).  Runs the resident big
+    kernel."""
+    pairs = load_nanopore_pairs(n_pairs=256, max_len=10000)
+    max_len = max(max(len(q), len(r)) for q, r in pairs)
+    matrix = NucMatrix.new_simple(2, -4)
+    gaps = Gaps(open=-6, extend=-2)
+    al = BatchAligner(matrix, gaps, (128, 1024), batch=256,
+                      seq_cap=max_len)
+    assert al._big, "expected the big kernel for (128, 1024)"
+    staged = al.stage(pairs)
+    res = al.align_staged(staged)
+    dt = device_reps(al._lane_fn, staged[1], reps=3)
+    sample = range(0, len(pairs), 31)
+    wrong = sum(
+        1 for k in sample
+        if res[k].score != global_align_score(*pairs[k], matrix, gaps)
+    )
+    row("nanopore <10kbp adaptive 128-1024", len(pairs), dt, 350.0, wrong,
+        f"staged; big kernel; accuracy sampled {len(list(sample))} pairs; "
+        "ref 1%-10% band")
+
+
+def bench_nanopore_band50k():
+    """The reference's <50 kbp 1%-10% adaptive band: (512, 8192) on ~45
+    kbp reads (baseline 60.3 s / 10000 = 6.03 ms/pair, bench notebook
+    cell 27).  Runs LongAdaptiveAligner's windowed big-kernel launches."""
+    from block_aligner_tpu.api import LongAdaptiveAligner
+
+    pairs = load_nanopore_pairs(
+        name="seq_pairs.50kbps.10000", n_pairs=128, max_len=50000)
+    matrix = NucMatrix.new_simple(2, -4)
+    gaps = Gaps(open=-6, extend=-2)
+    al = LongAdaptiveAligner(matrix, gaps, size=(512, 8192), batch=128,
+                             seq_cap=51200)
+    al.align_batch(pairs)  # compile + upfront transfer
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = al.align_batch(pairs)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    wrong = sum(
+        1 for k in range(0, len(pairs), 63)
+        if res[k].score != global_align_score(*pairs[k], matrix, gaps)
+    )
+    row("nanopore <50kbp adaptive 512-8192", len(pairs), best, 6030.0,
+        wrong, "windowed big-kernel launches, repeated batch; accuracy "
+        "sampled 3 pairs; ref 1%-10% band")
+
+
 def bench_xdrop():
     rng = np.random.default_rng(7)
     pairs = []
@@ -370,6 +424,8 @@ def main():
     bench_short_reads()
     bench_accuracy_hard()
     bench_nanopore()
+    bench_nanopore_band10k()
+    bench_nanopore_band50k()
     bench_xdrop()
     bench_xdrop_25k()
     bench_rand_scan()
