@@ -54,7 +54,33 @@ def rand_protein_pairs(rng, n_pairs, length, k):
     return pairs
 
 
+def probe_device(timeout_s=150):
+    """Probe device reachability in a subprocess: a dead accelerator
+    tunnel hangs jax backend init in-process, which would hang the whole
+    bench instead of failing fast."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return (r.stdout.strip().splitlines() or [""])[-1] if r.returncode == 0 else ""
+    except Exception:
+        return ""
+
+
 def main():
+    plat = probe_device()
+    if not plat:
+        print(json.dumps({
+            "metric": "random_protein_1000x1000_global_block32_us_per_pair",
+            "value": -1, "unit": "us_per_pair", "vs_baseline": 0,
+            "error": "device unreachable (accelerator tunnel down)",
+        }))
+        return
+
     import jax
 
     # persistent compile cache: repeated driver runs skip the Mosaic compile
