@@ -172,6 +172,23 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out_ops int32*
             ctypes.c_int64,  # out_cap
         ]
+        if hasattr(lib, "ba_pack_lane"):
+            lib.ba_pack_lane.restype = None
+            lib.ba_pack_lane.argtypes = [
+                ctypes.c_void_p,  # codes (n_progs*K*P, 2*nch*128) int8
+                ctypes.c_int64,  # n_progs
+                ctypes.c_int64,  # K
+                ctypes.c_int64,  # P
+                ctypes.c_int64,  # nch
+                ctypes.c_int64,  # S
+                ctypes.c_void_p,  # packed_tab (NG, A) int32 or None
+                ctypes.c_int64,  # NG
+                ctypes.c_int64,  # A
+                ctypes.c_void_p,  # codes_t out (n_progs,K,2*nch,128,P) int8
+                ctypes.c_void_p,  # scq0 out (n_progs,NGs,K,S,P) int32
+                ctypes.c_void_p,  # scr0 out
+                ctypes.c_int32,  # nthreads
+            ]
         if hasattr(lib, "ba_lane_pair_major"):
             lib.ba_lane_pair_major.restype = None
             lib.ba_lane_pair_major.argtypes = [

@@ -494,4 +494,78 @@ void ba_lane_pair_major(const int32_t* raw, int64_t raw_sd, const int32_t* mh,
   }
 }
 
+// Host packing for the lane kernel: the position-major code transpose and
+// the initial lane-window score stacks, replacing numpy's strided
+// transposes (ops/lane_kernel.py:pack_lane — they dominated host pack cost
+// at ~37 us/pair on one core).  Layouts mirror pack_lane exactly:
+//   codes:   (n_progs*K*P, 2*nch*128) int8, pair-major, sides flattened
+//   codes_t: (n_progs, K, 2*nch, 128, P) int8
+//   packed_tab: (NG, A) int32, or null for byte mode
+//   scq0/scr0: (n_progs, NG, K, S, P) int32 (byte mode: NG == 1 and the
+//   stacks carry sign-extended raw codes, matching numpy's int8 upcast)
+void ba_pack_lane(const int8_t* codes, int64_t n_progs, int64_t K, int64_t P,
+                  int64_t nch, int64_t S, const int32_t* packed_tab,
+                  int64_t NG, int64_t A, int8_t* codes_t, int32_t* scq0,
+                  int32_t* scr0, int32_t nthreads) {
+  const int64_t nch2 = 2 * nch;
+  const int64_t L2 = nch2 * 128;
+  const int64_t NGs = packed_tab ? NG : 1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t tk = lo; tk < hi; tk++) {
+      const int64_t t = tk / K, k = tk % K;
+      const int8_t* base = codes + tk * P * L2;
+      int8_t* dstk = codes_t + tk * nch2 * 128 * P;
+      // --- (P, L2) -> (nch2, 128, P) byte transpose, 32x32 tiles ---
+      constexpr int64_t TB = 32;
+      for (int64_t c = 0; c < nch2; c++) {
+        const int8_t* src = base + c * 128;
+        int8_t* dst = dstk + c * 128 * P;
+        for (int64_t i0 = 0; i0 < 128; i0 += TB) {
+          for (int64_t p0 = 0; p0 < P; p0 += TB) {
+            for (int64_t p = 0; p < TB; p++) {
+              const int8_t* s_ = src + (p0 + p) * L2 + i0;
+              int8_t* d_ = dst + i0 * P + p0 + p;
+              for (int64_t i = 0; i < TB; i++) d_[i * P] = s_[i];
+            }
+          }
+        }
+      }
+      // --- initial stacks from the transposed plane (p contiguous) ---
+      for (int side = 0; side < 2; side++) {
+        int32_t* out = side == 0 ? scq0 : scr0;
+        for (int64_t g = 0; g < NGs; g++) {
+          const int32_t* tab = packed_tab ? packed_tab + g * A : nullptr;
+          for (int64_t s = 0; s < S; s++) {
+            const int8_t* rt =
+                dstk + ((side * nch + s / 128) * 128 + s % 128) * P;
+            int32_t* o =
+                out + (((t * NGs + g) * K + k) * S + s) * P;
+            if (tab) {
+              for (int64_t p = 0; p < P; p++) o[p] = tab[(uint8_t)rt[p]];
+            } else {
+              for (int64_t p = 0; p < P; p++) o[p] = (int32_t)rt[p];
+            }
+          }
+        }
+      }
+    }
+  };
+  const int64_t total = n_progs * K;
+  int64_t nt = nthreads > 0 ? nthreads
+                            : (int64_t)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > total) nt = total;
+  if (nt <= 1) {
+    work(0, total);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve((size_t)nt);
+  const int64_t per = (total + nt - 1) / nt;
+  for (int64_t i = 0; i < total; i += per) {
+    threads.emplace_back(work, i, i + per < total ? i + per : total);
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

@@ -1493,10 +1493,6 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
         if rlen[b]:
             codes[b, 1, 1 : 1 + rlen[b]] = rcat[roff[b] : roff[b + 1]]
 
-    # (B, 2, NCH*128) -> (n_progs, K, 2*NCH, 128, P): position-major layout
-    ct = codes.reshape(n_progs, K, P, 2 * NCH, 128)
-    codes_t = np.ascontiguousarray(ct.transpose(0, 1, 3, 4, 2))
-
     # packed score planes: group g packs amino acids 4g..4g+3, one byte
     # each, biased +128 so all bytes are non-negative; the device table is
     # byte-plane-major (row b*NG+g = M[4g+b] + 128) so the kernel packs new
@@ -1513,26 +1509,55 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
         | ((M[3::4].astype(np.int64) + 128) << 24)
     ).astype(np.uint32).astype(np.int32)  # (NG, A): packed_tab[g, c]
 
-    # initial lane-window score stacks: rows = positions 0..S-1
-    first = codes.reshape(n_progs, K, P, 2, NCH * 128)[..., :S].astype(np.int64)
-    if getattr(cfg, "byte_mode", False):
-        # byte mode: the stacks carry the raw codes, one word per row
-        scq0 = np.ascontiguousarray(
-            first[:, :, :, 0, :].astype(np.int32)
-            .transpose(0, 1, 3, 2)[:, None]
-        )
-        scr0 = np.ascontiguousarray(
-            first[:, :, :, 1, :].astype(np.int32)
-            .transpose(0, 1, 3, 2)[:, None]
+    byte_mode = bool(getattr(cfg, "byte_mode", False))
+    from ..native import load as _load_native
+
+    nat = _load_native()
+    if nat is not None and hasattr(nat, "ba_pack_lane"):
+        # native path: tiled byte transpose + stack gather in C++ (the
+        # numpy strided transposes below dominate host pack cost)
+        import ctypes
+
+        NGs = 1 if byte_mode else NG
+        codes_t = np.empty((n_progs, K, 2 * NCH, 128, P), dtype=np.int8)
+        scq0 = np.empty((n_progs, NGs, K, S, P), dtype=np.int32)
+        scr0 = np.empty((n_progs, NGs, K, S, P), dtype=np.int32)
+        tab = np.ascontiguousarray(packed_tab)
+        nat.ba_pack_lane(
+            codes.ctypes.data_as(ctypes.c_void_p), n_progs, K, P, NCH, S,
+            None if byte_mode else tab.ctypes.data_as(ctypes.c_void_p),
+            NG, A,
+            codes_t.ctypes.data_as(ctypes.c_void_p),
+            scq0.ctypes.data_as(ctypes.c_void_p),
+            scr0.ctypes.data_as(ctypes.c_void_p),
+            0,
         )
     else:
-        # scq0[t, g, k, s, p] = packed_tab[g, qcode[t, k, p, s]]
-        scq0 = np.ascontiguousarray(
-            packed_tab[:, first[:, :, :, 0, :]].transpose(1, 0, 2, 4, 3)
-        )
-        scr0 = np.ascontiguousarray(
-            packed_tab[:, first[:, :, :, 1, :]].transpose(1, 0, 2, 4, 3)
-        )
+        # (B, 2, NCH*128) -> (n_progs, K, 2*NCH, 128, P) position-major
+        ct = codes.reshape(n_progs, K, P, 2 * NCH, 128)
+        codes_t = np.ascontiguousarray(ct.transpose(0, 1, 3, 4, 2))
+
+        # initial lane-window score stacks: rows = positions 0..S-1
+        first = codes.reshape(
+            n_progs, K, P, 2, NCH * 128)[..., :S].astype(np.int64)
+        if byte_mode:
+            # byte mode: the stacks carry the raw codes, one word per row
+            scq0 = np.ascontiguousarray(
+                first[:, :, :, 0, :].astype(np.int32)
+                .transpose(0, 1, 3, 2)[:, None]
+            )
+            scr0 = np.ascontiguousarray(
+                first[:, :, :, 1, :].astype(np.int32)
+                .transpose(0, 1, 3, 2)[:, None]
+            )
+        else:
+            # scq0[t, g, k, s, p] = packed_tab[g, qcode[t, k, p, s]]
+            scq0 = np.ascontiguousarray(
+                packed_tab[:, first[:, :, :, 0, :]].transpose(1, 0, 2, 4, 3)
+            )
+            scr0 = np.ascontiguousarray(
+                packed_tab[:, first[:, :, :, 1, :]].transpose(1, 0, 2, 4, 3)
+            )
 
     g = np.zeros((1, 6), dtype=np.int32)
     if gaps is not None:

@@ -450,6 +450,29 @@ def test_big_kernel_segmented_local_start():
         assert got[k] == orc.res().score, k
 
 
+def test_big_kernel_segmented_free_start_gaps():
+    """free_query_start_gaps through the host-windowed LongAdaptiveAligner
+    (the row-0 relative-zero seed must keep firing across launches while
+    the query start stays in frame)."""
+    from block_aligner_tpu import LongAdaptiveAligner
+
+    rng = np.random.default_rng(53)
+    q1 = rand_seq(rng, 1800)
+    pairs = [(q1, rand_seq(rng, 700) + mutate(rng, q1, 150)),
+             (rand_seq(rng, 150), rand_seq(rng, 900))]
+    al = LongAdaptiveAligner(BLOSUM62, GAPS, size=(64, 1024), window=1920,
+                             batch=128, seq_cap=3200,
+                             free_query_start_gaps=True)
+    assert al.cfg.free_query_start_gaps and al.cfg.segmented
+    got = [r.score for r in al.align_batch(pairs)]
+    orc = BlockOracle(free_query_start_gaps=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 1024, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 1024, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (64, 1024), 0)
+        assert got[k] == orc.res().score, k
+
+
 def test_big_kernel_fixed_block():
     """min == max > 512 routes to the big kernel as a fixed-block engine
     (the lane kernel caps at S <= 512; these previously fell to the
