@@ -170,6 +170,49 @@ def stage_c(q):
         np.asarray(out2)
         res[f"big_{mn}_{mx}_us_per_pair"] = round(
             (time.perf_counter() - t0) / 4 / len(pairs) * 1e6, 1)
+
+    # A/B at (32, 512): the adaptive kernel (full-width steps, K banks,
+    # S=512 layout cliff) vs the big kernel (row segments, per-step cost
+    # tracks current size) — decides whether max==512 adaptive configs
+    # should reroute to the big kernel
+    from block_aligner_tpu.ops.adaptive_kernel import (
+        AdaptiveKernelConfig, build_adaptive_engine)
+    from block_aligner_tpu.ops.lane_kernel import pack_lane
+
+    pairs = []
+    for _ in range(128):
+        n = int(rng.integers(800, 1000))
+        r = bytes(rng.choice(list(DNA), size=n).tolist())
+        b = bytearray(r)
+        for _ in range(n // 10):
+            b[int(rng.integers(0, len(b)))] = int(rng.choice(list(DNA)))
+        pairs.append((bytes(b), r))
+    acfg = AdaptiveKernelConfig(batch=128, min_size=32, max_size=512,
+                                seq_cap=1664, alpha=16, banks=1)
+    afn = build_adaptive_engine(acfg)
+    aargs = pack_lane(pairs, matrix, acfg, gaps)
+    t0 = time.perf_counter()
+    out = np.asarray(afn(*aargs))
+    res["ab512_adaptive_compile_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        out = afn(*aargs)
+    np.asarray(out)
+    res["ab512_adaptive_us_per_pair"] = round(
+        (time.perf_counter() - t0) / 4 / 128 * 1e6, 1)
+    bcfg = BigKernelConfig(batch=128, min_size=32, max_size=512,
+                           seq_cap=1664, alpha=16, seg=256)
+    bfn = build_big_engine(bcfg)
+    bargs = pack_big(pairs, matrix, bcfg, gaps)
+    t0 = time.perf_counter()
+    out2 = np.asarray(bfn(*bargs))
+    res["ab512_big_compile_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        out2 = bfn(*bargs)
+    np.asarray(out2)
+    res["ab512_big_us_per_pair"] = round(
+        (time.perf_counter() - t0) / 4 / 128 * 1e6, 1)
     q.put(("ok", res))
 
 
