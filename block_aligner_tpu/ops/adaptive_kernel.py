@@ -599,7 +599,7 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             SCR[...] = sr_new
             SCACT[...] = jnp.where(right_or[None], sq_new, sr_new)
 
-        def column(w, slot=None, tr_pend=None):
+        def column(w, slot=None, tr_pend=None, frz_step=None):
             done = ST_DONE[...]
             dirn = ST_DIR[...]
             sz = SZ[...]
@@ -809,18 +809,24 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
                 XVM[...] = vm_new
                 return
 
-            # freeze + extraction at the reference's early-exit column
-            fr_new = (FRA[...] == 1) & (w >= FRT[...]) & (done == 0)
-
-            @pl.when(jnp.any(fr_new))
+            # freeze + extraction at the reference's early-exit column;
+            # the whole per-column check is skipped on steps where no
+            # lane's freeze column can fall (frz_step, hoisted to body:
+            # one vector->scalar reduce per step instead of eight)
+            @pl.when(frz_step)
             def _():
-                val = jnp.max(
-                    jnp.where(rows_iota == FRIDX[...], D11, NEG_I32),
-                    axis=1, keepdims=True,
-                )
-                fscore = ST_OFF[...] + val - ZERO
-                OUT[...] = jnp.where(fr_new, fscore, OUT[...])
-                ST_DONE[...] = jnp.where(fr_new, 1, ST_DONE[...])
+                fr_new = (FRA[...] == 1) & (w >= FRT[...]) & (
+                    ST_DONE[...] == 0)
+
+                @pl.when(jnp.any(fr_new))
+                def _():
+                    val = jnp.max(
+                        jnp.where(rows_iota == FRIDX[...], D11, NEG_I32),
+                        axis=1, keepdims=True,
+                    )
+                    fscore = ST_OFF[...] + val - ZERO
+                    OUT[...] = jnp.where(fr_new, fscore, OUT[...])
+                    ST_DONE[...] = jnp.where(fr_new, 1, ST_DONE[...])
 
         def post_step():
             done = ST_DONE[...]
@@ -1121,9 +1127,16 @@ def build_adaptive_engine(cfg: AdaptiveKernelConfig):
             else:
                 slot = None
             pre_step(slot)
+            if WIDE:
+                frz_step = None
+            else:
+                # can ANY lane's freeze column fall within this step?
+                frz_step = jnp.any(
+                    (FRA[...] == 1) & (FRT[...] <= STEP - 1)
+                    & (ST_DONE[...] == 0))
             tr_pend = [None]
             for w in range(STEP):
-                column(w, slot, tr_pend)
+                column(w, slot, tr_pend, frz_step)
             if cfg.trace:
                 t_dma(slot, s_idx).start()
                 m_dma(slot, s_idx).start()
