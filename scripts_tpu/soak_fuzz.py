@@ -1,0 +1,116 @@
+"""Open-ended differential soak: random (matrix, gaps, size, mode) configs
+through the public BatchAligner routing (lane / adaptive / big kernels in
+interpret mode on CPU), each batch checked against the scalar oracle.
+
+Runs until killed; prints one line per round and stops on the first
+mismatch with a full repro tuple.  Use idle CPU to widen the fuzz surface
+beyond the fixed-seed suite (tests/test_fuzz_differential.py).
+
+  python scripts_tpu/soak_fuzz.py [start_seed]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from block_aligner_tpu import (BLOSUM45, BLOSUM62, BLOSUM90, PAM120,
+                               BlockOracle, Gaps, NucMatrix, PaddedBytes)
+from block_aligner_tpu.api import BatchAligner
+
+AA = b"ACDEFGHIKLMNPQRSTVWY"
+DNA = b"ACGT"
+MATRICES = [
+    (BLOSUM62, AA, (-11, -1)),
+    (BLOSUM45, AA, (-10, -2)),
+    (BLOSUM90, AA, (-13, -1)),
+    (PAM120, AA, (-12, -2)),
+    (NucMatrix.new_simple(1, -1), DNA, (-2, -1)),
+    (NucMatrix.new_simple(2, -4), DNA, (-6, -2)),
+]
+
+
+def rand_pair(rng, alpha, lo, hi, related):
+    n = int(rng.integers(lo, hi))
+    q = bytes(rng.choice(list(alpha), size=n).tolist())
+    if not related:
+        m = int(rng.integers(lo, hi))
+        return q, bytes(rng.choice(list(alpha), size=m).tolist())
+    r = bytearray(q)
+    for _ in range(max(1, n // int(rng.integers(2, 10)))):
+        op = int(rng.integers(0, 3))
+        pos = int(rng.integers(0, max(len(r), 1)))
+        if op == 0 and len(r) > 0:
+            r[pos % len(r)] = int(rng.choice(list(alpha)))
+        elif op == 1 and len(r) > 1:
+            del r[pos % len(r)]
+        else:
+            r.insert(pos, int(rng.choice(list(alpha))))
+    if rng.integers(0, 3) == 0:  # structural indel: fires the grow ladder
+        ins = bytes(rng.choice(list(alpha),
+                               size=int(rng.integers(30, 200))).tolist())
+        pos = int(rng.integers(0, max(len(r), 1)))
+        r = r[:pos] + bytearray(ins) + r[pos:]
+    return q, bytes(r)
+
+
+def one_round(seed):
+    rng = np.random.default_rng(seed)
+    matrix, alpha, (go, ge) = MATRICES[int(rng.integers(len(MATRICES)))]
+    gaps = Gaps(open=go, extend=ge)
+    mins = int(2 ** rng.integers(4, 8))  # 16..128
+    maxs = mins * int(2 ** rng.integers(0, 4))  # x1..x8 (may cross 512)
+    maxs = min(maxs, 1024)
+    mode = int(rng.integers(0, 4))
+    x_drop = int(rng.integers(20, 150)) if mode == 1 else None
+    local_start = mode == 2
+    fqs = mode == 3
+    lo, hi = (1, 120) if maxs <= 256 else (50, 450)
+    pairs = [rand_pair(rng, alpha, lo, hi, bool(rng.integers(0, 2)))
+             for _ in range(10)]
+    longest = max(max(len(q), len(r)) for q, r in pairs)
+    al = BatchAligner(matrix, gaps, (mins, maxs), batch=128,
+                      seq_cap=longest + 32, x_drop=x_drop,
+                      local_start=local_start, free_query_start_gaps=fqs)
+    kern = ("adaptive" if al._adaptive else
+            "big" if al._big else "lane" if al._lane else "engine")
+    got = al.align_batch(pairs)
+    orc = BlockOracle(x_drop=x_drop is not None, local_start=local_start,
+                      free_query_start_gaps=fqs)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, maxs, matrix)
+        pr = PaddedBytes.from_bytes(r, maxs, matrix)
+        orc.align(pq, pr, matrix, gaps, (mins, maxs), x_drop or 0)
+        w = orc.res()
+        ok = got[k].score == w.score
+        if x_drop is not None:
+            ok = ok and (got[k].query_idx, got[k].reference_idx) == (
+                w.query_idx, w.reference_idx)
+        if not ok:
+            print(f"MISMATCH seed={seed} pair={k} kern={kern} "
+                  f"cfg=({mins},{maxs}) mode={mode} got={got[k]} "
+                  f"want=({w.score},{w.query_idx},{w.reference_idx})",
+                  flush=True)
+            return False
+    print(f"seed {seed}: ok ({kern}, ({mins},{maxs}), mode {mode}, "
+          f"{matrix.kind})", flush=True)
+    return True
+
+
+def main():
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    while True:
+        t0 = time.time()
+        if not one_round(seed):
+            sys.exit(1)
+        seed += 1
+
+
+if __name__ == "__main__":
+    main()
