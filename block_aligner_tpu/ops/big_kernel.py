@@ -290,8 +290,8 @@ def build_big_engine(cfg: BigKernelConfig):
              score_ref, sb_out, ckb_out, vb_out) = rest[:9]
             rest = rest[9:]
         else:
-            score_ref = rest[0]
-            rest = rest[1:]
+            score_ref, ckh_out = rest[:2]
+            rest = rest[2:]
         scr = rest
         if cfg.cc_stream:
             (CODES, ACT, PAS) = scr[:3]
@@ -325,12 +325,13 @@ def build_big_engine(cfg: BigKernelConfig):
         if cfg.segmented:
             (VBUF, sem, semc, semr) = scr
         else:
-            (CKC_H, CKR_H, sem, semc, semr) = scr
+            (sem, semc, semr) = scr
 
         prog = pl.program_id(0)
-        # checkpoint plane targets: HBM scratch when single-launch, the
-        # persistent output buffer when segmented (state must survive
-        # across launches; scratch contents do not)
+        # checkpoint plane targets: a per-program slice of an HBM *output*
+        # buffer in both modes (Mosaic only allows vmem/smem/semaphore
+        # scratch memrefs — HBM scratch fails AOT compile); segmented mode
+        # additionally relies on the output persisting across launches
         if cfg.segmented:
             def ckc_at(r):
                 return ckb_out.at[prog, 0, r]
@@ -343,10 +344,10 @@ def build_big_engine(cfg: BigKernelConfig):
                 return sb_out.at[prog, 2, r]
         else:
             def ckc_at(r):
-                return CKC_H.at[r]
+                return ckh_out.at[prog, 0, r]
 
             def ckr_at(r):
-                return CKR_H.at[r]
+                return ckh_out.at[prog, 1, r]
         open_ = gap_ref[0, 0]
         e = gap_ref[0, 1]
         xdrop_x = gap_ref[0, 2]
@@ -1323,8 +1324,14 @@ def build_big_engine(cfg: BigKernelConfig):
                 jax.ShapeDtypeStruct((n_progs, NS, 1, P), jnp.int32),
             ]
         else:
-            out_specs = score_spec
-            out_shape = score_shape
+            out_specs = [
+                score_spec,
+                pl.BlockSpec(memory_space=pltpu.HBM),  # ckpt planes
+            ]
+            out_shape = [
+                score_shape,
+                jax.ShapeDtypeStruct((n_progs, 2, R, SS, P), jnp.int32),
+            ]
         scratch = (
             [pltpu.VMEM((2 * NCH, 128, P), jnp.int8)]  # CODES
             + [pltpu.VMEM((R, SS, P), jnp.int32)
@@ -1352,11 +1359,8 @@ def build_big_engine(cfg: BigKernelConfig):
                         pltpu.VMEM((STEP, P), jnp.int32)]  # CCNS
         if cfg.segmented:
             scratch += [pltpu.VMEM((NS, 1, P), jnp.int32)]  # VBUF
-        else:
-            scratch += [pltpu.HBM((R, SS, P), jnp.int32)
-                        for _ in range(2)]  # CKC_H / CKR_H
         scratch += [pltpu.SemaphoreType.DMA for _ in range(3)]
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=(n_progs,),
             in_specs=in_specs,
@@ -1368,6 +1372,9 @@ def build_big_engine(cfg: BigKernelConfig):
             ),
             interpret=cfg.interpret,
         )(qlen, rlen, M, codes, gaps, *seg_args)
+        if not cfg.segmented:
+            return out[0]  # ckpt planes are kernel-internal state
+        return out
 
     return jax.jit(engine)
 
