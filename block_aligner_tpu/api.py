@@ -137,9 +137,14 @@ class BatchAligner:
         # local-start / free-gap flags compose with adaptive sizing on the
         # kernel path, including with trace (reference:
         # src/scan_block.rs:89 const generics compose freely)
+        # max == 512 non-trace adaptive reroutes to the big kernel: the
+        # TPU A/B (scripts_tpu/tpu_validate.py stage C) measured 137 vs
+        # 606 us/pair at (32, 512) — the adaptive kernel's full-width
+        # steps hit the S=512 layout cliff while the big kernel's
+        # row-segmented steps track the current size
         self._adaptive = (
             lane_ok and min_size < max_size and 16 <= min_size
-            and max_size <= 512
+            and max_size <= 512 and (max_size < 512 or trace)
             and use_lane_kernel is not False
         )
         if self._adaptive:
@@ -194,7 +199,9 @@ class BatchAligner:
         # engine)
         self._big = (
             lane_ok and min_size <= max_size and 16 <= min_size
-            and 512 < max_size <= 8192 and not trace
+            and (512 < max_size <= 8192
+                 or (max_size == 512 and min_size < max_size))
+            and not trace
             and use_lane_kernel is not False
             # resident code budget; longer sequences: LongAdaptiveAligner
             and round_up(max(1 + seq_cap + max_size + 16, 256), 128) <= 16384
