@@ -1,0 +1,62 @@
+"""Nanopore <10 kbp adaptive-band row: ~10 kbp reads at (128, 1024)
+through the public BatchAligner (resident big kernel), vs the
+reference's 350 us/pair (BASELINE.md, examples/nanopore_accuracy.rs
+band parameters).  Staged device-rate methodology (inputs on device up
+front, repeated launches) matching the reference's prepared-inputs
+benches and RESULTS.md's staged rows — the dev tunnel's 25-40 ms
+dispatch + 24 MB/s transfer otherwise dominates at B=128.
+Appends one JSON line to /tmp/tpu_validate.jsonl."""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+from block_aligner_tpu import BlockOracle, Gaps, NucMatrix, PaddedBytes  # noqa: E402
+from block_aligner_tpu.api import BatchAligner  # noqa: E402
+
+rng = np.random.default_rng(9)
+DNA = b"ACGT"
+matrix = NucMatrix.new_simple(2, -4)
+gaps = Gaps(open=-6, extend=-2)
+pairs = []
+for _ in range(128):
+    n = int(rng.integers(8500, 10000))
+    r = bytes(rng.choice(list(DNA), size=n).tolist())
+    b = bytearray(r)
+    for _ in range(n // 12):
+        b[int(rng.integers(0, len(b)))] = int(rng.choice(list(DNA)))
+    pairs.append((bytes(b), r))
+
+al = BatchAligner(matrix, gaps, size=(128, 1024), batch=128, seq_cap=10240)
+assert al._big
+staged = al.stage(pairs)
+t0 = time.perf_counter()
+res = al.align_staged(staged)
+compile_s = round(time.perf_counter() - t0, 1)
+
+reps = 4
+outs = [al._lane_fn(*staged[1]) for _ in range(reps)]
+np.asarray(outs[-1][0] if isinstance(outs[-1], (tuple, list)) else outs[-1])
+t0 = time.perf_counter()
+outs = [al._lane_fn(*staged[1]) for _ in range(reps)]
+np.asarray(outs[-1][0] if isinstance(outs[-1], (tuple, list)) else outs[-1])
+us_per_pair = round((time.perf_counter() - t0) / reps / len(pairs) * 1e6, 1)
+
+orc = BlockOracle()
+wrong = 0
+for k in range(2):
+    qb, rb = pairs[k]
+    pq = PaddedBytes.from_bytes(qb, 1024, matrix)
+    pr = PaddedBytes.from_bytes(rb, 1024, matrix)
+    orc.align(pq, pr, matrix, gaps, (128, 1024), 0)
+    wrong += res[k].score != orc.res().score
+rec = {"stage": "band10k_staged", "compile_plus_run_s": compile_s,
+       "band10k_us_per_pair": us_per_pair, "wrong_of_2": wrong,
+       "score0": int(res[0].score), "ts": time.time()}
+with open("/tmp/tpu_validate.jsonl", "a") as f:
+    f.write(json.dumps(rec) + "\n")
+print(json.dumps(rec))
