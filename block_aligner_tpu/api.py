@@ -145,6 +145,10 @@ class BatchAligner:
         self._adaptive = (
             lane_ok and min_size < max_size and 16 <= min_size
             and max_size <= 512 and (max_size < 512 or trace)
+            # resident code budget (same 16384 cap as the big kernel):
+            # over-budget configs demote to the engine with a warning
+            # naming LongBatchAligner instead of a bare config assert
+            and round_up(max(1 + seq_cap + max_size + 16, 256), 128) <= 16384
             and use_lane_kernel is not False
         )
         if self._adaptive:
@@ -312,15 +316,20 @@ class BatchAligner:
             import warnings
 
             why = []
+            capv = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
             if max_size > 8192:
                 why.append("max block size > 8192")
             elif min_size < max_size and trace and max_size > 512:
                 why.append("adaptive trace above block 512")
-            elif min_size < max_size and max_size > 512 and round_up(
-                    max(1 + seq_cap + max_size + 16, 256), 128) > 16384:
+            elif min_size < max_size and max_size > 512 and capv > 16384:
                 why.append(
                     "big blocks with sequences past the resident code "
                     "budget -- use LongAdaptiveAligner"
+                )
+            elif min_size < max_size and capv > 16384:
+                why.append(
+                    "adaptive blocks with sequences past the resident code "
+                    "budget -- use LongBatchAligner"
                 )
             if (local_start or free_query_start_gaps or free_query_end_gaps) \
                     and trace and min_size < max_size:

@@ -141,6 +141,13 @@ class BigKernelConfig:
     local_start: bool = False  # alignment may start anywhere (D >= rel 0)
     free_query_start_gaps: bool = False  # row 0 rides relative zero
     free_query_end_gaps: bool = False  # score read at row qlen, any column
+    # stream packed 2+2-bit trace words + rect/ckpt-event descriptors to
+    # HBM in the adaptive kernel's exact layout (step-slot planes + 6-word
+    # meta), so core/traceback.adaptive_trace decodes it unchanged.  The
+    # trace buffer is (trace_slots, S, P) int32 per program -- step-count
+    # is capped at trace_slots in trace mode (overruns surface through the
+    # existing step-cap flag row)
+    trace: bool = False
     # host-windowed execution for sequences beyond the VMEM code budget:
     # seq_cap becomes a per-pair code *window*; DP state round-trips
     # through HBM between launches and the kernel emits per-pair next
@@ -343,11 +350,14 @@ def build_big_engine(cfg: BigKernelConfig):
                 # streamed code plane lives in its persistent state slot
                 return sb_out.at[prog, 2, r]
         else:
+            # one shared plane pair for all programs: grid programs run
+            # sequentially and each zeroes the planes in init_state, so
+            # the buffer doesn't scale with batch (ADVICE r3)
             def ckc_at(r):
-                return ckh_out.at[prog, 0, r]
+                return ckh_out.at[0, r]
 
             def ckr_at(r):
-                return ckh_out.at[prog, 1, r]
+                return ckh_out.at[1, r]
         open_ = gap_ref[0, 0]
         e = gap_ref[0, 1]
         xdrop_x = gap_ref[0, 2]
@@ -1330,7 +1340,7 @@ def build_big_engine(cfg: BigKernelConfig):
             ]
             out_shape = [
                 score_shape,
-                jax.ShapeDtypeStruct((n_progs, 2, R, SS, P), jnp.int32),
+                jax.ShapeDtypeStruct((2, R, SS, P), jnp.int32),
             ]
         scratch = (
             [pltpu.VMEM((2 * NCH, 128, P), jnp.int8)]  # CODES
