@@ -494,6 +494,23 @@ void ba_lane_pair_major(const int32_t* raw, int64_t raw_sd, const int32_t* mh,
   }
 }
 
+// Fill the pair-major code buffer from the concatenated converted
+// sequences: codes[(b, side, 1:1+len)] = cat[off[b]:off[b+1]], everything
+// else = null_code.  Replaces pack_lane's per-pair python slice loop
+// (~10 us/pair of interpreter overhead at 64k-pair batches).
+//   codes: (B, 2, W) int8;  qcat/rcat: concatenations;  qoff/roff: (B+1,)
+void ba_fill_codes(int8_t* codes, int64_t B, int64_t W, int8_t null_code,
+                   const int8_t* qcat, const int64_t* qoff,
+                   const int8_t* rcat, const int64_t* roff) {
+  memset(codes, (unsigned char)null_code, (size_t)(B * 2 * W));
+  for (int64_t b = 0; b < B; b++) {
+    const int64_t ql = qoff[b + 1] - qoff[b];
+    const int64_t rl = roff[b + 1] - roff[b];
+    if (ql) memcpy(codes + (2 * b) * W + 1, qcat + qoff[b], (size_t)ql);
+    if (rl) memcpy(codes + (2 * b + 1) * W + 1, rcat + roff[b], (size_t)rl);
+  }
+}
+
 // Host packing for the lane kernel: the position-major code transpose and
 // the initial lane-window score stacks, replacing numpy's strided
 // transposes (ops/lane_kernel.py:pack_lane — they dominated host pack cost
@@ -503,6 +520,11 @@ void ba_lane_pair_major(const int32_t* raw, int64_t raw_sd, const int32_t* mh,
 //   packed_tab: (NG, A) int32, or null for byte mode
 //   scq0/scr0: (n_progs, NG, K, S, P) int32 (byte mode: NG == 1 and the
 //   stacks carry sign-extended raw codes, matching numpy's int8 upcast)
+// no-tree-vectorize: gcc turns the table-lookup loop below into AVX2
+// vpgatherdd, which post-Downfall microcode makes ~25x SLOWER than the
+// scalar loop (measured 1.57 s vs 60 ms for a 16k-pair batch on the
+// bench host); the scalar form runs at memory speed
+__attribute__((optimize("no-tree-vectorize")))
 void ba_pack_lane(const int8_t* codes, int64_t n_progs, int64_t K, int64_t P,
                   int64_t nch, int64_t S, const int32_t* packed_tab,
                   int64_t NG, int64_t A, int8_t* codes_t, int32_t* scq0,

@@ -1470,9 +1470,13 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
         null_code = int(matrix.convert(bytes([matrix.NULL]))[0])
 
     # vectorized packing: one conversion pass over the concatenation, then
-    # per-pair memcpy slices (the per-pair python work must stay tiny --
-    # short-sequence batches are host-bound otherwise)
-    codes = np.full((B, 2, NCH * 128), null_code, dtype=np.int8)
+    # per-pair memcpy slices -- in C++ when the native lib is present (the
+    # per-pair python slice loop costs ~10 us/pair of interpreter overhead
+    # on the 1-core bench host)
+    from ..native import load as _load_native
+
+    nat = _load_native()
+
     def as_bytes(s):
         return s.encode("ascii") if isinstance(s, str) else bytes(s)
 
@@ -1485,13 +1489,32 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
     )
     qcat = conv(b"".join(qs)) if qlen.sum() else None
     rcat = conv(b"".join(rs)) if rlen.sum() else None
-    qoff = np.concatenate([[0], np.cumsum(qlen)])
-    roff = np.concatenate([[0], np.cumsum(rlen)])
-    for b in range(B):
-        if qlen[b]:
-            codes[b, 0, 1 : 1 + qlen[b]] = qcat[qoff[b] : qoff[b + 1]]
-        if rlen[b]:
-            codes[b, 1, 1 : 1 + rlen[b]] = rcat[roff[b] : roff[b + 1]]
+    qoff = np.concatenate([[0], np.cumsum(qlen, dtype=np.int64)])
+    roff = np.concatenate([[0], np.cumsum(rlen, dtype=np.int64)])
+    if nat is not None and hasattr(nat, "ba_fill_codes"):
+        import ctypes
+
+        codes = np.empty((B, 2, NCH * 128), dtype=np.int8)
+        empty = np.zeros(1, dtype=np.int8)
+        qc = np.ascontiguousarray(qcat) if qcat is not None else empty
+        rc = np.ascontiguousarray(rcat) if rcat is not None else empty
+        qo = np.ascontiguousarray(qoff, dtype=np.int64)
+        ro = np.ascontiguousarray(roff, dtype=np.int64)
+        nat.ba_fill_codes(
+            codes.ctypes.data_as(ctypes.c_void_p), B, NCH * 128,
+            int(null_code) & 0xFF,
+            qc.ctypes.data_as(ctypes.c_void_p),
+            qo.ctypes.data_as(ctypes.c_void_p),
+            rc.ctypes.data_as(ctypes.c_void_p),
+            ro.ctypes.data_as(ctypes.c_void_p),
+        )
+    else:
+        codes = np.full((B, 2, NCH * 128), null_code, dtype=np.int8)
+        for b in range(B):
+            if qlen[b]:
+                codes[b, 0, 1 : 1 + qlen[b]] = qcat[qoff[b] : qoff[b + 1]]
+            if rlen[b]:
+                codes[b, 1, 1 : 1 + rlen[b]] = rcat[roff[b] : roff[b + 1]]
 
     # packed score planes: group g packs amino acids 4g..4g+3, one byte
     # each, biased +128 so all bytes are non-negative; the device table is
@@ -1510,9 +1533,6 @@ def pack_lane(pairs, matrix, cfg: LaneKernelConfig, gaps=None, x_drop=0):
     ).astype(np.uint32).astype(np.int32)  # (NG, A): packed_tab[g, c]
 
     byte_mode = bool(getattr(cfg, "byte_mode", False))
-    from ..native import load as _load_native
-
-    nat = _load_native()
     if nat is not None and hasattr(nat, "ba_pack_lane"):
         # native path: tiled byte transpose + stack gather in C++ (the
         # numpy strided transposes below dominate host pack cost)

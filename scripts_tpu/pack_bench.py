@@ -1,0 +1,86 @@
+"""Host packing cost, measured separately from the device/tunnel
+(VERDICT r3 #3: pack_lane time for a 16k-pair batch, native C++ path vs
+the numpy fallback).
+
+The reference pads all pairs up-front outside its timed loop
+(reference: examples/uc_bench.rs:84-101); BatchAligner.stage() plays that
+role here, and this script isolates its host cost.
+
+Usage: python scripts_tpu/pack_bench.py [--batch 16384] [--len 250]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--len", type=int, dest="length", default=250)
+    ap.add_argument("--block", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    from block_aligner_tpu import BLOSUM62, Gaps
+    from block_aligner_tpu.ops import lane_kernel
+    from block_aligner_tpu.ops.lane_kernel import LaneKernelConfig, pack_lane
+
+    rng = np.random.default_rng(0)
+    aa = b"ACDEFGHIKLMNPQRSTVWY"
+    pairs = []
+    for _ in range(args.batch):
+        n = int(rng.integers(args.length // 2, args.length + 1))
+        m = int(rng.integers(args.length // 2, args.length + 1))
+        pairs.append((
+            bytes(rng.choice(list(aa), size=n).tolist()),
+            bytes(rng.choice(list(aa), size=m).tolist()),
+        ))
+    gaps = Gaps(open=-11, extend=-1)
+    cap = ((1 + args.length + args.block + 16 + 255) // 128) * 128
+    banks = 16
+    cfg = LaneKernelConfig(
+        batch=args.batch, block=args.block, seq_cap=max(cap, 256),
+        banks=banks, interpret=True,
+    )
+
+    from block_aligner_tpu.native import load
+
+    nat = load()
+
+    def bench(label):
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            pack_lane(pairs, BLOSUM62, cfg, gaps)
+            best = min(best, time.perf_counter() - t0)
+        us = best * 1e6 / args.batch
+        print(f"{label}: {best * 1e3:.1f} ms / {args.batch} pairs "
+              f"= {us:.2f} us/pair")
+        return us
+
+    if nat is not None and hasattr(nat, "ba_pack_lane"):
+        us_nat = bench("pack_lane native C++")
+        # numpy fallback for comparison: hide the native symbol
+        real = nat.ba_pack_lane
+        try:
+            del nat.ba_pack_lane
+            us_np = bench("pack_lane numpy fallback")
+        finally:
+            nat.ba_pack_lane = real
+        print(f"native speedup: {us_np / us_nat:.2f}x")
+    else:
+        bench("pack_lane numpy (no native lib)")
+
+
+if __name__ == "__main__":
+    main()
