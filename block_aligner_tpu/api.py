@@ -17,11 +17,15 @@ Three device backends sit underneath, picked automatically:
   all composable as in the reference's const generics (seq-seq AND
   profile);
 * the big-block kernel (ops/big_kernel.py) -- row-segmented adaptive
-  sizing for 512 < max_size <= 8192 (global, byte);
+  sizing for 512 < max_size <= 8192: global, x-drop, byte, local-start,
+  free-gap flags, and TRACE (global + local-start/free-start-gaps, the
+  reference's traced long-read bands);
 * the general lockstep engine (ops/engine.py) -- the oracle-chain
   cross-check and the fallback for explicitly engine-routed runs
   (use_lane_kernel=False); falling onto it implicitly emits a
-  RuntimeWarning naming the unrouted configuration.
+  RuntimeWarning naming the unrouted configuration.  ``pick_route``
+  is the audited routing decision (tests/test_api.py pins the trapdoor
+  list: >8192 blocks, wide-mode trace >512, over-budget sequences).
 
 ``ProfileAligner`` is the sequence-to-PSSM counterpart of ``BatchAligner``
 (reference: Block::align_profile, src/scan_block.rs:942-995).
@@ -47,11 +51,57 @@ STEP_ = 8
 __all__ = ["BatchAligner", "ProfileAligner",
            "LongBatchAligner", "LongAdaptiveAligner",
            "align_exp_all", "align_profile_exp_all",
-           "round_up"]
+           "pick_route", "round_up"]
 
 
 def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def pick_route(min_size: int, max_size: int, seq_cap: int, *,
+               trace: bool = False, x_drop: Optional[int] = None,
+               local_start: bool = False,
+               free_query_start_gaps: bool = False,
+               free_query_end_gaps: bool = False,
+               is_byte: bool = False):
+    """The BatchAligner kernel-routing decision, exposed for auditing.
+
+    Returns ``(path, reasons)`` where path is one of "adaptive", "big",
+    "lane", "engine"; ``reasons`` is non-empty exactly when path ==
+    "engine" and names why no Pallas kernel serves the configuration (the
+    documented trapdoor list -- tests/test_api.py pins it, so a routing
+    change that silently grows the engine set fails loudly)."""
+    min_size = max(min_size, 16)
+    max_size = max(max_size, min_size)
+    capv = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
+    wide = x_drop is not None or free_query_end_gaps
+    if (min_size < max_size and max_size <= 512
+            and (max_size < 512 or trace) and capv <= 16384):
+        return "adaptive", []
+    if ((512 < max_size <= 8192
+         or (max_size == 512 and min_size < max_size))
+            and not (trace and wide) and capv <= 16384):
+        return "big", []
+    if min_size == max_size and min_size <= 512 and capv <= 16384:
+        return "lane", []
+    reasons = []
+    if max_size > 8192:
+        reasons.append("max block size > 8192")
+    elif trace and wide and max_size > 512:
+        reasons.append(
+            "wide-mode (x-drop / free-end-gap) trace above block 512"
+        )
+    elif capv > 16384 and max_size > 512:
+        reasons.append(
+            "big blocks with sequences past the resident code budget "
+            "-- use LongAdaptiveAligner"
+        )
+    elif capv > 16384:
+        reasons.append(
+            "blocks with sequences past the resident code budget "
+            "-- use LongBatchAligner"
+        )
+    return "engine", reasons or ["unrouted configuration"]
 
 
 def pick_row_split(block: int, banks: int, profile: bool = False) -> int:
@@ -141,16 +191,17 @@ class BatchAligner:
         # TPU A/B (scripts_tpu/tpu_validate.py stage C) measured 137 vs
         # 606 us/pair at (32, 512) — the adaptive kernel's full-width
         # steps hit the S=512 layout cliff while the big kernel's
-        # row-segmented steps track the current size
-        self._adaptive = (
-            lane_ok and min_size < max_size and 16 <= min_size
-            and max_size <= 512 and (max_size < 512 or trace)
-            # resident code budget (same 16384 cap as the big kernel):
-            # over-budget configs demote to the engine with a warning
-            # naming LongBatchAligner instead of a bare config assert
-            and round_up(max(1 + seq_cap + max_size + 16, 256), 128) <= 16384
-            and use_lane_kernel is not False
+        # row-segmented steps track the current size.
+        # All routing lives in pick_route (the audited trapdoor list)
+        route, fallback_why = pick_route(
+            min_size, max_size, seq_cap, trace=trace, x_drop=x_drop,
+            local_start=local_start,
+            free_query_start_gaps=free_query_start_gaps,
+            free_query_end_gaps=free_query_end_gaps, is_byte=is_byte,
         )
+        if not lane_ok or use_lane_kernel is False:
+            route = "engine"
+        self._adaptive = route == "adaptive"
         if self._adaptive:
             import jax
 
@@ -201,15 +252,11 @@ class BatchAligner:
         # a fixed-block engine at per-step cost proportional to the size,
         # where the lane kernel's S <= 512 ceiling would drop to the
         # engine)
-        self._big = (
-            lane_ok and min_size <= max_size and 16 <= min_size
-            and (512 < max_size <= 8192
-                 or (max_size == 512 and min_size < max_size))
-            and not trace
-            and use_lane_kernel is not False
-            # resident code budget; longer sequences: LongAdaptiveAligner
-            and round_up(max(1 + seq_cap + max_size + 16, 256), 128) <= 16384
-        )
+        # trace composes with global + local-start / free-start-gap flags
+        # on the big path (the reference's traced long-read bands,
+        # examples/nanopore_bench_global.rs:144-227); wide-mode (x-drop /
+        # free-end-gap) trace >512 stays on the engine (pick_route)
+        self._big = route == "big"
         if self._big:
             import jax
 
@@ -225,6 +272,7 @@ class BatchAligner:
                 alpha=a_,
                 byte_mode=is_byte,
                 x_drop=x_drop is not None,
+                trace=trace,
                 local_start=local_start,
                 free_query_start_gaps=free_query_start_gaps,
                 free_query_end_gaps=free_query_end_gaps,
@@ -242,9 +290,7 @@ class BatchAligner:
             return
         explicit_off = use_lane_kernel is False
         if use_lane_kernel is None:
-            use_lane_kernel = (
-                lane_ok and min_size == max_size and 16 <= min_size <= 512
-            )
+            use_lane_kernel = route == "lane"
         self._lane = use_lane_kernel
         if self._lane:
             import jax
@@ -312,32 +358,15 @@ class BatchAligner:
         if not explicit_off:
             # every config that reaches here missed the kernel fast paths;
             # the XLA engine is ~100x slower per iteration (VERDICT r2
-            # "engine is a perf trapdoor") -- make the demotion loud
+            # "engine is a perf trapdoor") -- make the demotion loud.
+            # The reason list comes from pick_route, the audited trapdoor
+            # enumeration (tests/test_api.py pins it)
             import warnings
 
-            why = []
-            capv = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
-            if max_size > 8192:
-                why.append("max block size > 8192")
-            elif min_size < max_size and trace and max_size > 512:
-                why.append("adaptive trace above block 512")
-            elif min_size < max_size and max_size > 512 and capv > 16384:
-                why.append(
-                    "big blocks with sequences past the resident code "
-                    "budget -- use LongAdaptiveAligner"
-                )
-            elif min_size < max_size and capv > 16384:
-                why.append(
-                    "adaptive blocks with sequences past the resident code "
-                    "budget -- use LongBatchAligner"
-                )
-            if (local_start or free_query_start_gaps or free_query_end_gaps) \
-                    and trace and min_size < max_size:
-                why.append("adaptive trace with local-start/free-gap flags")
             warnings.warn(
                 "BatchAligner config fell back to the XLA engine "
-                f"({'; '.join(why) or 'unrouted configuration'}); expect "
-                "~100x lower throughput than the Pallas kernel paths",
+                f"({'; '.join(fallback_why)}); expect ~100x lower "
+                "throughput than the Pallas kernel paths",
                 RuntimeWarning, stacklevel=2,
             )
         self._fn = self._build()
@@ -402,8 +431,10 @@ class BatchAligner:
 
             args = pack_big(pairs, self.matrix, self._lane_cfg, self.gaps,
                             x_drop=self.x_drop or 0)
-            return self._adaptive_results(
-                np.asarray(self._lane_fn(*args)), pairs)
+            res = self._lane_fn(*args)
+            if self._lane_cfg.trace:
+                return self._finish_big_trace(res, pairs)
+            return self._adaptive_results(np.asarray(res), pairs)
         if self._lane:
             from .ops.lane_kernel import pack_lane
 
@@ -476,6 +507,27 @@ class BatchAligner:
         )
         return self._adaptive_results(out, pairs)
 
+    def _finish_big_trace(self, res, pairs) -> List[AlignResult]:
+        """Fetch + wrap one big-kernel traced batch (segment-compacted
+        words + step descriptors; core/traceback.BigTrace)."""
+        from .core.traceback import big_trace
+
+        out, thbm, mhbm = res
+        out = np.asarray(out)
+        # trace score rows: OUT, steps, slots, step-cap overrun
+        steps = out[:, 0, 1, 0].astype(np.int64)
+        tpos = out[:, 0, 2, 0].astype(np.int64)
+        nst = max(int(steps.max()), 1)
+        ntp = max(int(tpos.max()), 1)
+        self._last_trace = big_trace(
+            [(np.asarray(thbm[:, :ntp]), np.asarray(mhbm[:, :nst]),
+              steps, tpos)],
+            local_start=self._lane_cfg.local_start,
+            free_query_start_gaps=self._lane_cfg.free_query_start_gaps,
+            words=self._lane_cfg.trace_words,
+        )
+        return self._adaptive_results(out, pairs)
+
     def _finish_lane_trace(self, res, pairs) -> List[AlignResult]:
         """Fetch + decode one lane-kernel traced batch."""
         from .core.traceback import lane_trace
@@ -528,16 +580,21 @@ class BatchAligner:
         (reference: examples/uc_bench.rs:89-104) at batch granularity.
         """
         assert self._trace_mode, "align_all_trace requires trace=True"
-        assert self._lane or self._adaptive, (
+        assert self._lane or self._adaptive or self._big, (
             "align_all_trace rides the kernel trace streams"
         )
-        from .ops.lane_kernel import pack_lane
+        if self._big:
+            from .ops.big_kernel import pack_big as pack_lane
+        else:
+            from .ops.lane_kernel import pack_lane
 
         results: List[AlignResult] = []
         cigars: List[Cigar] = []
 
         def walk(res, chunk):
-            if self._adaptive:
+            if self._big:
+                got = self._finish_big_trace(res, chunk)
+            elif self._adaptive:
                 got = self._finish_adaptive_trace(res, chunk)
             else:
                 got = self._finish_lane_trace(res, chunk)
@@ -876,13 +933,16 @@ class ProfileAligner:
             return
         cap = round_up(1 + seq_cap + max_size + 16, 128)
         if not explicit_off:
-            import warnings
-
-            warnings.warn(
-                "ProfileAligner config fell back to the XLA engine "
-                f"(block sizes {min_size}-{max_size} exceed the kernel "
-                "paths' 512 cap); expect ~100x lower throughput",
-                RuntimeWarning, stacklevel=2,
+            # documented exclusion: the reference's PSSM experiments never
+            # exceed block 128 (examples/pssm_accuracy.rs), so profiles
+            # past the kernel paths' 512 cap raise instead of silently
+            # demoting to the ~100x slower engine; pass
+            # use_lane_kernel=False to opt into the engine explicitly
+            raise ValueError(
+                f"ProfileAligner block sizes {min_size}-{max_size} exceed "
+                "the kernel paths' 512 cap (the reference PSSM surface "
+                "is <= 128); pass use_lane_kernel=False to run on the "
+                "~100x slower XLA engine anyway"
             )
         self.cfg = EngineConfig(
             batch=round_up(batch, ndev),
@@ -1048,12 +1108,14 @@ class ProfileAligner:
 
     def stage(self, pairs):
         """Pack a (query, profile) batch and place it on device; run with
-        ``align_staged`` (lane-kernel, non-trace configurations)."""
+        ``align_staged`` (lane-kernel AND adaptive-kernel non-trace
+        configurations -- both consume the same pack_lane_profile
+        layout)."""
         import jax
 
         from .ops.lane_kernel import pack_lane_profile
 
-        assert self._lane and not self._trace_mode
+        assert (self._lane or self._adaptive) and not self._trace_mode
         cfg = self._lane_cfg
         assert len(pairs) <= cfg.batch
         args = list(pack_lane_profile(pairs, cfg))
@@ -1068,10 +1130,14 @@ class ProfileAligner:
         n, args, (ql, rl) = staged
         cfg = self._lane_cfg
         out = np.asarray(self._fn(*args))
-        self.last_suspect = (
-            out[:, :, -1, :].reshape(cfg.batch)[:n].astype(bool)
-        )
-        if cfg.x_drop:
+        over = out[:, :, -1, :].reshape(cfg.batch)[:n]
+        if self._adaptive:
+            assert not over.any(), (
+                "adaptive kernel hit its step cap; raise seq_cap/max_steps"
+            )
+        else:
+            self.last_suspect = over.astype(bool)
+        if cfg.x_drop or cfg.free_query_end_gaps:
             o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(cfg.batch, 3)
             return [
                 AlignResult(int(o2[k, 0]), int(o2[k, 1]), int(o2[k, 2]))
@@ -1493,8 +1559,17 @@ class LongAdaptiveAligner:
     bit-exact with the unsegmented kernel / the scalar oracle.
 
     Global scores (plus the local-start / free-leading-query-gap flags);
-    no trace/x-drop — wide modes ride the <=512 segmented lane path.
+    no x-drop — wide modes ride the <=512 segmented lane path.
     AA/Nuc tables and ByteMatrix.
+
+    ``trace=True`` additionally streams each launch's segment-compacted
+    packed trace words + step descriptors to HBM; the host fetches them
+    per launch (bounding device trace memory at the per-launch slot
+    budget — a launch whose budget fills simply stops early and resumes,
+    since all DP state persists anyway) and stitches the chunks into one
+    ``BigTrace`` for CIGARs.  This is the reference's flagship traced
+    long-read configuration ((512, 8192) bands over <50 kbp reads,
+    examples/nanopore_bench_global.rs:144-227).
     """
 
     def __init__(
@@ -1506,8 +1581,12 @@ class LongAdaptiveAligner:
         window: Optional[int] = None,
         batch: int = 128,
         seq_cap: int = 65536,
+        trace: bool = False,
+        trace_slots: int = 0,
         local_start: bool = False,
         free_query_start_gaps: bool = False,
+        mesh=None,
+        data_axis: str = "data",
     ):
         import jax
 
@@ -1526,20 +1605,34 @@ class LongAdaptiveAligner:
         full_cap = round_up(1 + seq_cap + max_size + 16, 128) + window
         self.matrix = matrix
         self.gaps = gaps
+        self._trace_mode = trace
+        self._last_trace = None
+        self.mesh = mesh
+        self.data_axis = data_axis
+        ndev = 1
+        if mesh is not None:
+            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         self.cfg = BigKernelConfig(
-            batch=round_up(max(batch, 128), 128),
+            batch=round_up(max(batch, 128), 128 * ndev),
             min_size=min_size,
             max_size=max_size,
             seq_cap=window,
             alpha=a_,
             byte_mode=is_byte,
+            trace=trace,
+            trace_slots=trace_slots,
             local_start=local_start,
             free_query_start_gaps=free_query_start_gaps,
             segmented=True,
             full_cap=full_cap,
             interpret=jax.default_backend() != "tpu",
         )
-        self._fn = build_big_engine(self.cfg)
+        if mesh is not None:
+            from .parallel.mesh import data_parallel_big
+
+            self._fn = data_parallel_big(self.cfg, mesh, data_axis)
+        else:
+            self._fn = build_big_engine(self.cfg)
         self._cut = build_big_cutter(self.cfg)
 
     @property
@@ -1556,7 +1649,15 @@ class LongAdaptiveAligner:
         assert len(pairs) <= cfg.batch
         qlen, rlen, Mp, codes_full, g = pack_big_full(
             pairs, self.matrix, cfg, self.gaps)
-        codes_full = jax.device_put(codes_full)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            codes_full = jax.device_put(
+                codes_full,
+                NamedSharding(self.mesh, P(self.data_axis, None, None)),
+            )
+        else:
+            codes_full = jax.device_put(codes_full)
         n_progs, R, SS = cfg.n_programs, cfg.n_segs, cfg.seg
         NS = cfg.n_state_rows
         shp = (n_progs, 1, P_LANES)
@@ -1573,15 +1674,48 @@ class LongAdaptiveAligner:
         max_len = max(int(np.max(qlen)), int(np.max(rlen)))
         total_steps = (4 * (max_len + 128) + 32 * cfg.max_size) // STEP_
         max_segs = total_steps // cfg.seg_steps + 2
+        if cfg.trace:
+            # slot-budget-limited launches make less step progress; allow
+            # the launch count to stretch (each launch still advances >= 1
+            # step, and the done flag breaks the loop)
+            max_segs = 4 * max_segs + 4
+        chunks = []
         for seg in range(max_segs):
             gseg = g0 if seg == 0 else g1
             codes_t = self._cut(codes_full, baseq, baser)
-            score, sb, ckb, vb = self._fn(
+            res = self._fn(
                 qlen, rlen, Mp, codes_t, gseg, baseq, baser, sb, ckb, vb)
-            # window bases flow device-to-device: no host sync per launch
-            baseq = vb[:, 47]
-            baser = vb[:, 48]
+            if cfg.trace:
+                # fetch each launch's executed trace slice before the next
+                # launch (device trace HBM is per-launch, host accumulates)
+                score, sb, ckb, vb, thbm, mhbm = res
+                sc = np.asarray(score)
+                steps = sc[:, 0, 1, 0].astype(np.int64)
+                tpos = sc[:, 0, 2, 0].astype(np.int64)
+                chunks.append((
+                    np.asarray(thbm[:, : max(int(tpos.max()), 1)]),
+                    np.asarray(mhbm[:, : max(int(steps.max()), 1)]),
+                    steps, tpos,
+                ))
+                baseq = vb[:, cfg.n_state_rows - 2]
+                baser = vb[:, cfg.n_state_rows - 1]
+                if int(np.asarray(vb)[:, 6].min()) == 1:
+                    break
+            else:
+                score, sb, ckb, vb = res
+                # window bases flow device-to-device: no host sync
+                baseq = vb[:, cfg.n_state_rows - 2]
+                baser = vb[:, cfg.n_state_rows - 1]
 
+        if cfg.trace:
+            from .core.traceback import big_trace
+
+            self._last_trace = big_trace(
+                chunks,
+                local_start=cfg.local_start,
+                free_query_start_gaps=cfg.free_query_start_gaps,
+                words=cfg.trace_words,
+            )
         vb_np = np.asarray(vb)
         # vb rows mirror the kernel's small-state order: 6 = ST_DONE,
         # 9 = OUT (ops/big_kernel.py SMALLS)
@@ -1593,3 +1727,17 @@ class LongAdaptiveAligner:
             AlignResult(int(out[b]), len(q), len(r))
             for b, (q, r) in enumerate(pairs)
         ]
+
+    # --- trace accessors (reference: Block::trace, src/scan_block.rs:1241) --
+    def trace(self):
+        assert self._trace_mode and self._last_trace is not None
+        return self._last_trace
+
+    def cigar(self, k: int, i: int, j: int,
+              cigar: Optional[Cigar] = None) -> Cigar:
+        """CIGAR for pair ``k`` of the last batch, from end position (i, j)."""
+        return self.trace().cigar(k, i, j, cigar)
+
+    def cigar_eq(self, k: int, q, r, i: int, j: int,
+                 cigar: Optional[Cigar] = None) -> Cigar:
+        return self.trace().cigar_eq(k, q, r, i, j, cigar)

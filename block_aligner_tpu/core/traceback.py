@@ -711,6 +711,208 @@ def adaptive_trace(thbm, mhbm, steps, block: int, *, local_start=False,
                        free_query_start_gaps=free_query_start_gaps)
 
 
+class _BigRect:
+    """A rect reconstructed from the big kernel's segment-compacted trace
+    stream (one rect = one reference place_block call: an 8-column shift
+    or one grow half spanning several steps).
+
+    Bit planes materialize lazily as (n_cols, height) arrays indexed
+    ``[place_col, lane]`` by ``cigar_walk`` -- the packed words live in
+    the fetched chunk buffers until then.
+    """
+
+    __slots__ = ("row", "col", "right", "h", "steps", "_tr", "_prog",
+                 "_lane", "_t", "_t2", "_zero")
+
+    def __init__(self, row, col, right, h, tr, prog, lane):
+        self.row = row
+        self.col = col
+        self.right = right
+        self.h = h
+        self.steps: List[tuple] = []  # (chunk_idx, slot_base, nseg)
+        self._tr = tr
+        self._prog = prog
+        self._lane = lane
+        self._t = None
+        self._t2 = None
+        self._zero = None
+
+    def _mat(self):
+        if self._t is not None:
+            return self
+        tr = self._tr
+        h = self.h
+        ncols = STEP_ * len(self.steps)
+        t = np.zeros((ncols, h), np.int8)
+        t2 = np.zeros((ncols, h), np.int8)
+        zero = np.zeros((ncols, h), np.int8)
+        for si, (ci, sbase, nseg) in enumerate(self.steps):
+            th = tr.chunks[ci][0]
+            SSl = th.shape[3]
+            nn = min(nseg, -(-h // SSl))
+            w = (
+                th[self._prog, sbase : sbase + nn, :, :, self._lane]
+                .transpose(1, 0, 2)
+                .reshape(th.shape[2], nn * SSl)[:, :h]
+            )
+            if tr.words == 1:
+                for c in range(STEP_):
+                    bits = (w[0] >> (4 * c)) & 15
+                    t[STEP_ * si + c] = bits & 3
+                    t2[STEP_ * si + c] = (bits >> 2) & 3
+            else:
+                for c in range(4):
+                    b0 = (w[0] >> (8 * c)) & 31
+                    b1 = (w[1] >> (8 * c)) & 31
+                    t[STEP_ * si + c] = b0 & 3
+                    t2[STEP_ * si + c] = (b0 >> 2) & 3
+                    zero[STEP_ * si + c] = (b0 >> 4) & 1
+                    t[STEP_ * si + 4 + c] = b1 & 3
+                    t2[STEP_ * si + 4 + c] = (b1 >> 2) & 3
+                    zero[STEP_ * si + 4 + c] = (b1 >> 4) & 1
+        self._t, self._t2, self._zero = t, t2, zero
+        return self
+
+    @property
+    def t(self):
+        return self._mat()._t
+
+    @property
+    def t2(self):
+        return self._mat()._t2
+
+    @property
+    def zero(self):
+        return self._mat()._zero
+
+
+class BigTrace:
+    """Decoder for the big kernel's trace stream (segment-compacted packed
+    words + 8-row step descriptors; see BigKernelConfig.trace).
+
+    ``chunks`` is a list of per-launch fetches
+    ``(thbm, mhbm, steps, tpos)`` --
+
+    * thbm: (n_progs, >=slots_used, words, SS, P) int32 packed word
+      planes;
+    * mhbm: (n_progs, >=steps_used, 8, P) int32 descriptors: right, lane
+      start, column start, height, flags (valid | rectstart<<1 | save<<2
+      | restore<<3), slot base, nseg, unused;
+    * steps / tpos: per-program executed step / slot counts.
+
+    Non-segmented runs pass exactly one chunk; segmented runs
+    (LongAdaptiveAligner) append one per launch, each with launch-local
+    slot bases.  Save/restore events replay the reference's stack-like
+    trace checkpoint (reference: src/scan_block.rs:1451-1462).
+    """
+
+    def __init__(self, chunks, *, local_start=False,
+                 free_query_start_gaps=False, words: int = 1):
+        self.chunks = [
+            (np.asarray(th), np.asarray(mh),
+             np.asarray(st).reshape(-1), np.asarray(tp).reshape(-1))
+            for (th, mh, st, tp) in chunks
+        ]
+        assert self.chunks, "big trace needs at least one launch chunk"
+        self.P = self.chunks[0][0].shape[-1]
+        self.words = words
+        self.local_start = local_start
+        self.free_query_start_gaps = free_query_start_gaps
+        self._rect_cache = {}
+
+    def rects_for(self, b: int) -> List[_BigRect]:
+        if b in self._rect_cache:
+            return self._rect_cache[b]
+        prog, lane = divmod(b, self.P)
+        rects: List[_BigRect] = []
+        saved_len = 0
+        cur: Optional[_BigRect] = None
+        for ci, (th, mh, steps, tpos) in enumerate(self.chunks):
+            n = int(steps[prog])
+            m = np.ascontiguousarray(mh[prog, :n, :, lane]).astype(np.int64)
+            for s in range(n):
+                fl = int(m[s, 4])
+                # save marks BEFORE restore pops (a grow step's trailing
+                # save and the next grow's restore can share a step)
+                if (fl >> 2) & 1:
+                    saved_len = len(rects)
+                if (fl >> 3) & 1:
+                    del rects[saved_len:]
+                    cur = None
+                if not (fl & 1):
+                    continue
+                if (fl >> 1) & 1:  # rect start
+                    right = bool(m[s, 0])
+                    ls, cstart, h = int(m[s, 1]), int(m[s, 2]), int(m[s, 3])
+                    cur = _BigRect(
+                        ls if right else cstart,
+                        cstart if right else ls,
+                        right, h, self, prog, lane,
+                    )
+                    rects.append(cur)
+                if cur is not None:
+                    cur.steps.append((ci, int(m[s, 5]), int(m[s, 6])))
+        self._rect_cache[b] = rects
+        return rects
+
+    def blocks(self, b: int):
+        """Computed-rect telemetry (the reference's ``Trace::blocks``,
+        src/scan_block.rs:1676-1691)."""
+        from .oracle import Rectangle
+
+        out = []
+        for r in self.rects_for(b):
+            n = STEP_ * len(r.steps)
+            if r.right:
+                out.append(Rectangle(row=r.row, col=r.col, width=n,
+                                     height=r.h))
+            else:
+                out.append(Rectangle(row=r.row, col=r.col, width=r.h,
+                                     height=n))
+        return out
+
+    def cigar(self, b: int, i: int, j: int,
+              cigar: Optional[Cigar] = None) -> Cigar:
+        return cigar_walk(
+            self.rects_for(b), i, j,
+            local_start=self.local_start,
+            free_query_start_gaps=self.free_query_start_gaps,
+            cigar=cigar,
+        )
+
+    def cigar_eq(self, b: int, q, r, i: int, j: int,
+                 cigar: Optional[Cigar] = None) -> Cigar:
+        if not hasattr(q, "get"):
+            q = _BytesCodes(q)
+        if not hasattr(r, "get"):
+            r = _BytesCodes(r)
+        return cigar_walk(
+            self.rects_for(b), i, j,
+            local_start=self.local_start,
+            free_query_start_gaps=self.free_query_start_gaps,
+            eq=True, q=q, r=r, cigar=cigar,
+        )
+
+    def cigars_all(self, endpoints, nthreads: int = 8, *,
+                   eq: bool = False, seqs=None) -> List[Cigar]:
+        if not eq:
+            return [self.cigar(b, i, j) for b, (i, j) in enumerate(endpoints)]
+        assert seqs is not None and len(seqs) == len(endpoints)
+        return [
+            self.cigar_eq(b, q, r, i, j)
+            for b, ((i, j), (q, r)) in enumerate(zip(endpoints, seqs))
+        ]
+
+
+def big_trace(chunks, *, local_start=False, free_query_start_gaps=False,
+              words: int = 1) -> "BigTrace":
+    """Wrap fetched big-kernel trace chunks for CIGAR walking (see
+    ``BigTrace``)."""
+    return BigTrace(chunks, local_start=local_start,
+                    free_query_start_gaps=free_query_start_gaps,
+                    words=words)
+
+
 def lane_trace(thbm, mhbm, steps, block: int, *, local_start=False,
                free_query_start_gaps=False, words: Optional[int] = None,
                ) -> "LaneTrace":

@@ -82,8 +82,13 @@ save/restore, and the early-exit freeze extraction (reference:
 src/scan_block.rs:391-437, 439-565, 567-592, 1216-1224).
 
 Global and x-drop modes, AA/Nuc tables and ByteMatrix equality scoring.
-Trace and profile modes are not implemented here (profiles never exceed
-S = 128 in the reference experiments; trace for big blocks is staged work).
+Trace mode streams segment-compacted packed words + rect/ckpt-event
+descriptors (see ``BigKernelConfig.trace``), decoded by
+``core/traceback.big_trace`` -- this is the reference's flagship traced
+long-read configuration (1%%-10%% adaptive bands to 8192,
+examples/nanopore_bench_global.rs:144-227).  Profile mode is not
+implemented here (reference PSSM experiments never exceed S = 128,
+examples/pssm_accuracy.rs); ProfileAligner raises for >512 profiles.
 """
 
 from __future__ import annotations
@@ -114,17 +119,21 @@ SHRINK_SUFFIX_LEN = STEP // 4  # reference: src/scan_block.rs:786
 
 
 def big_vmem_bytes(max_size: int, seq_cap: int, seg: int = 256,
-                   cc_stream: bool = False, x_drop: bool = False) -> int:
+                   cc_stream: bool = False, x_drop: bool = False,
+                   trace_words: int = 0) -> int:
     """VMEM scratch footprint of one big-kernel program (matches the
     scratch_shapes in ``build_big_engine``)."""
     S = max_size
     codes = 2 * seq_cap * P
     planes = (2 if cc_stream else 3) * S * P * 4  # packed ACT/PAS(/CC)
     stage = (4 if cc_stream else 2) * seg * P * 4  # ckpt (+CC) DMA staging
-    small = 42 * P * 4 + 8 * STEP * P * 4
+    small = 44 * P * 4 + 8 * STEP * P * 4
     if x_drop:
         # XVM/XAI/XAJ + per-column staging XCM/XCAI + 6 small refs
         small += (3 * 16 + 2 * 16 * STEP + 6) * P * 4
+    if trace_words:
+        # TTS word staging + MSTG descriptor + TBC R-open row carry
+        small += (trace_words * seg + 8 + STEP) * P * 4
     return codes + planes + stage + small
 
 
@@ -142,12 +151,21 @@ class BigKernelConfig:
     free_query_start_gaps: bool = False  # row 0 rides relative zero
     free_query_end_gaps: bool = False  # score read at row qlen, any column
     # stream packed 2+2-bit trace words + rect/ckpt-event descriptors to
-    # HBM in the adaptive kernel's exact layout (step-slot planes + 6-word
-    # meta), so core/traceback.adaptive_trace decodes it unchanged.  The
-    # trace buffer is (trace_slots, S, P) int32 per program -- step-count
-    # is capped at trace_slots in trace mode (overruns surface through the
-    # existing step-cap flag row)
+    # HBM.  Unlike the adaptive kernel's dense step-slot planes, the big
+    # kernel emits SEGMENT-COMPACTED slots: each step writes only the
+    # ``nseg`` (SS, P) word planes its current (max-active) block size
+    # touches, at a running slot counter, so trace HBM tracks the ACTUAL
+    # adaptive sizes instead of steps * max_size (the reference sizes its
+    # trace vec for the worst case, src/scan_block.rs:1363-1374; at
+    # max_size 8192 that would be ~4 MiB/step/program here).  Descriptors
+    # (8 rows/step: right, lane start, col start, height, flags, slot
+    # base, nseg, 0) let the decoder (core/traceback.big_trace) rebuild
+    # variable-height rects.  When the slot budget (``trace_slots``) can't
+    # cover another step the while-loop stops at a step boundary: in
+    # segmented mode the host fetches and relaunches (state persists);
+    # unsegmented it surfaces as the step-cap overrun flag
     trace: bool = False
+    trace_slots: int = 0  # 0 = auto (max_steps at the min block size)
     # host-windowed execution for sequences beyond the VMEM code budget:
     # seq_cap becomes a per-pair code *window*; DP state round-trips
     # through HBM between launches and the kernel emits per-pair next
@@ -172,6 +190,15 @@ class BigKernelConfig:
         # segmented wide-mode long reads ride the <=512 lane path (api.py):
         # the tracker state would add 54 persisted rows per pair
         assert not (self.wide and self.segmented)
+        # trace composes with global + local-start/free-start-gap flags
+        # (the reference's traced long-read benches are global,
+        # examples/nanopore_bench_global.rs:144-227); wide-mode trace
+        # above 512 stays on the engine
+        assert not (self.trace and self.wide)
+        if self.trace:
+            assert self.eff_trace_slots >= 4 * self.n_segs, (
+                "trace_slots must cover at least a few full-size steps"
+            )
         # reference const-generic exclusions (src/scan_block.rs asserts)
         assert not (self.local_start and self.free_query_start_gaps)
         assert not (self.x_drop and self.free_query_end_gaps)
@@ -227,8 +254,28 @@ class BigKernelConfig:
 
     @property
     def n_state_rows(self) -> int:
-        # 31 small refs + GWD/GWR (8 rows each) + next baseq/baser
-        return 49
+        # 33 small refs (incl. the trace ckpt-event pends) + GWD/GWR
+        # (8 rows each) + next baseq/baser
+        return 51
+
+    @property
+    def trace_words(self) -> int:
+        # local-start trace adds the 5th zero-mask bit: 5 bits/cell -> 4
+        # columns per i32 as byte fields, 2 words per (row, step) (same
+        # packing as the lane/adaptive kernels)
+        return 2 if (self.trace and self.local_start) else 1
+
+    @property
+    def eff_trace_slots(self) -> int:
+        """Trace slot budget (one slot = one (trace_words, seg, P) word
+        plane).  Auto default: every step at the min block size plus a
+        few full-size steps of slack -- adaptive runs spend most steps at
+        the min size, and slot exhaustion is recoverable (segmented) or
+        loudly flagged (unsegmented)."""
+        if self.trace_slots:
+            return self.trace_slots
+        return self.max_steps * max(1, self.min_size // self.seg) \
+            + 8 * self.n_segs
 
     @property
     def wide(self) -> bool:
@@ -247,7 +294,8 @@ class BigKernelConfig:
     @property
     def vmem_bytes(self) -> int:
         return big_vmem_bytes(self.max_size, self.seq_cap, self.seg,
-                              self.cc_stream, self.wide)
+                              self.cc_stream, self.wide,
+                              self.trace_words if self.trace else 0)
 
 
 def _lo16(w):
@@ -283,13 +331,15 @@ def build_big_engine(cfg: BigKernelConfig):
     NCH = cfg.n_chunks
     MIN = cfg.min_size
     MAX_STEPS = cfg.max_steps
+    TW = cfg.trace_words
+    TSLOTS = cfg.eff_trace_slots
     HALF_SIZES = []
     s = MIN
     while s < S:
         HALF_SIZES.append(s)
         s *= 2
 
-    NS = 49  # segmented small-state rows (cfg.n_state_rows)
+    NS = cfg.n_state_rows  # segmented small-state rows
 
     def kernel(qlen_ref, rlen_ref, M_ref, codes_hbm, gap_ref, *rest):
         if cfg.segmented:
@@ -298,6 +348,9 @@ def build_big_engine(cfg: BigKernelConfig):
             rest = rest[9:]
         else:
             score_ref, ckh_out = rest[:2]
+            rest = rest[2:]
+        if cfg.trace:
+            thbm, mhbm = rest[:2]
             rest = rest[2:]
         scr = rest
         if cfg.cc_stream:
@@ -310,9 +363,9 @@ def build_big_engine(cfg: BigKernelConfig):
         (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DIR, ST_PDIR, ST_DONE,
          CORN, CVEC, OUT, SZ, PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
          GNM, CURMAX, SUF, VAL, PH, PBSV, PBSEL, PRST,
-         FRA, FRT, FRIDX, SHV, GWROW) = scr[:31]
-        SMALLS = scr[:31]
-        scr = scr[31:]
+         FRA, FRT, FRIDX, SHV, GWROW, PEND_SV, PEND_RS) = scr[:33]
+        SMALLS = scr[:33]
+        scr = scr[33:]
         (botD, botR, DCAR, TCAR, EC8, GWD, GWR, NR8, SBC, SBR) = scr[:10]
         scr = scr[10:]
         if cfg.wide:
@@ -329,8 +382,14 @@ def build_big_engine(cfg: BigKernelConfig):
         if cfg.cc_stream:
             (CCB, CCS, CCNB, CCNS) = scr[:4]
             scr = scr[4:]
+        if cfg.trace:
+            (TTS, MSTG, TBC) = scr[:3]
+            scr = scr[3:]
         if cfg.segmented:
-            (VBUF, sem, semc, semr) = scr
+            VBUF = scr[0]
+            scr = scr[1:]
+        if cfg.trace:
+            (sem, semc, semr, semt) = scr
         else:
             (sem, semc, semr) = scr
 
@@ -389,7 +448,8 @@ def build_big_engine(cfg: BigKernelConfig):
                 PAS[pl.ds(r0, 1)] = zSS[None]
             for ref in (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DONE, OUT,
                         PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
-                        PBSV, PBSEL, PRST, FRA, FRT, FRIDX, SHV):
+                        PBSV, PBSEL, PRST, FRA, FRT, FRIDX, SHV,
+                        PEND_SV, PEND_RS):
                 ref[...] = z1
             SZ[...] = z1 + MIN
             GNM[...] = z1 + 1  # the initial rect is a grow
@@ -478,8 +538,8 @@ def build_big_engine(cfg: BigKernelConfig):
                 d4.wait()
                 for k, ref in enumerate(SMALLS):
                     ref[...] = VBUF[k]
-                GWD[...] = VBUF[pl.ds(31, STEP)][:, 0, :]
-                GWR[...] = VBUF[pl.ds(31 + STEP, STEP)][:, 0, :]
+                GWD[...] = VBUF[pl.ds(33, STEP)][:, 0, :]
+                GWR[...] = VBUF[pl.ds(33 + STEP, STEP)][:, 0, :]
                 dma.wait()
         else:
             init_state()
@@ -526,7 +586,7 @@ def build_big_engine(cfg: BigKernelConfig):
                 [jnp.full((k, P), NEG32, jnp.int32), x[: SS - k]], axis=0)
 
         def body(carry):
-            s_idx, seg, _ = carry
+            s_idx, seg, _, tpos = carry
             # ---- cheap per-iteration step state (stable until the
             # last-segment post-step mutates the refs) ----
             dirn = ST_DIR[...]
@@ -604,6 +664,31 @@ def build_big_engine(cfg: BigKernelConfig):
                     FRT[...] = col_len - cstart
                     FRIDX[...] = jnp.clip(lane_len - ls, 0, S - 1)
                     VAL[...] = z1 + NEG_I32
+                if cfg.trace:
+                    # this step's rect descriptor + the ckpt events decided
+                    # at the END of the previous step (they must precede
+                    # this step's rect in the decoder's event order,
+                    # reference: src/scan_block.rs:1451-1462)
+                    flags = (
+                        act.astype(jnp.int32)
+                        | (newrect.astype(jnp.int32) << 1)
+                        | (PEND_SV[...] << 2)
+                        | (PEND_RS[...] << 3)
+                    )
+                    MSTG[...] = jnp.concatenate(
+                        [right_or.astype(jnp.int32), ls, cstart, h, flags,
+                         jnp.full((1, P), tpos, jnp.int32),
+                         jnp.full((1, P), nseg, jnp.int32), z1], axis=0)
+                    PEND_SV[...] = z1
+                    PEND_RS[...] = z1
+                    dmm = pltpu.make_async_copy(
+                        MSTG, mhbm.at[prog, s_idx], semt)
+                    dmm.start()
+                    dmm.wait()
+                    # the R-open bit's row carry starts at 0 (row 0 of the
+                    # whole DP column reads a zero shift-in, exactly the
+                    # adaptive kernel's full-column shift)
+                    TBC[...] = jnp.zeros((STEP, P), jnp.int32)
                 SUF[...] = z1 + NEG_I32
                 botD[...] = jnp.full((STEP, P), NEG_I32, jnp.int32)
                 botR[...] = jnp.full((STEP, P), NEG_I32, jnp.int32)
@@ -866,6 +951,7 @@ def build_big_engine(cfg: BigKernelConfig):
             Dacc = negSS
             dcar_out = []
             tcar_out = []
+            tr_acc = [None] * TW
             for w in range(STEP):
                 dcar_out.append(Dc[SS - 1 : SS])
                 if cfg.byte_mode:
@@ -913,6 +999,30 @@ def build_big_engine(cfg: BigKernelConfig):
                 tcar_out.append(t[SS - 1 : SS])
                 R11 = jnp.maximum(t, zc)
                 D11 = jnp.maximum(D11, R11)
+
+                if cfg.trace:
+                    # packed 2+2-bit emission, identical bit semantics to
+                    # the adaptive kernel / reference
+                    # (src/scan_block.rs:1166-1190); the R-open bit's
+                    # one-row shift chains across segments through TBC
+                    tb = (D11 == C11).astype(jnp.int32) | (
+                        (D11 == R11).astype(jnp.int32) << 1)
+                    temp_tr = (R11 == D11_open).astype(jnp.int32)
+                    tr_R = jnp.concatenate(
+                        [TBC[pl.ds(w, 1)], temp_tr[: SS - 1]], axis=0)
+                    TBC[pl.ds(w, 1)] = temp_tr[SS - 1 : SS]
+                    t2b = (C11 == C11_open).astype(jnp.int32) | (tr_R << 1)
+                    word = tb | (t2b << 2)
+                    if cfg.local_start:
+                        # zero-mask from the FINAL merged D11
+                        # (reference: src/scan_block.rs:1184-1186)
+                        word = word | ((D11 == rz).astype(jnp.int32) << 4)
+                        sh = 8 * (w % 4)
+                        tr_acc[w // 4] = word << sh if w % 4 == 0 \
+                            else tr_acc[w // 4] | (word << sh)
+                    else:
+                        tr_acc[0] = word if w == 0 \
+                            else tr_acc[0] | (word << (4 * w))
 
                 Dacc = jnp.maximum(Dacc, D11)
                 hm = row_g == h - 1
@@ -963,6 +1073,15 @@ def build_big_engine(cfg: BigKernelConfig):
                                     axis=0, keepdims=True))
                 Dc = D11
                 Cc = C11
+            if cfg.trace:
+                # segment-compacted slot write: this (step, segment)'s
+                # packed words land at running slot tpos + seg
+                for tw in range(TW):
+                    TTS[pl.ds(tw, 1)] = tr_acc[tw][None]
+                dmt = pltpu.make_async_copy(
+                    TTS, thbm.at[prog, tpos + seg], semt)
+                dmt.start()
+                dmt.wait()
             ACT[pl.ds(r, 1)] = _pack2(Dc, Cc)[None]
             CURMAX[...] = jnp.maximum(
                 CURMAX[...],
@@ -1239,23 +1358,41 @@ def build_big_engine(cfg: BigKernelConfig):
                 ro_i = right_or_end.astype(jnp.int32)
                 ro_eff = jnp.where(PH[...] == 1, ro_i, 1 - ro_i)
                 PBSEL[...] = jnp.where(bsave2, ro_eff, PBSEL[...])
+                if cfg.trace:
+                    # ckpt trace events ride the NEXT step's descriptor
+                    PEND_SV[...] = jnp.where(bsave2, 1, PEND_SV[...])
+                    PEND_RS[...] = jnp.where(grow_trig, 1, PEND_RS[...])
 
             s_next = jnp.where(is_last, s_idx + 1, s_idx)
             seg_next = jnp.where(is_last, 0, seg + 1)
-            return (s_next, seg_next, jnp.min(ST_DONE[...]))
+            tpos_next = jnp.where(is_last, tpos + nseg, tpos) \
+                if cfg.trace else tpos
+            return (s_next, seg_next, jnp.min(ST_DONE[...]), tpos_next)
 
         def cond(carry):
-            s_idx, seg, alldone = carry
-            return (s_idx < MAX_STEPS) & ((alldone == 0) | (seg != 0))
+            s_idx, seg, alldone, tpos = carry
+            ok = (s_idx < MAX_STEPS) & ((alldone == 0) | (seg != 0))
+            if cfg.trace:
+                # stop at a step boundary when the slot budget can't cover
+                # another full-size step (segmented mode resumes next
+                # launch; unsegmented this surfaces as the step-cap flag)
+                ok = ok & ((tpos + R <= TSLOTS) | (seg != 0))
+            return ok
 
-        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0),
-                                    jnp.int32(0)))
+        init_done = jnp.min(ST_DONE[...])
+        final = lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0),
+                                            init_done, jnp.int32(0)))
         if cfg.wide:
             # (best score, best i, best j, step-cap overrun) — the same
             # wide-result rows as the adaptive kernel
-            rows = [BEST[...], XBI[...], XBJ[...], 1 - ST_DONE[...]]
+            rows = [BEST[...], XBI[...], XBJ[...]]
         else:
-            rows = [OUT[...], 1 - ST_DONE[...]]
+            rows = [OUT[...]]
+        if cfg.trace:
+            # executed step + slot counts for the decoder / host loop
+            rows += [jnp.full((1, P), final[0], jnp.int32),
+                     jnp.full((1, P), final[3], jnp.int32)]
+        rows += [1 - ST_DONE[...]]
         score_ref[0] = jnp.concatenate(rows, axis=0)[None]
 
         if cfg.segmented:
@@ -1276,10 +1413,10 @@ def build_big_engine(cfg: BigKernelConfig):
             br = jnp.clip(br, 0, cfg.full_cap - cfg.seq_cap)
             for k, ref in enumerate(SMALLS):
                 VBUF[k] = ref[...]
-            VBUF[pl.ds(31, STEP)] = GWD[...][:, None, :]
-            VBUF[pl.ds(31 + STEP, STEP)] = GWR[...][:, None, :]
-            VBUF[47] = bq
-            VBUF[48] = br
+            VBUF[pl.ds(33, STEP)] = GWD[...][:, None, :]
+            VBUF[pl.ds(33 + STEP, STEP)] = GWR[...][:, None, :]
+            VBUF[49] = bq
+            VBUF[50] = br
             d0 = pltpu.make_async_copy(ACT, sb_out.at[prog, 0], semc)
             d1 = pltpu.make_async_copy(PAS, sb_out.at[prog, 1], semr)
             d0.start()
@@ -1306,7 +1443,7 @@ def build_big_engine(cfg: BigKernelConfig):
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        OW = 4 if cfg.wide else 2
+        OW = (3 if cfg.wide else 1) + (2 if cfg.trace else 0) + 1
         score_spec = pl.BlockSpec(
             (1, 1, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
         )
@@ -1342,11 +1479,22 @@ def build_big_engine(cfg: BigKernelConfig):
                 score_shape,
                 jax.ShapeDtypeStruct((2, R, SS, P), jnp.int32),
             ]
+        if cfg.trace:
+            out_specs += [
+                pl.BlockSpec(memory_space=pltpu.HBM),  # trace word slots
+                pl.BlockSpec(memory_space=pltpu.HBM),  # step descriptors
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct(
+                    (n_progs, cfg.eff_trace_slots, cfg.trace_words, SS, P),
+                    jnp.int32),
+                jax.ShapeDtypeStruct((n_progs, MAX_STEPS, 8, P), jnp.int32),
+            ]
         scratch = (
             [pltpu.VMEM((2 * NCH, 128, P), jnp.int8)]  # CODES
             + [pltpu.VMEM((R, SS, P), jnp.int32)
                for _ in range(2 if cfg.cc_stream else 3)]  # ACT/PAS(/CC)
-            + [pltpu.VMEM((1, P), jnp.int32) for _ in range(31)]
+            + [pltpu.VMEM((1, P), jnp.int32) for _ in range(33)]
             # botD, botR, DCAR, TCAR, EC8, GWD, GWR
             + [pltpu.VMEM((STEP, P), jnp.int32) for _ in range(7)]
             + [pltpu.VMEM((max(NG, 1), STEP, P), jnp.int32)]  # NR8
@@ -1367,9 +1515,16 @@ def build_big_engine(cfg: BigKernelConfig):
                         pltpu.VMEM((SS, P), jnp.int32),  # CCS
                         pltpu.VMEM((STEP, P), jnp.int32),  # CCNB
                         pltpu.VMEM((STEP, P), jnp.int32)]  # CCNS
+        if cfg.trace:
+            scratch += [
+                pltpu.VMEM((cfg.trace_words, SS, P), jnp.int32),  # TTS
+                pltpu.VMEM((8, P), jnp.int32),  # MSTG descriptor stage
+                pltpu.VMEM((STEP, P), jnp.int32),  # TBC R-open row carry
+            ]
         if cfg.segmented:
             scratch += [pltpu.VMEM((NS, 1, P), jnp.int32)]  # VBUF
-        scratch += [pltpu.SemaphoreType.DMA for _ in range(3)]
+        scratch += [pltpu.SemaphoreType.DMA
+                    for _ in range(4 if cfg.trace else 3)]
         out = pl.pallas_call(
             kernel,
             grid=(n_progs,),
@@ -1383,7 +1538,11 @@ def build_big_engine(cfg: BigKernelConfig):
             interpret=cfg.interpret,
         )(qlen, rlen, M, codes, gaps, *seg_args)
         if not cfg.segmented:
-            return out[0]  # ckpt planes are kernel-internal state
+            if cfg.trace:
+                # (score, trace words, descriptors); ckpt planes are
+                # kernel-internal state
+                return out[0], out[2], out[3]
+            return out[0]
         return out
 
     return jax.jit(engine)

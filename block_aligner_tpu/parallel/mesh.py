@@ -111,7 +111,10 @@ def data_parallel_big(cfg, mesh: Mesh, axis: str = "data"):
     kernel's program grid over a device mesh; embarrassingly parallel like
     ``data_parallel_lane``.  Inputs: qlen/rlen (n_progs, 1, P), score
     table (replicated), code block (n_progs, 2*NCH, 128, P), gaps
-    (replicated)."""
+    (replicated); segmented mode adds the per-launch window bases and the
+    persisted state/checkpoint/scalar blocks (all n_progs-leading, so all
+    shard on the data axis and the launch loop stays communication-free);
+    trace mode adds the packed word + descriptor output streams."""
     import dataclasses
 
     from jax.experimental.shard_map import shard_map
@@ -125,11 +128,22 @@ def data_parallel_big(cfg, mesh: Mesh, axis: str = "data"):
     local_cfg = dataclasses.replace(cfg, batch=cfg.batch // ndev)
     fn = build_big_engine(local_cfg)
 
-    shard3 = P(axis, None, None)
-    specs_in = (shard3, shard3, P(), P(axis, None, None, None), P())
+    def lead(n):
+        return P(axis, *([None] * (n - 1)))
+
+    specs_in = [lead(3), lead(3), P(), lead(4), P()]
+    if cfg.segmented:
+        # baseq, baser, sb_in, ckb_in, vb_in
+        specs_in += [lead(3), lead(3), lead(5), lead(5), lead(4)]
+    outs = [lead(4)]  # score block
+    if cfg.segmented:
+        outs += [lead(5), lead(5), lead(4)]  # sb, ckb, vb
+    if cfg.trace:
+        outs += [lead(5), lead(4)]  # packed words, descriptors
+    out_specs = tuple(outs) if len(outs) > 1 else outs[0]
     wrapped = shard_map(
-        fn, mesh=mesh, in_specs=specs_in,
-        out_specs=P(axis, None, None, None), check_rep=False,
+        fn, mesh=mesh, in_specs=tuple(specs_in),
+        out_specs=out_specs, check_rep=False,
     )
 
     def run(*args):

@@ -281,3 +281,103 @@ def test_profile_aligner_staged_and_align_all():
         pq = PaddedBytes.from_bytes(q, 64, prof)
         want_ms = orc.align_profile_exp(pq, prof, (16, 64), 0, tg[k])
         assert ms[k] == want_ms, (k, ms[k], want_ms)
+
+
+def test_engine_trapdoor_audit():
+    """pick_route enumerates EXACTLY the configurations that still demote
+    to the XLA engine (the audited trapdoor list, VERDICT r3 #10): a
+    routing change that grows the engine set fails here."""
+    import itertools
+
+    from block_aligner_tpu.api import pick_route
+
+    documented = {
+        "max block size > 8192",
+        "wide-mode (x-drop / free-end-gap) trace above block 512",
+        "big blocks with sequences past the resident code budget "
+        "-- use LongAdaptiveAligner",
+        "blocks with sequences past the resident code budget "
+        "-- use LongBatchAligner",
+    }
+    seen = set()
+    engine_configs = []
+    for min_s, max_s in [(16, 16), (32, 32), (512, 512), (16, 64),
+                         (32, 512), (128, 1024), (512, 8192),
+                         (1024, 1024), (2048, 8192), (512, 16384)]:
+        for seq_cap in (512, 8192, 40000):
+            for trace, xd, fqe in itertools.product(
+                    (False, True), (None, 50), (False, True)):
+                if xd is not None and fqe:
+                    continue  # excluded flag combination
+                path, why = pick_route(
+                    min_s, max_s, seq_cap, trace=trace, x_drop=xd,
+                    free_query_end_gaps=fqe)
+                if path == "engine":
+                    assert why and set(why) <= documented, (
+                        min_s, max_s, seq_cap, trace, xd, fqe, why)
+                    seen.update(why)
+                    engine_configs.append((min_s, max_s, seq_cap, trace,
+                                           xd, fqe))
+                else:
+                    assert not why
+    assert seen == documented, ("stale documented reasons",
+                                documented - seen)
+    # the trapdoor set is small and only holds the documented extremes:
+    # >8192 blocks, wide trace >512, and over-budget sequence lengths
+    for (min_s, max_s, seq_cap, trace, xd, fqe) in engine_configs:
+        assert (
+            max_s > 8192
+            or (trace and max_s > 512 and (xd is not None or fqe))
+            or seq_cap + max_s + 17 > 16384
+        ), (min_s, max_s, seq_cap, trace, xd, fqe)
+    # spot-check: the round-3 trapdoors that round 4 closed now route
+    assert pick_route(512, 8192, 8000, trace=True)[0] == "big"
+    assert pick_route(128, 1024, 2048, trace=True)[0] == "big"
+
+
+def test_profile_aligner_big_blocks_raise():
+    """Blocks past the kernel paths' 512 cap raise a clear error (the
+    reference PSSM surface is <= 128); use_lane_kernel=False opts into
+    the engine explicitly."""
+    import pytest
+
+    with pytest.raises(ValueError, match="512 cap"):
+        ProfileAligner((32, 1024), batch=64, seq_cap=256)
+    pa = ProfileAligner((32, 1024), batch=8, seq_cap=256,
+                        use_lane_kernel=False)
+    assert not pa._lane and not pa._adaptive
+
+
+def test_profile_aligner_adaptive_staged():
+    """ProfileAligner.stage()/align_staged on the ADAPTIVE path (VERDICT
+    r3 #9): staged results match align_batch."""
+    AA = b"ACDEFGHIKLMNPQRSTVWY"
+    rng = np.random.default_rng(41)
+
+    def rand_profile(n):
+        prof = AAProfile(n, 2048, -1)
+        base = rng.integers(-4, 3, size=(n, 26))
+        cons = bytes(rng.choice(list(AA), size=n).tolist())
+        base[np.arange(n), np.frombuffer(cons, np.uint8) - 65] = (
+            rng.integers(4, 12, size=n)
+        )
+        prof.pos_scores[1 : n + 1, :26] = base
+        prof.gap_open_C[: n + 1] = rng.integers(-13, -8, size=n + 1)
+        prof.gap_close_C[: n + 1] = 0
+        prof.gap_open_R[: n + 1] = rng.integers(-13, -8, size=n + 1)
+        return prof, cons
+
+    pairs = []
+    for _ in range(6):
+        n = int(rng.integers(30, 90))
+        prof, cons = rand_profile(n)
+        q = bytearray(cons)
+        for _ in range(n // 4):
+            q[int(rng.integers(0, len(q)))] = int(rng.choice(list(AA)))
+        pairs.append((bytes(q), prof))
+
+    pa = ProfileAligner((16, 64), batch=128, seq_cap=200)
+    assert pa._adaptive
+    r1 = pa.align_batch(pairs)
+    r2 = pa.align_staged(pa.stage(pairs))
+    assert [x.score for x in r1] == [x.score for x in r2]

@@ -1,0 +1,210 @@
+"""Big-kernel trace mode vs the scalar oracle: segment-compacted packed
+words + rect/ckpt-event descriptors decode into oracle-exact CIGARs above
+block 512 (the reference's flagship traced long-read configuration,
+examples/nanopore_bench_global.rs:144-227; trace storage reference:
+src/scan_block.rs:1363-1462)."""
+
+import warnings
+
+import numpy as np
+
+from block_aligner_tpu import (
+    BLOSUM62,
+    BatchAligner,
+    BlockOracle,
+    Gaps,
+    PaddedBytes,
+)
+from block_aligner_tpu.api import LongAdaptiveAligner
+from block_aligner_tpu.core.traceback import big_trace
+from block_aligner_tpu.ops.big_kernel import (
+    BigKernelConfig,
+    build_big_engine,
+    pack_big,
+)
+
+AA = b"ACDEFGHIKLMNPQRSTVWY"
+GAPS = Gaps(open=-11, extend=-1)
+
+
+def rand_seq(rng, n):
+    return bytes(rng.choice(list(AA), size=n).tolist())
+
+
+def mutate(rng, s, k, indel=0):
+    r = bytearray(s)
+    for _ in range(k):
+        r[int(rng.integers(0, len(r)))] = int(rng.choice(list(AA)))
+    r = bytes(r)
+    for _ in range(indel):
+        ln = int(rng.integers(8, max(9, len(s) // 3)))
+        pos = int(rng.integers(0, max(len(r) - ln, 1)))
+        if rng.integers(0, 2) and len(r) > ln + 8:
+            r = r[:pos] + r[pos + ln:]
+        else:
+            r = r[:pos] + rand_seq(rng, ln) + r[pos:]
+    return r
+
+
+def run_big_trace(pairs, size, seg, seq_cap, **flags):
+    cfg = BigKernelConfig(
+        batch=128, min_size=size[0], max_size=size[1], seq_cap=seq_cap,
+        alpha=32, seg=seg, trace=True, interpret=True, **flags,
+    )
+    eng = build_big_engine(cfg)
+    out, thbm, mhbm = eng(*pack_big(pairs, BLOSUM62, cfg, GAPS))
+    out = np.asarray(out)
+    assert not out[0, 0, -1, : len(pairs)].any(), "step-cap overflow"
+    steps = out[:, 0, 1, 0].astype(np.int64)
+    tpos = out[:, 0, 2, 0].astype(np.int64)
+    tr = big_trace(
+        [(np.asarray(thbm[:, : int(tpos.max())]),
+          np.asarray(mhbm[:, : int(steps.max())]), steps, tpos)],
+        words=cfg.trace_words,
+        local_start=cfg.local_start,
+        free_query_start_gaps=cfg.free_query_start_gaps,
+    )
+    return out, tr
+
+
+def check_vs_oracle(pairs, size, out, tr, k0=0, **flags):
+    orc = BlockOracle(trace=True, **flags)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, size[1], BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, size[1], BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, size, 0)
+        w = orc.res()
+        assert int(out[0, 0, 0, k]) == w.score, (k, w.score)
+        wc = str(orc.cigar(w.query_idx, w.reference_idx))
+        gc = str(tr.cigar(k0 + k, len(q), len(r)))
+        assert gc == wc, (k, gc[:100], wc[:100])
+
+
+def test_big_trace_cigars_and_blocks():
+    """Grow/restore events in the stream: CIGARs + blocks() telemetry
+    match the oracle (stack-like ckpt: src/scan_block.rs:1451-1462)."""
+    rng = np.random.default_rng(11)
+    pairs = []
+    for _ in range(3):
+        q = rand_seq(rng, int(rng.integers(150, 400)))
+        pairs.append((q, mutate(rng, q, 20)))
+    for _ in range(3):  # indel-heavy: grow/restore events
+        q = rand_seq(rng, int(rng.integers(200, 400)))
+        pairs.append((q, mutate(rng, q, 20, indel=2)))
+    out, tr = run_big_trace(pairs, (32, 256), 128, 1024)
+    check_vs_oracle(pairs, (32, 256), out, tr)
+    orc = BlockOracle(trace=True)
+    for k, (q, r) in enumerate(pairs[:2]):
+        pq = PaddedBytes.from_bytes(q, 256, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 256, BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, (32, 256), 0)
+        want = [(b.row, b.col, b.width, b.height)
+                for b in orc.trace_blocks() if b.width * b.height > 0]
+        got = [(b.row, b.col, b.width, b.height) for b in tr.blocks(k)]
+        assert got == want, (k, got[:4], want[:4])
+
+
+def test_big_trace_multi_segment():
+    """R=2 (seg 256 at max 512): the R-open trace bit's one-row shift
+    chains across the segment boundary."""
+    rng = np.random.default_rng(3)
+    pairs = []
+    for _ in range(2):
+        q = rand_seq(rng, int(rng.integers(250, 450)))
+        pairs.append((q, mutate(rng, q, 25)))
+    for _ in range(2):
+        q = rand_seq(rng, int(rng.integers(250, 450)))
+        pairs.append((q, mutate(rng, q, 25, indel=2)))
+    out, tr = run_big_trace(pairs, (32, 512), 256, 1152)
+    check_vs_oracle(pairs, (32, 512), out, tr)
+
+
+def test_big_trace_local_start_and_free_start_gaps():
+    """5-bit local-start words (2 words/step, zero-mask terminator) and
+    the free-leading-query-gap i == 0 termination."""
+    rng = np.random.default_rng(5)
+    pairs = []
+    for _ in range(3):
+        q = rand_seq(rng, int(rng.integers(200, 400)))
+        pairs.append((q, mutate(rng, q, 25, indel=1)))
+    out, tr = run_big_trace(pairs, (64, 256), 128, 1024, local_start=True)
+    check_vs_oracle(pairs, (64, 256), out, tr, local_start=True)
+    out, tr = run_big_trace(
+        pairs, (32, 256), 128, 1024, free_query_start_gaps=True)
+    check_vs_oracle(pairs, (32, 256), out, tr, free_query_start_gaps=True)
+
+
+def test_big_trace_api_route_past_512():
+    """(128, 1024) trace routes to the big kernel (no engine fallback
+    warning); growth past 512 via a structural insert; CIGARs through
+    BatchAligner.align_batch + align_all_trace(eq=True)."""
+    rng = np.random.default_rng(21)
+    # the 560-residue random insert needs the 1024 rung of the grow ladder
+    a, b, c = rand_seq(rng, 400), rand_seq(rng, 560), rand_seq(rng, 400)
+    pairs = [(a + b + c, a + rand_seq(rng, 560) + c)]
+    q = rand_seq(rng, 600)
+    pairs.append((q, mutate(rng, q, 50)))
+
+    size = (128, 1024)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        al = BatchAligner(BLOSUM62, GAPS, size, batch=128, seq_cap=1408,
+                          trace=True)
+    assert al._big and al._lane_cfg.trace
+    got = al.align_batch(pairs)
+    orc = BlockOracle(trace=True)
+    grew = False
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, size[1], BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, size[1], BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, size, 0)
+        w = orc.res()
+        assert got[k].score == w.score, (k, got[k], w)
+        wc = str(orc.cigar(w.query_idx, w.reference_idx))
+        gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
+        assert gc == wc, (k, gc[:100], wc[:100])
+        grew = grew or any(
+            max(bl.width, bl.height) > 512 for bl in orc.trace_blocks())
+    assert grew, "no pair grew past 512; the test lost its point"
+
+    res, cigs = al.align_all_trace(pairs, eq=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, size[1], BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, size[1], BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, size, 0)
+        w = orc.res()
+        wce = str(orc.cigar_eq(pq, pr, w.query_idx, w.reference_idx))
+        assert str(cigs[k]) == wce, (k, str(cigs[k])[:80], wce[:80])
+
+
+def test_big_trace_segmented_long():
+    """LongAdaptiveAligner trace: sequences past the window, per-launch
+    chunk stitching, and a tiny slot budget forcing early launch stops
+    (state persists; the walk still decodes oracle-exact CIGARs)."""
+    rng = np.random.default_rng(77)
+    a, b, c = rand_seq(rng, 700), rand_seq(rng, 250), rand_seq(rng, 700)
+    pairs = [(a + b + c, a + rand_seq(rng, 250) + c)]
+    q = rand_seq(rng, 1500)
+    pairs.append((q, mutate(rng, q, 120)))
+
+    size = (128, 1024)
+    orc = BlockOracle(trace=True)
+    for slots in (0, 24):
+        al = LongAdaptiveAligner(
+            BLOSUM62, GAPS, size, window=2048, batch=128, seq_cap=4096,
+            trace=True, trace_slots=slots,
+        )
+        got = al.align_batch(pairs)
+        for k, (q, r) in enumerate(pairs):
+            pq = PaddedBytes.from_bytes(q, size[1], BLOSUM62)
+            pr = PaddedBytes.from_bytes(r, size[1], BLOSUM62)
+            orc.align(pq, pr, BLOSUM62, GAPS, size, 0)
+            w = orc.res()
+            assert got[k].score == w.score, (slots, k, got[k], w)
+            wc = str(orc.cigar(w.query_idx, w.reference_idx))
+            gc = str(al.cigar(k, len(q), len(r)))
+            assert gc == wc, (slots, k, gc[:100], wc[:100])
+        if slots:
+            # the tiny budget must actually have split the run into many
+            # more launches than the step budget alone would
+            assert len(al.trace().chunks) >= 12, len(al.trace().chunks)
