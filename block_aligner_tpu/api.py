@@ -86,7 +86,10 @@ def pick_route(min_size: int, max_size: int, seq_cap: int, *,
         return "lane", []
     reasons = []
     if max_size > 8192:
-        reasons.append("max block size > 8192")
+        reasons.append(
+            "max block size > 8192 unsegmented -- use LongAdaptiveAligner "
+            "(up to 16384, percent_len's clamp)"
+        )
     elif trace and wide and max_size > 512:
         reasons.append(
             "wide-mode (x-drop / free-end-gap) trace above block 512"
@@ -1455,8 +1458,17 @@ class LongBatchAligner:
                 if int(np.asarray(vb)[:, 6].min()) == 1:
                     break
             else:
-                # no host sync at all: window bases flow device-to-device
+                # window bases flow device-to-device; past the expected
+                # launch count, poll the tiny done row every few launches
+                # (x-drop ends far before the global bound, so poll from
+                # 40% there; each poll costs one pipeline sync, each
+                # skipped launch a whole dispatch)
                 score, sb, bb, vb = res
+                frac = 2 if self.cfg.x_drop else 3
+                expect = max(2, (frac * max_segs) // 5)
+                if seg + 1 >= expect and (seg + 1 - expect) % 4 == 0:
+                    if int(np.asarray(vb[:, 6]).min()) == 1:
+                        break
             s_start = pro_steps
             baseq = vb[:, 0]
             baser = vb[:, 1]
@@ -1597,7 +1609,9 @@ class LongAdaptiveAligner:
         )
 
         min_size, max_size = size
-        assert 512 < max_size <= 8192 and min_size <= max_size
+        # 16384 = percent_len's clamp (reference: src/lib.rs:109-111);
+        # > 8192 streams the ACT/PAS planes from HBM (plane_stream)
+        assert 512 < max_size <= 16384 and min_size <= max_size
         is_byte = getattr(matrix, "kind", "") == "byte"
         a_ = 4 if is_byte else (32 if matrix.kind != "nuc" else 16)
         if window is None:
@@ -1674,6 +1688,11 @@ class LongAdaptiveAligner:
         max_len = max(int(np.max(qlen)), int(np.max(rlen)))
         total_steps = (4 * (max_len + 128) + 32 * cfg.max_size) // STEP_
         max_segs = total_steps // cfg.seg_steps + 2
+        # typical pairs need ~half the worst-case bound (the 4x/32S slack
+        # covers grow replays): launch async up to the expected count,
+        # then poll the tiny done row every few launches -- each poll
+        # costs one pipeline sync, each skipped launch a full dispatch
+        expect = (2 * (max_len + 128) // STEP_) // cfg.seg_steps + 1
         if cfg.trace:
             # slot-budget-limited launches make less step progress; allow
             # the launch count to stretch (each launch still advances >= 1
@@ -1706,6 +1725,9 @@ class LongAdaptiveAligner:
                 # window bases flow device-to-device: no host sync
                 baseq = vb[:, cfg.n_state_rows - 2]
                 baser = vb[:, cfg.n_state_rows - 1]
+                if seg + 1 >= expect and (seg + 1 - expect) % 4 == 0:
+                    if int(np.asarray(vb[:, 6]).min()) == 1:
+                        break
 
         if cfg.trace:
             from .core.traceback import big_trace

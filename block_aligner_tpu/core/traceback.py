@@ -819,6 +819,85 @@ class BigTrace:
         self.local_start = local_start
         self.free_query_start_gaps = free_query_start_gaps
         self._rect_cache = {}
+        self._wt = None  # (B, total_slots, words, SS) pair-major words
+        self._mt = None  # (B, total_steps, 8) pair-major descriptors
+        from ..native import load
+
+        self._native = load()
+
+    def _pair_major(self):
+        """Stitch the launch chunks into pair-major arrays for the native
+        walker (slot bases globalized across launches); built once and
+        amortized over the batch's cigar calls."""
+        if self._wt is not None:
+            return self._wt, self._mt
+        n_progs = self.chunks[0][0].shape[0]
+        P_ = self.P
+        SSl = self.chunks[0][0].shape[3]
+        w = self.words
+        B = n_progs * P_
+        tot_slots = np.zeros(n_progs, np.int64)
+        tot_steps = np.zeros(n_progs, np.int64)
+        for (_, _, st, tp) in self.chunks:
+            tot_slots += tp
+            tot_steps += st
+        wt = np.zeros((B, max(int(tot_slots.max()), 1), w, SSl), np.int32)
+        mt = np.zeros((B, max(int(tot_steps.max()), 1), 8), np.int32)
+        so = np.zeros(n_progs, np.int64)
+        to = np.zeros(n_progs, np.int64)
+        for (th, mh, st, tp) in self.chunks:
+            for p in range(n_progs):
+                ns, sl = int(st[p]), int(tp[p])
+                if sl:
+                    wt[p * P_ : (p + 1) * P_, so[p] : so[p] + sl] = (
+                        th[p, :sl].transpose(3, 0, 1, 2)
+                    )
+                if ns:
+                    md = np.ascontiguousarray(
+                        mh[p, :ns].transpose(2, 0, 1)).copy()
+                    md[:, :, 5] += so[p]
+                    mt[p * P_ : (p + 1) * P_, to[p] : to[p] + ns] = md
+                so[p] += sl
+                to[p] += ns
+        self._wt, self._mt = wt, mt
+        self._psteps = np.repeat(tot_steps, P_)
+        return self._wt, self._mt
+
+    def _native_cigar(self, b, i, j, eq=False, q=None, r=None,
+                      cigar: Optional[Cigar] = None) -> Optional[Cigar]:
+        lib = self._native
+        if lib is None or not hasattr(lib, "ba_big_cigar"):
+            return None
+        import ctypes
+
+        wt, mt = self._pair_major()
+        SSl = wt.shape[3]
+        nsteps = int(self._psteps[b])
+        out = np.empty(2 * (int(i) + int(j) + 4), dtype=np.int32)
+        if eq:
+            qc = np.ascontiguousarray(q.codes, dtype=np.uint8)
+            rc = np.ascontiguousarray(r.codes, dtype=np.uint8)
+            qp = qc.ctypes.data_as(ctypes.c_void_p)
+            rp = rc.ctypes.data_as(ctypes.c_void_p)
+        else:
+            qp = rp = None
+        n = lib.ba_big_cigar(
+            ctypes.c_void_p(wt.ctypes.data + b * wt.strides[0]),
+            ctypes.c_void_p(mt.ctypes.data + b * mt.strides[0]),
+            nsteps, self.words, SSl, int(i), int(j),
+            1 if self.local_start else 0,
+            1 if self.free_query_start_gaps else 0,
+            1 if eq else 0, qp, rp,
+            out.ctypes.data_as(ctypes.c_void_p), out.shape[0],
+        )
+        if n < 0:
+            return None  # fall back to the python walker
+        if cigar is None:
+            cigar = Cigar()
+        cigar.clear()
+        for k in range(int(n) - 1, -1, -1):  # Cigar stores reversed
+            cigar.add(Operation(int(out[2 * k])), int(out[2 * k + 1]))
+        return cigar
 
     def rects_for(self, b: int) -> List[_BigRect]:
         if b in self._rect_cache:
@@ -873,6 +952,9 @@ class BigTrace:
 
     def cigar(self, b: int, i: int, j: int,
               cigar: Optional[Cigar] = None) -> Cigar:
+        got = self._native_cigar(b, i, j, cigar=cigar)
+        if got is not None:
+            return got
         return cigar_walk(
             self.rects_for(b), i, j,
             local_start=self.local_start,
@@ -886,6 +968,9 @@ class BigTrace:
             q = _BytesCodes(q)
         if not hasattr(r, "get"):
             r = _BytesCodes(r)
+        got = self._native_cigar(b, i, j, eq=True, q=q, r=r, cigar=cigar)
+        if got is not None:
+            return got
         return cigar_walk(
             self.rects_for(b), i, j,
             local_start=self.local_start,

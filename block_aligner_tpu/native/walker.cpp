@@ -494,6 +494,130 @@ void ba_lane_pair_major(const int32_t* raw, int64_t raw_sd, const int32_t* mh,
   }
 }
 
+// Walk pair traceback from the BIG kernel's segment-compacted stream
+// (format: ops/big_kernel.py trace mode; decoder contract:
+// core/traceback.py BigTrace).  Layouts are PAIR-major and chunk-stitched
+// by the host:
+//   wt: (total_slots, words, SS) int32 -- slot s, word wi, row r at
+//       wt[(s*words + wi)*SS + r]; words==1 packs a step's 8 columns as
+//       4-bit nibbles, words==2 (local-start) packs 4 columns per word as
+//       byte fields (5 bits used).
+//   mt: (nsteps, 8) int32 -- right, lane start, column start, height,
+//       flags (valid | rectstart<<1 | save<<2 | restore<<3), slot base
+//       (already globalized across launches), nseg, unused.
+// Rects are rebuilt by replaying the event stream (save marks before
+// restore pops, reference: src/scan_block.rs:1451-1462); a rect's steps
+// are consecutive (a pair's valid steps form a prefix of its lifetime).
+// out_ops receives (op, len) pairs in forward order; returns the count,
+// -1 if out_cap is too small, -2 on malformed input.
+int64_t ba_big_cigar(const int32_t* wt, const int32_t* mt, int64_t nsteps,
+                     int64_t words, int64_t SS, int64_t i, int64_t j,
+                     int32_t local_start, int32_t free_query_start_gaps,
+                     int32_t eq, const uint8_t* qcodes,
+                     const uint8_t* rcodes, int32_t* out_ops,
+                     int64_t out_cap) {
+  struct BigRect {
+    int32_t row, col, h, step_start, n_steps;
+    bool right;
+  };
+  std::vector<BigRect> rects;
+  rects.reserve((size_t)(nsteps / 2 + 4));
+  size_t saved_len = 0;
+  bool open = false;
+  for (int64_t s = 0; s < nsteps; s++) {
+    const int32_t* d = mt + s * 8;
+    const int32_t fl = d[4];
+    if ((fl >> 2) & 1) saved_len = rects.size();
+    if ((fl >> 3) & 1) {
+      rects.resize(saved_len);
+      open = false;
+    }
+    if (!(fl & 1)) continue;
+    if ((fl >> 1) & 1) {
+      BigRect r;
+      r.right = d[0] != 0;
+      r.row = r.right ? d[1] : d[2];
+      r.col = r.right ? d[2] : d[1];
+      r.h = d[3];
+      r.step_start = (int32_t)s;
+      r.n_steps = 0;
+      rects.push_back(r);
+      open = true;
+    }
+    if (!open || rects.empty()) return -2;
+    if (rects.back().step_start + rects.back().n_steps != (int32_t)s)
+      return -2;  // non-consecutive rect steps: malformed stream
+    rects.back().n_steps++;
+  }
+
+  std::vector<int32_t> rop, rlen;
+  int32_t table = 0;
+  int64_t rect_idx = (int64_t)rects.size();
+  bool outer_done = false;
+  while ((i > 0 || j > 0) && !outer_done) {
+    const BigRect* rect;
+    while (true) {
+      rect_idx--;
+      if (rect_idx < 0) return -2;
+      rect = &rects[(size_t)rect_idx];
+      if (i >= rect->row && j >= rect->col) break;
+    }
+    const int64_t bi = rect->row, bj = rect->col;
+    while (i >= bi && j >= bj && (i > 0 || j > 0)) {
+      int64_t pc, lane;
+      if (rect->right) {
+        if (free_query_start_gaps && i == 0) {
+          outer_done = true;
+          break;
+        }
+        pc = j - bj;
+        lane = i - bi;
+      } else {
+        pc = i - bi;
+        lane = j - bj;
+      }
+      if (pc >= (int64_t)rect->n_steps * 8 || lane >= rect->h) return -2;
+      const int64_t s = rect->step_start + pc / 8;
+      const int64_t c = pc % 8;
+      const int64_t slot = (int64_t)mt[s * 8 + 5] + lane / SS;
+      const int64_t row = lane % SS;
+      int32_t bits;
+      if (words == 1) {
+        bits = (wt[slot * SS + row] >> (4 * c)) & 15;
+      } else {
+        const int64_t wi = c >= 4 ? 1 : 0;
+        bits = (wt[(slot * 2 + wi) * SS + row] >> (8 * (c % 4))) & 31;
+      }
+      const int t = bits & 3;
+      const int t2 = (bits >> 2) & 3;
+      if (local_start && table == 0 && ((bits >> 4) & 1)) {
+        outer_done = true;
+        break;
+      }
+      const LutEntry& le =
+          kLut.e[rect->right ? 1 : 0][(t << 4) | (t2 << 2) | table];
+      int32_t op = le.op;
+      if (eq && op == OP_M) op = (qcodes[i] == rcodes[j]) ? OP_EQ : OP_X;
+      i -= le.di;
+      j -= le.dj;
+      table = le.table;
+      if (!rop.empty() && rop.back() == op) {
+        rlen.back()++;
+      } else {
+        rop.push_back(op);
+        rlen.push_back(1);
+      }
+    }
+  }
+  const int64_t n = (int64_t)rop.size();
+  if (n * 2 > out_cap) return -1;
+  for (int64_t k = 0; k < n; k++) {
+    out_ops[2 * k] = rop[(size_t)(n - 1 - k)];
+    out_ops[2 * k + 1] = rlen[(size_t)(n - 1 - k)];
+  }
+  return n;
+}
+
 // Fill the pair-major code buffer from the concatenated converted
 // sequences: codes[(b, side, 1:1+len)] = cat[off[b]:off[b+1]], everything
 // else = null_code.  Replaces pack_lane's per-pair python slice loop

@@ -120,13 +120,17 @@ SHRINK_SUFFIX_LEN = STEP // 4  # reference: src/scan_block.rs:786
 
 def big_vmem_bytes(max_size: int, seq_cap: int, seg: int = 256,
                    cc_stream: bool = False, x_drop: bool = False,
-                   trace_words: int = 0) -> int:
+                   trace_words: int = 0, plane_stream: bool = False) -> int:
     """VMEM scratch footprint of one big-kernel program (matches the
     scratch_shapes in ``build_big_engine``)."""
     S = max_size
     codes = 2 * seq_cap * P
-    planes = (2 if cc_stream else 3) * S * P * 4  # packed ACT/PAS(/CC)
-    stage = (4 if cc_stream else 2) * seg * P * 4  # ckpt (+CC) DMA staging
+    if plane_stream:
+        planes = 0  # ACT/PAS/CC all stream from their HBM slots
+        stage = (8 * seg + 2 * STEP + 4 * STEP) * P * 4 + 2 * seg * P * 4
+    else:
+        planes = (2 if cc_stream else 3) * S * P * 4  # ACT/PAS(/CC)
+        stage = (4 if cc_stream else 2) * seg * P * 4  # ckpt (+CC) staging
     small = 44 * P * 4 + 8 * STEP * P * 4
     if x_drop:
         # XVM/XAI/XAJ + per-column staging XCM/XCAI + 6 small refs
@@ -173,15 +177,21 @@ class BigKernelConfig:
     segmented: bool = False
     full_cap: int = 0  # segmented: per-side length of the full code array
     force_cc_stream: bool = False  # test hook: stream CC at any size
+    force_plane_stream: bool = False  # test hook: stream ACT/PAS too
     interpret: bool = False
 
     def __post_init__(self):
         S, m = self.max_size, self.min_size
-        assert S & (S - 1) == 0 and 128 <= S <= 8192
+        assert S & (S - 1) == 0 and 128 <= S <= 16384
+        # 16384 (percent_len's clamp, reference src/lib.rs:109-111) needs
+        # the streamed ACT/PAS planes, which live in the segmented state
+        # slots -- and any sequence wanting a 16384 band needs a >16k code
+        # window anyway, so the band is segmented-only by construction
+        assert S <= 8192 or self.segmented
         assert m & (m - 1) == 0 and 16 <= m <= S
         assert self.seg in (128, 256) and self.seg <= S
         assert self.seq_cap % 128 == 0 and self.seq_cap >= 256
-        assert self.seq_cap <= 16384
+        assert self.seq_cap <= (32768 if self.segmented else 16384)
         assert self.batch % P == 0
         if self.byte_mode:
             assert self.alpha == 4
@@ -289,13 +299,25 @@ class BigKernelConfig:
         (8.4 MiB) plus the code window leave no room for a third
         resident plane."""
         return self.segmented and (
-            self.max_size >= 8192 or self.force_cc_stream)
+            self.max_size >= 8192 or self.force_cc_stream
+            or self.force_plane_stream)
+
+    @property
+    def plane_stream(self) -> bool:
+        """Stream the ACT/PAS DP planes from their persistent HBM state
+        slots too: at max_size 16384 even two resident planes (16.8 MiB)
+        exceed the VMEM core budget.  Each (step, segment) iteration then
+        loads/stores one (seg, P) tile per plane -- per-step DMA tracks
+        the CURRENT adaptive size, like the compute."""
+        return self.segmented and (
+            self.max_size > 8192 or self.force_plane_stream)
 
     @property
     def vmem_bytes(self) -> int:
         return big_vmem_bytes(self.max_size, self.seq_cap, self.seg,
                               self.cc_stream, self.wide,
-                              self.trace_words if self.trace else 0)
+                              self.trace_words if self.trace else 0,
+                              self.plane_stream)
 
 
 def _lo16(w):
@@ -353,7 +375,11 @@ def build_big_engine(cfg: BigKernelConfig):
             thbm, mhbm = rest[:2]
             rest = rest[2:]
         scr = rest
-        if cfg.cc_stream:
+        if cfg.plane_stream:
+            CODES = scr[0]
+            ACT = PAS = CC = None
+            scr = scr[1:]
+        elif cfg.cc_stream:
             (CODES, ACT, PAS) = scr[:3]
             CC = None
             scr = scr[3:]
@@ -382,6 +408,11 @@ def build_big_engine(cfg: BigKernelConfig):
         if cfg.cc_stream:
             (CCB, CCS, CCNB, CCNS) = scr[:4]
             scr = scr[4:]
+        if cfg.plane_stream:
+            # ACT/PAS segment staging, a shared two-part shrink stage, the
+            # 8-row sliver stages, and a shared shrink-sliver stage
+            (ACTB, PASB, PLS, ACTNB, PASNB, PLNS) = scr[:6]
+            scr = scr[6:]
         if cfg.trace:
             (TTS, MSTG, TBC) = scr[:3]
             scr = scr[3:]
@@ -408,6 +439,13 @@ def build_big_engine(cfg: BigKernelConfig):
             def cc_at(r):
                 # streamed code plane lives in its persistent state slot
                 return sb_out.at[prog, 2, r]
+
+            def act_at(r):
+                # streamed DP planes (plane_stream) live in theirs
+                return sb_out.at[prog, 0, r]
+
+            def pas_at(r):
+                return sb_out.at[prog, 1, r]
         else:
             # one shared plane pair for all programs: grid programs run
             # sequentially and each zeroes the planes in init_state, so
@@ -443,9 +481,10 @@ def build_big_engine(cfg: BigKernelConfig):
 
         def init_state():
             # ---- init: reference start state (src/scan_block.rs:291-317)
-            for r0 in range(R):
-                ACT[pl.ds(r0, 1)] = zSS[None]
-                PAS[pl.ds(r0, 1)] = zSS[None]
+            if not cfg.plane_stream:
+                for r0 in range(R):
+                    ACT[pl.ds(r0, 1)] = zSS[None]
+                    PAS[pl.ds(r0, 1)] = zSS[None]
             for ref in (ST_I, ST_J, ST_OFF, ST_OFFMAX, ST_DONE, OUT,
                         PSZ, CPOS, CK_I, CK_J, CK_OFF, BEST, YITER,
                         PBSV, PBSEL, PRST, FRA, FRT, FRIDX, SHV,
@@ -469,6 +508,7 @@ def build_big_engine(cfg: BigKernelConfig):
                     ref[...] = z1
             # zero the HBM checkpoint planes: a restore before the first
             # save must read the same zeros the resident zero-init gave
+            # (plane_stream: the streamed ACT/PAS slots zero the same way)
             SBC[...] = zSS
             SBR[...] = zSS
             for r0 in range(R):
@@ -478,6 +518,13 @@ def build_big_engine(cfg: BigKernelConfig):
                 dr.start()
                 dc.wait()
                 dr.wait()
+                if cfg.plane_stream:
+                    da = pltpu.make_async_copy(SBC, act_at(r0), semc)
+                    dp = pltpu.make_async_copy(SBR, pas_at(r0), semr)
+                    da.start()
+                    dp.start()
+                    da.wait()
+                    dp.wait()
             dma.wait()
 
             # initial code planes: positions 0..S of each side, straight
@@ -515,8 +562,15 @@ def build_big_engine(cfg: BigKernelConfig):
             @pl.when(seg_first == 0)
             def _():
                 # restore device state from the previous segment launch
-                d0 = pltpu.make_async_copy(sb_in.at[prog, 0], ACT, semc)
-                d1 = pltpu.make_async_copy(sb_in.at[prog, 1], PAS, semr)
+                if cfg.plane_stream:
+                    # streamed DP planes: HBM-to-HBM into their live slots
+                    d0 = pltpu.make_async_copy(
+                        sb_in.at[prog, 0], sb_out.at[prog, 0], semc)
+                    d1 = pltpu.make_async_copy(
+                        sb_in.at[prog, 1], sb_out.at[prog, 1], semr)
+                else:
+                    d0 = pltpu.make_async_copy(sb_in.at[prog, 0], ACT, semc)
+                    d1 = pltpu.make_async_copy(sb_in.at[prog, 1], PAS, semr)
                 d0.start()
                 d1.start()
                 d0.wait()
@@ -749,28 +803,73 @@ def build_big_engine(cfg: BigKernelConfig):
             # ---- deferred shrink: shift segment r in place from source
             # rows r*SS + shv (ascending walk order leaves the sources,
             # which sit at larger indices, unshifted until their turn) ----
-            @pl.when(jnp.any(pshr))
-            def _():
-                refs = (ACT, PAS) if cfg.cc_stream else (ACT, PAS, CC)
-                for v in HALF_SIZES:
-                    vm = shv == v
+            if cfg.plane_stream:
+                # streamed DP planes: DMA the segment in, folding the
+                # pending shrink shift into the load (same pattern as the
+                # streamed code plane below)
+                dla = pltpu.make_async_copy(act_at(r), ACTB, semc)
+                dlp = pltpu.make_async_copy(pas_at(r), PASB, semr)
+                dla.start()
+                dlp.start()
+                dla.wait()
+                dlp.wait()
 
-                    @pl.when(jnp.any(vm))
-                    def _(v=v, vm=vm):
-                        sseg, cut = v // SS, v % SS
-                        s1 = jnp.minimum(r + sseg, R - 1)
-                        s2 = jnp.minimum(r + sseg + 1, R - 1)
-                        for ref in refs:
-                            a = ref[pl.ds(s1, 1)][0]
-                            if cut:
-                                b = ref[pl.ds(s2, 1)][0, :cut]
-                                a = jnp.concatenate([a[cut:], b], axis=0)
-                            ref[pl.ds(r, 1)] = jnp.where(
-                                vm, a, ref[pl.ds(r, 1)][0])[None]
+                @pl.when(jnp.any(pshr))
+                def _():
+                    for v in HALF_SIZES:
+                        vm = shv == v
 
-            # ---- loads (packed) ----
-            actw = ACT[pl.ds(r, 1)][0]
-            pasw = PAS[pl.ds(r, 1)][0]
+                        @pl.when(jnp.any(vm))
+                        def _(v=v, vm=vm):
+                            sseg, cut = v // SS, v % SS
+                            s1 = jnp.minimum(r + sseg, R - 1)
+                            s2 = jnp.minimum(r + sseg + 1, R - 1)
+                            for pl_i, buf in ((0, ACTB), (1, PASB)):
+                                if cut:
+                                    da = pltpu.make_async_copy(
+                                        sb_out.at[prog, pl_i, s1,
+                                                  pl.ds(cut, SS - cut)],
+                                        PLS.at[pl.ds(0, SS - cut)], semc)
+                                    db = pltpu.make_async_copy(
+                                        sb_out.at[prog, pl_i, s2,
+                                                  pl.ds(0, cut)],
+                                        PLS.at[pl.ds(SS - cut, cut)], semr)
+                                    da.start()
+                                    db.start()
+                                    da.wait()
+                                    db.wait()
+                                else:
+                                    da = pltpu.make_async_copy(
+                                        sb_out.at[prog, pl_i, s1], PLS,
+                                        semc)
+                                    da.start()
+                                    da.wait()
+                                buf[...] = jnp.where(vm, PLS[...], buf[...])
+                actw = ACTB[...]
+                pasw = PASB[...]
+            else:
+                @pl.when(jnp.any(pshr))
+                def _():
+                    refs = (ACT, PAS) if cfg.cc_stream else (ACT, PAS, CC)
+                    for v in HALF_SIZES:
+                        vm = shv == v
+
+                        @pl.when(jnp.any(vm))
+                        def _(v=v, vm=vm):
+                            sseg, cut = v // SS, v % SS
+                            s1 = jnp.minimum(r + sseg, R - 1)
+                            s2 = jnp.minimum(r + sseg + 1, R - 1)
+                            for ref in refs:
+                                a = ref[pl.ds(s1, 1)][0]
+                                if cut:
+                                    b = ref[pl.ds(s2, 1)][0, :cut]
+                                    a = jnp.concatenate([a[cut:], b], axis=0)
+                                ref[pl.ds(r, 1)] = jnp.where(
+                                    vm, a, ref[pl.ds(r, 1)][0])[None]
+
+                # ---- loads (packed) ----
+                actw = ACT[pl.ds(r, 1)][0]
+                pasw = PAS[pl.ds(r, 1)][0]
             if cfg.cc_stream:
                 # streamed code plane: DMA the segment in, folding the
                 # pending shrink shift into the load (HBM sources are
@@ -887,8 +986,18 @@ def build_big_engine(cfg: BigKernelConfig):
                 dn.wait()
             else:
                 ccn = CC[pl.ds(rn, 1)][0, :STEP]
-            actn = ACT[pl.ds(rn, 1)][0, :STEP]
-            pasn = PAS[pl.ds(rn, 1)][0, :STEP]
+            if cfg.plane_stream:
+                dna = pltpu.make_async_copy(
+                    sb_out.at[prog, 0, rn, pl.ds(0, STEP)], ACTNB, semc)
+                dnp = pltpu.make_async_copy(
+                    sb_out.at[prog, 1, rn, pl.ds(0, STEP)], PASNB, semr)
+                dna.start()
+                dnp.start()
+                dna.wait()
+                dnp.wait()
+            else:
+                actn = ACT[pl.ds(rn, 1)][0, :STEP]
+                pasn = PAS[pl.ds(rn, 1)][0, :STEP]
             for v in HALF_SIZES:
                 vm = shv == v
                 sseg, cut = v // SS, v % SS
@@ -905,12 +1014,27 @@ def build_big_engine(cfg: BigKernelConfig):
                 else:
                     ccn_v = CC[pl.ds(s1, 1)][0, cut:cut + STEP]
                     ccn = jnp.where(vm, ccn_v, ccn)
-                actn_v = ACT[pl.ds(s1, 1)][0, cut:cut + STEP]
-                pasn_v = PAS[pl.ds(s1, 1)][0, cut:cut + STEP]
-                actn = jnp.where(vm, actn_v, actn)
-                pasn = jnp.where(vm, pasn_v, pasn)
+                if cfg.plane_stream:
+                    @pl.when(jnp.any(vm))
+                    def _(vm=vm, s1=s1, cut=cut):
+                        for pl_i, buf in ((0, ACTNB), (1, PASNB)):
+                            d2 = pltpu.make_async_copy(
+                                sb_out.at[prog, pl_i, s1,
+                                          pl.ds(cut, STEP)],
+                                PLNS, semc)
+                            d2.start()
+                            d2.wait()
+                            buf[...] = jnp.where(vm, PLNS[...], buf[...])
+                else:
+                    actn_v = ACT[pl.ds(s1, 1)][0, cut:cut + STEP]
+                    pasn_v = PAS[pl.ds(s1, 1)][0, cut:cut + STEP]
+                    actn = jnp.where(vm, actn_v, actn)
+                    pasn = jnp.where(vm, pasn_v, pasn)
             if cfg.cc_stream:
                 ccn = CCNB[...]
+            if cfg.plane_stream:
+                actn = ACTNB[...]
+                pasn = PASNB[...]
             rows_n = (rn * SS) + jax.lax.broadcasted_iota(
                 jnp.int32, (STEP, P), 0)
             rows_n_src = rows_n + jnp.where(pshr, shv, 0)
@@ -1082,7 +1206,13 @@ def build_big_engine(cfg: BigKernelConfig):
                     TTS, thbm.at[prog, tpos + seg], semt)
                 dmt.start()
                 dmt.wait()
-            ACT[pl.ds(r, 1)] = _pack2(Dc, Cc)[None]
+            if cfg.plane_stream:
+                ACTB[...] = _pack2(Dc, Cc)
+                dsa = pltpu.make_async_copy(ACTB, act_at(r), semc)
+                dsa.start()
+                dsa.wait()
+            else:
+                ACT[pl.ds(r, 1)] = _pack2(Dc, Cc)[None]
             CURMAX[...] = jnp.maximum(
                 CURMAX[...],
                 jnp.max(jnp.where(row_g < h, Dacc, NEG32), axis=0,
@@ -1105,7 +1235,13 @@ def build_big_engine(cfg: BigKernelConfig):
                 winp, tmR, jnp.concatenate([pr_reb[STEP:], prn], axis=0))
             Pd_out = jnp.where(sdone, pd1, Pd0)
             Pr_out = jnp.where(sdone, pr1, Pr0)
-            PAS[pl.ds(r, 1)] = _pack2(Pd_out, Pr_out)[None]
+            if cfg.plane_stream:
+                PASB[...] = _pack2(Pd_out, Pr_out)
+                dsp = pltpu.make_async_copy(PASB, pas_at(r), semr)
+                dsp.start()
+                dsp.wait()
+            else:
+                PAS[pl.ds(r, 1)] = _pack2(Pd_out, Pr_out)[None]
 
             sufw = (row_g >= sz - SHRINK_SUFFIX_LEN) & (row_g < sz)
             SUF[...] = jnp.maximum(
@@ -1329,16 +1465,47 @@ def build_big_engine(cfg: BigKernelConfig):
                 # a pending grow window for sz >= 32) ----
                 free_ng = free & ~grow_trig
                 shv2 = SHV[...]
-                act8 = ACT[pl.ds(0, 1)][0, :STEP]
-                pas8 = PAS[pl.ds(0, 1)][0, :STEP]
-                for v in HALF_SIZES:
-                    vm = shv2 == v
-                    sseg, cut = v // SS, v % SS
-                    s1 = min(sseg, R - 1)
-                    a8v = ACT[pl.ds(s1, 1)][0, cut:cut + STEP]
-                    p8v = PAS[pl.ds(s1, 1)][0, cut:cut + STEP]
-                    act8 = jnp.where(vm, a8v, act8)
-                    pas8 = jnp.where(vm, p8v, pas8)
+                if cfg.plane_stream:
+                    # streamed planes: DMA the top 8 rows (this step's
+                    # fresh borders were stored during seg 0's walk) and
+                    # blend in the pending-shrink source rows
+                    d8a = pltpu.make_async_copy(
+                        sb_out.at[prog, 0, 0, pl.ds(0, STEP)], ACTNB, semc)
+                    d8p = pltpu.make_async_copy(
+                        sb_out.at[prog, 1, 0, pl.ds(0, STEP)], PASNB, semr)
+                    d8a.start()
+                    d8p.start()
+                    d8a.wait()
+                    d8p.wait()
+                    for v in HALF_SIZES:
+                        vm = shv2 == v
+                        sseg, cut = v // SS, v % SS
+                        s1 = min(sseg, R - 1)
+
+                        @pl.when(jnp.any(vm))
+                        def _(vm=vm, s1=s1, cut=cut):
+                            for pl_i, buf in ((0, ACTNB), (1, PASNB)):
+                                d2 = pltpu.make_async_copy(
+                                    sb_out.at[prog, pl_i, s1,
+                                              pl.ds(cut, STEP)],
+                                    PLNS, semc)
+                                d2.start()
+                                d2.wait()
+                                buf[...] = jnp.where(
+                                    vm, PLNS[...], buf[...])
+                    act8 = ACTNB[...]
+                    pas8 = PASNB[...]
+                else:
+                    act8 = ACT[pl.ds(0, 1)][0, :STEP]
+                    pas8 = PAS[pl.ds(0, 1)][0, :STEP]
+                    for v in HALF_SIZES:
+                        vm = shv2 == v
+                        sseg, cut = v // SS, v % SS
+                        s1 = min(sseg, R - 1)
+                        a8v = ACT[pl.ds(s1, 1)][0, cut:cut + STEP]
+                        p8v = PAS[pl.ds(s1, 1)][0, cut:cut + STEP]
+                        act8 = jnp.where(vm, a8v, act8)
+                        pas8 = jnp.where(vm, p8v, pas8)
                 dcol8 = jnp.where(right_or_end, _lo16(act8), _lo16(pas8))
                 drow8 = jnp.where(right_or_end, _lo16(pas8), _lo16(act8))
                 right_max = jnp.max(dcol8, axis=0, keepdims=True)
@@ -1417,12 +1584,13 @@ def build_big_engine(cfg: BigKernelConfig):
             VBUF[pl.ds(33 + STEP, STEP)] = GWR[...][:, None, :]
             VBUF[49] = bq
             VBUF[50] = br
-            d0 = pltpu.make_async_copy(ACT, sb_out.at[prog, 0], semc)
-            d1 = pltpu.make_async_copy(PAS, sb_out.at[prog, 1], semr)
-            d0.start()
-            d1.start()
-            d0.wait()
-            d1.wait()
+            if not cfg.plane_stream:
+                d0 = pltpu.make_async_copy(ACT, sb_out.at[prog, 0], semc)
+                d1 = pltpu.make_async_copy(PAS, sb_out.at[prog, 1], semr)
+                d0.start()
+                d1.start()
+                d0.wait()
+                d1.wait()
             d3 = pltpu.make_async_copy(VBUF, vb_out.at[prog], semr)
             d3.start()
             if not cfg.cc_stream:
@@ -1490,10 +1658,11 @@ def build_big_engine(cfg: BigKernelConfig):
                     jnp.int32),
                 jax.ShapeDtypeStruct((n_progs, MAX_STEPS, 8, P), jnp.int32),
             ]
+        n_resident = 0 if cfg.plane_stream else (2 if cfg.cc_stream else 3)
         scratch = (
             [pltpu.VMEM((2 * NCH, 128, P), jnp.int8)]  # CODES
             + [pltpu.VMEM((R, SS, P), jnp.int32)
-               for _ in range(2 if cfg.cc_stream else 3)]  # ACT/PAS(/CC)
+               for _ in range(n_resident)]  # ACT/PAS(/CC)
             + [pltpu.VMEM((1, P), jnp.int32) for _ in range(33)]
             # botD, botR, DCAR, TCAR, EC8, GWD, GWR
             + [pltpu.VMEM((STEP, P), jnp.int32) for _ in range(7)]
@@ -1515,6 +1684,13 @@ def build_big_engine(cfg: BigKernelConfig):
                         pltpu.VMEM((SS, P), jnp.int32),  # CCS
                         pltpu.VMEM((STEP, P), jnp.int32),  # CCNB
                         pltpu.VMEM((STEP, P), jnp.int32)]  # CCNS
+        if cfg.plane_stream:
+            scratch += (
+                [pltpu.VMEM((SS, P), jnp.int32)
+                 for _ in range(3)]  # ACTB / PASB / PLS
+                + [pltpu.VMEM((STEP, P), jnp.int32)
+                   for _ in range(3)]  # ACTNB / PASNB / PLNS
+            )
         if cfg.trace:
             scratch += [
                 pltpu.VMEM((cfg.trace_words, SS, P), jnp.int32),  # TTS

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--pairs", type=int, default=200)
     ap.add_argument("--max-len", type=int, default=10000)
     ap.add_argument("--dataset", default="seq_pairs.10kbps.5000")
+    ap.add_argument("--trace", action="store_true",
+                    help="trace + CIGAR variant (the reference's traced "
+                         "1%%-10%% rows, nanopore_bench_global.rs:144-227)")
     args = ap.parse_args()
 
     matrix = NucMatrix.new_simple(2, -4)
@@ -34,21 +37,42 @@ def main():
         mn = percent_len(max_len, lo_pct)
         mx = percent_len(max_len, hi_pct)
         cap = max_len + max_len // 8 + 64
+        long_adaptive = False
         if mn == mx and mn <= 256:
             # fixed band: segmented lane kernel (state stays on device)
             from block_aligner_tpu import LongBatchAligner
 
             al = LongBatchAligner(matrix, gaps, block=mn, window=4096,
-                                  batch=256)
-        else:
+                                  batch=256, trace=args.trace)
+        elif cap + mx + 17 <= 16384:
             al = BatchAligner(matrix, gaps, size=(mn, mx), batch=64,
-                              seq_cap=cap)
-        al.align_batch(pairs[: min(len(pairs), al.batch_size)])  # compile
+                              seq_cap=cap, trace=args.trace)
+        else:
+            # long reads: host-windowed big-kernel launches
+            from block_aligner_tpu.api import LongAdaptiveAligner
+
+            al = LongAdaptiveAligner(matrix, gaps, size=(mn, mx),
+                                     batch=128, seq_cap=cap,
+                                     trace=args.trace)
+            long_adaptive = True
+
+        def run_batch(chunk):
+            if args.trace and isinstance(al, BatchAligner):
+                al.align_all_trace(chunk, eq=False)
+            else:
+                got = al.align_batch(chunk)
+                if args.trace:
+                    for k, (q, r) in enumerate(chunk):
+                        al.cigar(k, len(q), len(r))
+                return got
+
+        run_batch(pairs[: min(len(pairs), al.batch_size)])  # compile
         t0 = time.perf_counter()
         for k in range(0, len(pairs), al.batch_size):
-            al.align_batch(pairs[k : k + al.batch_size])
+            run_batch(pairs[k : k + al.batch_size])
         dt = time.perf_counter() - t0
-        print(f"{label} (sizes {mn}-{mx}): {dt:.3f}s "
+        mode = " +trace+cigar" if args.trace else ""
+        print(f"{label} (sizes {mn}-{mx}{mode}): {dt:.3f}s "
               f"({dt / len(pairs) * 1e3:.2f} ms/pair)")
 
 

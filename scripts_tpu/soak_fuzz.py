@@ -60,29 +60,31 @@ def rand_pair(rng, alpha, lo, hi, related):
     return q, bytes(r)
 
 
-def one_round(seed):
+def one_round(seed, n_pairs=10):
     rng = np.random.default_rng(seed)
     matrix, alpha, (go, ge) = MATRICES[int(rng.integers(len(MATRICES)))]
     gaps = Gaps(open=go, extend=ge)
     mins = int(2 ** rng.integers(4, 8))  # 16..128
     maxs = mins * int(2 ** rng.integers(0, 4))  # x1..x8 (may cross 512)
     maxs = min(maxs, 1024)
-    mode = int(rng.integers(0, 4))
+    mode = int(rng.integers(0, 5))
     x_drop = int(rng.integers(20, 150)) if mode == 1 else None
     local_start = mode == 2
     fqs = mode == 3
+    trace = mode == 4
     lo, hi = (1, 120) if maxs <= 256 else (50, 450)
     pairs = [rand_pair(rng, alpha, lo, hi, bool(rng.integers(0, 2)))
-             for _ in range(10)]
+             for _ in range(n_pairs)]
     longest = max(max(len(q), len(r)) for q, r in pairs)
     al = BatchAligner(matrix, gaps, (mins, maxs), batch=128,
                       seq_cap=longest + 32, x_drop=x_drop,
-                      local_start=local_start, free_query_start_gaps=fqs)
+                      local_start=local_start, free_query_start_gaps=fqs,
+                      trace=trace)
     kern = ("adaptive" if al._adaptive else
             "big" if al._big else "lane" if al._lane else "engine")
     got = al.align_batch(pairs)
     orc = BlockOracle(x_drop=x_drop is not None, local_start=local_start,
-                      free_query_start_gaps=fqs)
+                      free_query_start_gaps=fqs, trace=trace)
     for k, (q, r) in enumerate(pairs):
         pq = PaddedBytes.from_bytes(q, maxs, matrix)
         pr = PaddedBytes.from_bytes(r, maxs, matrix)
@@ -92,6 +94,10 @@ def one_round(seed):
         if x_drop is not None:
             ok = ok and (got[k].query_idx, got[k].reference_idx) == (
                 w.query_idx, w.reference_idx)
+        if ok and trace and (len(q) or len(r)):
+            wc = str(orc.cigar(w.query_idx, w.reference_idx))
+            gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
+            ok = gc == wc
         if not ok:
             print(f"MISMATCH seed={seed} pair={k} kern={kern} "
                   f"cfg=({mins},{maxs}) mode={mode} got={got[k]} "
@@ -99,6 +105,55 @@ def one_round(seed):
                   flush=True)
             return False
     print(f"seed {seed}: ok ({kern}, ({mins},{maxs}), mode {mode}, "
+          f"{matrix.kind})", flush=True)
+    return True
+
+
+def one_round_long(seed, n_pairs=3):
+    """Segmented-path soak: LongBatchAligner (lane windows) or
+    LongAdaptiveAligner (big-kernel windows), random trace flag, sequences
+    several windows long, oracle-checked scores (+ CIGARs when traced)."""
+    from block_aligner_tpu.api import LongAdaptiveAligner, LongBatchAligner
+
+    rng = np.random.default_rng(seed)
+    matrix, alpha, (go, ge) = MATRICES[int(rng.integers(len(MATRICES)))]
+    gaps = Gaps(open=go, extend=ge)
+    trace = bool(rng.integers(0, 2))
+    adaptive = bool(rng.integers(0, 2))
+    pairs = [rand_pair(rng, alpha, 500, 1400, True)
+             for _ in range(n_pairs)]
+    if adaptive:
+        size = (int(2 ** rng.integers(5, 8)), 1024)
+        al = LongAdaptiveAligner(
+            matrix, gaps, size, window=2048, batch=128, seq_cap=4096,
+            trace=trace,
+        )
+        kern = "long-adaptive"
+    else:
+        blk = int(2 ** rng.integers(5, 8))
+        size = (blk, blk)
+        al = LongBatchAligner(
+            matrix, gaps, blk, window=1024, batch=256, trace=trace,
+        )
+        kern = "long-lane"
+    got = al.align_batch(pairs)
+    orc = BlockOracle(trace=trace)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, size[1], matrix)
+        pr = PaddedBytes.from_bytes(r, size[1], matrix)
+        orc.align(pq, pr, matrix, gaps, size, 0)
+        w = orc.res()
+        ok = got[k].score == w.score
+        if ok and trace:
+            wc = str(orc.cigar(w.query_idx, w.reference_idx))
+            gc = str(al.cigar(k, len(q), len(r)))
+            ok = gc == wc
+        if not ok:
+            print(f"MISMATCH seed={seed} pair={k} kern={kern} "
+                  f"size={size} trace={trace} got={got[k]} "
+                  f"want={w}", flush=True)
+            return False
+    print(f"seed {seed}: ok ({kern}, {size}, trace={trace}, "
           f"{matrix.kind})", flush=True)
     return True
 

@@ -307,8 +307,116 @@ def stage_f(q):
     q.put(("ok", res))
 
 
+def stage_g(q):
+    # traced big kernel (r4): compile + device rate + oracle CIGAR check
+    # at (128, 1024) on ~2 kbp reads, then the traced 50 kbp band through
+    # LongAdaptiveAligner (reference: nanopore_bench_global.rs:144-227
+    # 1%-10% trace = 60.3 s / 10000 pairs => 6.03 ms/pair)
+    import numpy as np
+    from block_aligner_tpu import NucMatrix, Gaps, BlockOracle, PaddedBytes
+    from block_aligner_tpu.api import BatchAligner, LongAdaptiveAligner
+
+    rng = np.random.default_rng(8)
+    DNA = b"ACGT"
+    matrix = NucMatrix.new_simple(2, -4)
+    gaps = Gaps(open=-6, extend=-2)
+    res = {}
+
+    def reads(n_pairs, lo, hi, mut_div=10):
+        out = []
+        for _ in range(n_pairs):
+            n = int(rng.integers(lo, hi))
+            r = bytes(rng.choice(list(DNA), size=n).tolist())
+            b = bytearray(r)
+            for _ in range(n // mut_div):
+                b[int(rng.integers(0, len(b)))] = int(rng.choice(list(DNA)))
+            out.append((bytes(b), r))
+        return out
+
+    pairs = reads(128, 1900, 2100)
+    al = BatchAligner(matrix, gaps, (128, 1024), batch=128, seq_cap=2176,
+                      trace=True)
+    assert al._big and al._lane_cfg.trace
+    t0 = time.perf_counter()
+    got = al.align_batch(pairs)
+    res["bigtrace_compile_plus_run_s"] = round(time.perf_counter() - t0, 1)
+    orc = BlockOracle(trace=True)
+    wrong = 0
+    for k in range(4):
+        qb, rb = pairs[k]
+        pq = PaddedBytes.from_bytes(qb, 1024, matrix)
+        pr = PaddedBytes.from_bytes(rb, 1024, matrix)
+        orc.align(pq, pr, matrix, gaps, (128, 1024), 0)
+        w = orc.res()
+        ok = got[k].score == w.score and str(
+            al.cigar(k, len(qb), len(rb))
+        ) == str(orc.cigar(w.query_idx, w.reference_idx))
+        wrong += 0 if ok else 1
+    res["bigtrace_wrong_of_4"] = wrong
+    t0 = time.perf_counter()
+    _res2, cigs = al.align_all_trace(pairs, eq=True)
+    res["bigtrace_e2e_us_per_pair"] = round(
+        (time.perf_counter() - t0) / len(pairs) * 1e6, 1)
+
+    # traced 50 kbp band (the reference's flagship traced config)
+    lpairs = reads(16, 42000, 50000, mut_div=12)
+    la = LongAdaptiveAligner(matrix, gaps, (512, 8192), batch=128,
+                             trace=True)
+    t0 = time.perf_counter()
+    lgot = la.align_batch(lpairs)
+    cg = la.cigar(0, len(lpairs[0][0]), len(lpairs[0][1]))
+    res["trace50k_compile_plus_run_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    lgot = la.align_batch(lpairs)
+    for k in range(len(lpairs)):
+        la.cigar(k, len(lpairs[k][0]), len(lpairs[k][1]))
+    res["trace50k_ms_per_pair_e2e"] = round(
+        (time.perf_counter() - t0) / len(lpairs) * 1e3, 2)
+    res["trace50k_score0"] = int(lgot[0].score)
+    q.put(("ok", res))
+
+
+def stage_h(q):
+    # (512, 16384) plane-stream band (percent_len's clamp): compile +
+    # oracle spot-check + rate on ~100 kbp reads
+    import numpy as np
+    from block_aligner_tpu import NucMatrix, Gaps, BlockOracle, PaddedBytes
+    from block_aligner_tpu.api import LongAdaptiveAligner
+
+    rng = np.random.default_rng(9)
+    DNA = b"ACGT"
+    matrix = NucMatrix.new_simple(2, -4)
+    gaps = Gaps(open=-6, extend=-2)
+    pairs = []
+    for _ in range(128):
+        n = int(rng.integers(90000, 100000))
+        r = bytes(rng.choice(list(DNA), size=n).tolist())
+        b = bytearray(r)
+        for _ in range(n // 12):
+            b[int(rng.integers(0, len(b)))] = int(rng.choice(list(DNA)))
+        pairs.append((bytes(b), r))
+    al = LongAdaptiveAligner(matrix, gaps, (512, 16384), batch=128,
+                             seq_cap=131072)
+    assert al.cfg.plane_stream
+    res = {}
+    t0 = time.perf_counter()
+    got = al.align_batch(pairs)
+    res["band16k_compile_plus_run_s"] = round(time.perf_counter() - t0, 1)
+    orc = BlockOracle()
+    pq = PaddedBytes.from_bytes(pairs[0][0], 16384, matrix)
+    pr = PaddedBytes.from_bytes(pairs[0][1], 16384, matrix)
+    orc.align(pq, pr, matrix, gaps, (512, 16384), 0)
+    res["band16k_oracle_ok"] = bool(got[0].score == orc.res().score)
+    t0 = time.perf_counter()
+    got = al.align_batch(pairs)
+    res["band16k_ms_per_pair"] = round(
+        (time.perf_counter() - t0) / len(pairs) * 1e3, 2)
+    q.put(("ok", res))
+
+
 STAGES = {"A": (stage_a, 300), "B": (stage_b, 2400), "C": (stage_c, 3600),
-          "D": (stage_d, 3000), "E": (stage_e, 3600), "F": (stage_f, 2400)}
+          "D": (stage_d, 3000), "E": (stage_e, 3600), "F": (stage_f, 2400),
+          "G": (stage_g, 3600), "H": (stage_h, 3600)}
 
 
 def main():

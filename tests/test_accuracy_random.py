@@ -75,6 +75,63 @@ def test_random_protein_global():
     assert wrong <= 2
 
 
+@pytest.mark.parametrize("length,alpha_name", [
+    (100, "dna"), (1000, "dna"), (100, "aa"), (1000, "aa"),
+])
+def test_reference_len_k_grid(length, alpha_name):
+    """The reference accuracy sweep's len x k grid (reference:
+    examples/accuracy.rs:17-34: lengths 100/1k/10k, k from len/10 to
+    len/2, rand_mutate + big inserts): block scores are always real-path
+    lower bounds of the exact score, and the adaptive band recovers the
+    exact score for the overwhelming majority of pairs."""
+    rng = np.random.default_rng(1234)
+    if alpha_name == "dna":
+        alpha, matrix, gaps = DNA, NW1, Gaps(open=-2, extend=-1)
+    else:
+        alpha, matrix, gaps = AA, BLOSUM62, Gaps(open=-11, extend=-1)
+    size = (32, 256) if length <= 100 else (32, 2048)
+    a = BlockOracle()
+    n_per_k = 4
+    wrong = 0
+    total = 0
+    for k in (length // 10, length // 5, length // 2):
+        for _ in range(n_per_k):
+            q = rand_seq(rng, alpha, length)
+            insert = int(rng.integers(0, max(length // 10, 2)))
+            r = mutate(rng, q, k, alpha, insert_len=insert)
+            exact = global_align_score(q, r, matrix, gaps)
+            pq = PaddedBytes.from_bytes(q, size[1], matrix)
+            pr = PaddedBytes.from_bytes(r, size[1], matrix)
+            a.align(pq, pr, matrix, gaps, size, 0)
+            got = a.res().score
+            # the block heuristic only ever scores real paths
+            assert got <= exact, (length, k, got, exact)
+            total += 1
+            if got != exact:
+                wrong += 1
+    # the reference's observed wrong rates at these bands are <= a few
+    # percent; allow slack for the k = len/2 extremes
+    assert wrong <= total // 4, f"{wrong}/{total} wrong"
+
+
+def test_reference_10k_band():
+    """The grid's 10 kbp row (one pair per k; full-DP oracle ~100M cells,
+    so kept small): reference sizes 32..2048."""
+    rng = np.random.default_rng(99)
+    gaps = Gaps(open=-2, extend=-1)
+    a = BlockOracle()
+    length = 10000
+    for k in (length // 10, length // 2):
+        q = rand_seq(rng, DNA, length)
+        r = mutate(rng, q, k, DNA, insert_len=100)
+        exact = global_align_score(q, r, NW1, gaps)
+        pq = PaddedBytes.from_bytes(q, 2048, NW1)
+        pr = PaddedBytes.from_bytes(r, 2048, NW1)
+        a.align(pq, pr, NW1, gaps, (32, 2048), 0)
+        got = a.res().score
+        assert got <= exact, (k, got, exact)
+
+
 def test_cigar_consistency_random():
     """CIGARs must sum to the end position and rescore to the reported score
     (reference: examples/verify_trace.rs:8-29)."""

@@ -292,7 +292,8 @@ def test_engine_trapdoor_audit():
     from block_aligner_tpu.api import pick_route
 
     documented = {
-        "max block size > 8192",
+        "max block size > 8192 unsegmented -- use LongAdaptiveAligner "
+        "(up to 16384, percent_len's clamp)",
         "wide-mode (x-drop / free-end-gap) trace above block 512",
         "big blocks with sequences past the resident code budget "
         "-- use LongAdaptiveAligner",

@@ -528,3 +528,59 @@ def test_big_kernel_mesh():
     assert al._big
     got = [r.score for r in al.align_batch(pairs)]
     assert got == oracle_scores(pairs, (64, 1024))
+
+
+def test_big_kernel_plane_stream():
+    """Streamed ACT/PAS DP planes (the max_size > 8192 mechanism, forced
+    at a small shape): segmented launches with growth, shrink, checkpoint
+    traffic and window sliding, all plane tiles DMA'd per (step, segment)
+    from their persistent HBM slots -- scores must stay oracle-exact
+    (reference band to 16384 = percent_len's clamp, src/lib.rs:109-111)."""
+    import dataclasses
+
+    from block_aligner_tpu.api import LongAdaptiveAligner
+    from block_aligner_tpu.ops.big_kernel import (
+        build_big_cutter,
+        build_big_engine,
+    )
+
+    rng = np.random.default_rng(55)
+    a, b, c = rand_seq(rng, 700), rand_seq(rng, 250), rand_seq(rng, 700)
+    pairs = [(a + b + c, a + rand_seq(rng, 250) + c)]
+    q = rand_seq(rng, 1500)
+    pairs.append((q, mutate(rng, q, 120)))
+
+    size = (128, 1024)
+    al = LongAdaptiveAligner(
+        BLOSUM62, GAPS, size, window=2048, batch=128, seq_cap=4096,
+    )
+    al.cfg = dataclasses.replace(al.cfg, force_plane_stream=True)
+    assert al.cfg.plane_stream and al.cfg.cc_stream
+    al._fn = build_big_engine(al.cfg)
+    al._cut = build_big_cutter(al.cfg)
+    got = al.align_batch(pairs)
+    orc = BlockOracle()
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, size[1], BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, size[1], BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, size, 0)
+        assert got[k].score == orc.res().score, (k, got[k], orc.res())
+
+
+def test_big_kernel_16384_config():
+    """max_size 16384 (percent_len's clamp) is segmented-only and takes
+    the plane-stream path within the VMEM budget; the full oracle-exact
+    run is TPU-validated (scripts_tpu/tpu_validate.py)."""
+    from block_aligner_tpu.api import LongAdaptiveAligner, round_up
+
+    la = LongAdaptiveAligner.__new__(LongAdaptiveAligner)  # cfg math only
+    window = round_up(3 * 16384 // 2 + 4096, 128)
+    cfg = BigKernelConfig(
+        batch=128, min_size=512, max_size=16384, seq_cap=window,
+        alpha=16, segmented=True,
+        full_cap=round_up(1 + 65536 + 16384 + 16, 128) + window,
+        interpret=True,
+    )
+    assert cfg.plane_stream and cfg.cc_stream and cfg.n_segs == 64
+    assert cfg.vmem_bytes <= 15 * 2**20
+    assert cfg.seg_steps >= 32

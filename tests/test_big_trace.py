@@ -208,3 +208,51 @@ def test_big_trace_segmented_long():
             # the tiny budget must actually have split the run into many
             # more launches than the step budget alone would
             assert len(al.trace().chunks) >= 12, len(al.trace().chunks)
+        # native walker (chunk-stitched, globalized slot bases) must agree
+        # with the python replay walker
+        tr = al.trace()
+        if tr._native is not None:
+            for k, (q, r) in enumerate(pairs):
+                cn = str(tr.cigar(k, len(q), len(r)))
+                nat = tr._native
+                tr._native = None
+                cp = str(tr.cigar(k, len(q), len(r)))
+                tr._native = nat
+                assert cn == cp, (slots, k, cn[:80], cp[:80])
+
+
+def test_big_trace_plane_stream():
+    """Trace composed with the streamed ACT/PAS planes (the >8192
+    mechanism, forced small): CIGARs stay oracle-exact while every DP
+    tile round-trips HBM."""
+    import dataclasses
+
+    from block_aligner_tpu.ops.big_kernel import (
+        build_big_cutter,
+        build_big_engine,
+    )
+
+    rng = np.random.default_rng(56)
+    a, b, c = rand_seq(rng, 600), rand_seq(rng, 250), rand_seq(rng, 600)
+    pairs = [(a + b + c, a + rand_seq(rng, 250) + c)]
+
+    size = (128, 1024)
+    al = LongAdaptiveAligner(
+        BLOSUM62, GAPS, size, window=2048, batch=128, seq_cap=4096,
+        trace=True,
+    )
+    al.cfg = dataclasses.replace(al.cfg, force_plane_stream=True)
+    assert al.cfg.plane_stream
+    al._fn = build_big_engine(al.cfg)
+    al._cut = build_big_cutter(al.cfg)
+    got = al.align_batch(pairs)
+    orc = BlockOracle(trace=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, size[1], BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, size[1], BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, size, 0)
+        w = orc.res()
+        assert got[k].score == w.score, (k, got[k], w)
+        wc = str(orc.cigar(w.query_idx, w.reference_idx))
+        gc = str(al.cigar(k, len(q), len(r)))
+        assert gc == wc, (k, gc[:100], wc[:100])

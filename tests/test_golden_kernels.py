@@ -169,22 +169,30 @@ def test_golden_trace_paths():
 
     orc = BlockOracle(trace=True)
     # trace at max == 512 stays on the adaptive kernel (api.pick_route);
-    # the big trace path needs max > 512
+    # the big trace path needs max > 512.  Group same-(matrix, gaps)
+    # cases into one batch: each aligner build traces the whole kernel
+    # body (~1 min for the big kernel in interpret mode), so builds
+    # dominate this test's runtime
+    groups = {}
+    for q, r, matrix, gaps, _, _, _, eq in cases:
+        groups.setdefault((id(matrix), id(gaps)), (matrix, gaps, []))[2] \
+            .append((q, r))
     for size, seq_cap, which in (((16, 32), 256, "adaptive"),
                                  ((64, 1024), 512, "big")):
-        for q, r, matrix, gaps, _, _, _, eq in cases:
+        for matrix, gaps, pairs in groups.values():
             al = BatchAligner(matrix, gaps, size, batch=128,
                               seq_cap=seq_cap, trace=True)
             assert getattr(al, "_" + which)
-            got = al.align_batch([(q, r)])[0]
-            pq = PaddedBytes.from_bytes(q, size[1], matrix)
-            pr = PaddedBytes.from_bytes(r, size[1], matrix)
-            orc.align(pq, pr, matrix, gaps, size, 0)
-            w = orc.res()
-            assert got.score == w.score, (which, q, got, w)
-            gc = str(al.cigar(0, len(q), len(r)))
-            wc = str(orc.cigar(w.query_idx, w.reference_idx))
-            assert gc == wc, (which, q, gc, wc)
+            got = al.align_batch(pairs)
+            for k, (q, r) in enumerate(pairs):
+                pq = PaddedBytes.from_bytes(q, size[1], matrix)
+                pr = PaddedBytes.from_bytes(r, size[1], matrix)
+                orc.align(pq, pr, matrix, gaps, size, 0)
+                w = orc.res()
+                assert got[k].score == w.score, (which, q, got[k], w)
+                gc = str(al.cigar(k, len(q), len(r)))
+                wc = str(orc.cigar(w.query_idx, w.reference_idx))
+                assert gc == wc, (which, q, gc, wc)
 
 
 def test_golden_doc_example_all_paths():
@@ -286,21 +294,28 @@ def test_golden_local_and_free_query_gaps_paths():
         assert gc == cig, (flags, gc, cig)
 
     # local-start / free-start flags through the adaptive + big kernels
+    # (one aligner per flag set per path; same-flag cases share a batch)
+    groups = {}
+    for flags, q, r, xd, _, _ in cases:
+        if xd is not None or flags.get("free_query_end_gaps"):
+            continue  # wide-mode trace >512 is out of kernel scope
+        groups.setdefault(tuple(sorted(flags)), (flags, []))[1] \
+            .append((q, r))
     for size, seq_cap, which in (((16, 32), 256, "adaptive"),
                                  ((64, 1024), 512, "big")):
-        for flags, q, r, xd, _, _ in cases:
-            if xd is not None or flags.get("free_query_end_gaps"):
-                continue  # wide-mode trace >512 is out of kernel scope
+        for flags, pairs in groups.values():
             al = BatchAligner(NW1, GAPS_NUC, size, batch=128,
                               seq_cap=seq_cap, trace=True, **flags)
             assert getattr(al, "_" + which)
-            got = al.align_batch([(q, r)])[0]
+            got = al.align_batch(pairs)
             orc = BlockOracle(trace=True, **flags)
-            pq = PaddedBytes.from_bytes(q, size[1], NW1)
-            pr = PaddedBytes.from_bytes(r, size[1], NW1)
-            orc.align(pq, pr, NW1, GAPS_NUC, size, 0)
-            w = orc.res()
-            assert got.score == w.score, (which, flags, got, w)
-            gc = str(al.cigar_eq(0, q, r, len(q), len(r)))
-            wc = str(orc.cigar_eq(pq, pr, w.query_idx, w.reference_idx))
-            assert gc == wc, (which, flags, gc, wc)
+            for k, (q, r) in enumerate(pairs):
+                pq = PaddedBytes.from_bytes(q, size[1], NW1)
+                pr = PaddedBytes.from_bytes(r, size[1], NW1)
+                orc.align(pq, pr, NW1, GAPS_NUC, size, 0)
+                w = orc.res()
+                assert got[k].score == w.score, (which, flags, got[k], w)
+                gc = str(al.cigar_eq(k, q, r, len(q), len(r)))
+                wc = str(orc.cigar_eq(pq, pr, w.query_idx,
+                                      w.reference_idx))
+                assert gc == wc, (which, flags, gc, wc)

@@ -1,0 +1,35 @@
+"""Bounded differential soak in the routine suite (VERDICT r3 #6): 50
+fixed-seed random configurations through the public routing -- lane /
+adaptive / big kernels across matrices, gap costs, block ranges, and mode
+flags (x-drop, local-start, free-start-gaps, TRACE), plus segmented
+long-read rounds (LongBatchAligner / LongAdaptiveAligner, traced and
+untraced) -- every batch checked against the scalar oracle.
+
+The open-ended variant (run-until-killed, fresh seeds) lives in
+scripts_tpu/soak_fuzz.py; this file pins a reproducible slice of it.
+The reference's analogous coverage is the accuracy example's len x k
+sweep (reference: examples/accuracy.rs:17-34).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "scripts_tpu"),
+)
+
+from soak_fuzz import one_round, one_round_long  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", range(5000, 5040))
+def test_soak_config(seed):
+    assert one_round(seed, n_pairs=6)
+
+
+@pytest.mark.parametrize("seed", range(6000, 6010))
+def test_soak_long_segmented(seed):
+    assert one_round_long(seed, n_pairs=2)
