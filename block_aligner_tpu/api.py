@@ -74,13 +74,12 @@ def pick_route(min_size: int, max_size: int, seq_cap: int, *,
     min_size = max(min_size, 16)
     max_size = max(max_size, min_size)
     capv = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
-    wide = x_drop is not None or free_query_end_gaps
     if (min_size < max_size and max_size <= 512
             and (max_size < 512 or trace) and capv <= 16384):
         return "adaptive", []
     if ((512 < max_size <= 8192
          or (max_size == 512 and min_size < max_size))
-            and not (trace and wide) and capv <= 16384):
+            and capv <= 16384):
         return "big", []
     if min_size == max_size and min_size <= 512 and capv <= 16384:
         return "lane", []
@@ -89,10 +88,6 @@ def pick_route(min_size: int, max_size: int, seq_cap: int, *,
         reasons.append(
             "max block size > 8192 unsegmented -- use LongAdaptiveAligner "
             "(up to 16384, percent_len's clamp)"
-        )
-    elif trace and wide and max_size > 512:
-        reasons.append(
-            "wide-mode (x-drop / free-end-gap) trace above block 512"
         )
     elif capv > 16384 and max_size > 512:
         reasons.append(
@@ -517,9 +512,12 @@ class BatchAligner:
 
         out, thbm, mhbm = res
         out = np.asarray(out)
-        # trace score rows: OUT, steps, slots, step-cap overrun
-        steps = out[:, 0, 1, 0].astype(np.int64)
-        tpos = out[:, 0, 2, 0].astype(np.int64)
+        # trace score rows: OUT (or the wide triple), steps, slots,
+        # step-cap overrun
+        base = 3 if (self._lane_cfg.x_drop
+                     or self._lane_cfg.free_query_end_gaps) else 1
+        steps = out[:, 0, base, 0].astype(np.int64)
+        tpos = out[:, 0, base + 1, 0].astype(np.int64)
         nst = max(int(steps.max()), 1)
         ntp = max(int(tpos.max()), 1)
         self._last_trace = big_trace(
@@ -1699,27 +1697,37 @@ class LongAdaptiveAligner:
             # step, and the done flag breaks the loop)
             max_segs = 4 * max_segs + 4
         chunks = []
+        pending = None  # previous launch's (score, thbm, mhbm, vb)
+
+        def fetch_chunk(score, thbm, mhbm, vbp):
+            """Pull one launch's executed trace slice to the host; returns
+            the launch's all-done flag.  Called AFTER the next launch is
+            queued, so the device computes while the host copies."""
+            sc = np.asarray(score)
+            steps = sc[:, 0, 1, 0].astype(np.int64)
+            tpos = sc[:, 0, 2, 0].astype(np.int64)
+            chunks.append((
+                np.asarray(thbm[:, : max(int(tpos.max()), 1)]),
+                np.asarray(mhbm[:, : max(int(steps.max()), 1)]),
+                steps, tpos,
+            ))
+            return int(np.asarray(vbp)[:, 6].min()) == 1
+
         for seg in range(max_segs):
             gseg = g0 if seg == 0 else g1
             codes_t = self._cut(codes_full, baseq, baser)
             res = self._fn(
                 qlen, rlen, Mp, codes_t, gseg, baseq, baser, sb, ckb, vb)
             if cfg.trace:
-                # fetch each launch's executed trace slice before the next
-                # launch (device trace HBM is per-launch, host accumulates)
                 score, sb, ckb, vb, thbm, mhbm = res
-                sc = np.asarray(score)
-                steps = sc[:, 0, 1, 0].astype(np.int64)
-                tpos = sc[:, 0, 2, 0].astype(np.int64)
-                chunks.append((
-                    np.asarray(thbm[:, : max(int(tpos.max()), 1)]),
-                    np.asarray(mhbm[:, : max(int(steps.max()), 1)]),
-                    steps, tpos,
-                ))
                 baseq = vb[:, cfg.n_state_rows - 2]
                 baser = vb[:, cfg.n_state_rows - 1]
-                if int(np.asarray(vb)[:, 6].min()) == 1:
+                if pending is not None and fetch_chunk(*pending):
+                    # the launch just queued ran on all-done state: it
+                    # contributes zero steps, so drop it
+                    pending = None
                     break
+                pending = (score, thbm, mhbm, vb)
             else:
                 score, sb, ckb, vb = res
                 # window bases flow device-to-device: no host sync
@@ -1732,6 +1740,8 @@ class LongAdaptiveAligner:
         if cfg.trace:
             from .core.traceback import big_trace
 
+            if pending is not None:
+                fetch_chunk(*pending)
             self._last_trace = big_trace(
                 chunks,
                 local_start=cfg.local_start,

@@ -200,11 +200,6 @@ class BigKernelConfig:
         # segmented wide-mode long reads ride the <=512 lane path (api.py):
         # the tracker state would add 54 persisted rows per pair
         assert not (self.wide and self.segmented)
-        # trace composes with global + local-start/free-start-gap flags
-        # (the reference's traced long-read benches are global,
-        # examples/nanopore_bench_global.rs:144-227); wide-mode trace
-        # above 512 stays on the engine
-        assert not (self.trace and self.wide)
         if self.trace:
             assert self.eff_trace_slots >= 4 * self.n_segs, (
                 "trace_slots must cover at least a few full-size steps"
@@ -722,15 +717,18 @@ def build_big_engine(cfg: BigKernelConfig):
                     # this step's rect descriptor + the ckpt events decided
                     # at the END of the previous step (they must precede
                     # this step's rect in the decoder's event order,
-                    # reference: src/scan_block.rs:1451-1462)
+                    # reference: src/scan_block.rs:1451-1462).  pos8 IS the
+                    # rect-column start (same formula); the lane start is
+                    # recomputed so wide modes (no freeze block) compose
                     flags = (
                         act.astype(jnp.int32)
                         | (newrect.astype(jnp.int32) << 1)
                         | (PEND_SV[...] << 2)
                         | (PEND_RS[...] << 3)
                     )
+                    ls_t = jnp.where(right_or, i_, j_)
                     MSTG[...] = jnp.concatenate(
-                        [right_or.astype(jnp.int32), ls, cstart, h, flags,
+                        [right_or.astype(jnp.int32), ls_t, pos8, h, flags,
                          jnp.full((1, P), tpos, jnp.int32),
                          jnp.full((1, P), nseg, jnp.int32), z1], axis=0)
                     PEND_SV[...] = z1

@@ -294,7 +294,6 @@ def test_engine_trapdoor_audit():
     documented = {
         "max block size > 8192 unsegmented -- use LongAdaptiveAligner "
         "(up to 16384, percent_len's clamp)",
-        "wide-mode (x-drop / free-end-gap) trace above block 512",
         "big blocks with sequences past the resident code budget "
         "-- use LongAdaptiveAligner",
         "blocks with sequences past the resident code budget "
@@ -324,16 +323,15 @@ def test_engine_trapdoor_audit():
     assert seen == documented, ("stale documented reasons",
                                 documented - seen)
     # the trapdoor set is small and only holds the documented extremes:
-    # >8192 blocks, wide trace >512, and over-budget sequence lengths
+    # >8192 unsegmented blocks and over-budget sequence lengths
     for (min_s, max_s, seq_cap, trace, xd, fqe) in engine_configs:
         assert (
-            max_s > 8192
-            or (trace and max_s > 512 and (xd is not None or fqe))
-            or seq_cap + max_s + 17 > 16384
+            max_s > 8192 or seq_cap + max_s + 17 > 16384
         ), (min_s, max_s, seq_cap, trace, xd, fqe)
     # spot-check: the round-3 trapdoors that round 4 closed now route
     assert pick_route(512, 8192, 8000, trace=True)[0] == "big"
     assert pick_route(128, 1024, 2048, trace=True)[0] == "big"
+    assert pick_route(128, 1024, 2048, trace=True, x_drop=50)[0] == "big"
 
 
 def test_profile_aligner_big_blocks_raise():

@@ -256,3 +256,37 @@ def test_big_trace_plane_stream():
         wc = str(orc.cigar(w.query_idx, w.reference_idx))
         gc = str(al.cigar(k, len(q), len(r)))
         assert gc == wc, (k, gc[:100], wc[:100])
+
+
+def test_big_trace_x_drop_combined():
+    """X-drop + trace above block 512 (the last mode trapdoor closed in
+    r4): best positions AND CIGARs from the best cell must match the
+    oracle (adaptive analogue: test_adaptive_trace_xdrop_combined)."""
+    rng = np.random.default_rng(43)
+    pairs = []
+    for _ in range(2):
+        q = rand_seq(rng, int(rng.integers(300, 500)))
+        pairs.append((q, mutate(rng, q, 30)))
+    for _ in range(2):  # divergent tails: x-drop ends early
+        q = rand_seq(rng, int(rng.integers(300, 500)))
+        r = mutate(rng, q[: len(q) // 2], 15) + rand_seq(rng, 200)
+        pairs.append((q, r))
+
+    size = (64, 1024)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        al = BatchAligner(BLOSUM62, GAPS, size, batch=128, seq_cap=768,
+                          trace=True, x_drop=60)
+    assert al._big and al._lane_cfg.trace and al._lane_cfg.x_drop
+    got = al.align_batch(pairs)
+    orc = BlockOracle(trace=True, x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, size[1], BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, size[1], BLOSUM62)
+        orc.align(pq, pr, BLOSUM62, GAPS, size, 60)
+        w = orc.res()
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) == (
+            w.score, w.query_idx, w.reference_idx), (k, got[k], w)
+        wc = str(orc.cigar(w.query_idx, w.reference_idx))
+        gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
+        assert gc == wc, (k, gc[:100], wc[:100])
