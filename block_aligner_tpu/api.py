@@ -667,7 +667,8 @@ class BatchAligner:
         over = out[:, :, -1, :].reshape(B)
         n = len(pairs) if lens is None else lens[2]
         assert not over[:n].any(), (
-            "adaptive kernel hit its step cap; raise seq_cap/max_steps"
+            "kernel hit its step cap; raise seq_cap/max_steps (or "
+            "trace_slots for big-kernel trace runs)"
         )
         if self._lane_cfg.x_drop or getattr(
                 self._lane_cfg, "free_query_end_gaps", False):

@@ -1,0 +1,126 @@
+"""Hardware profile of the headline lane kernel (VERDICT r3 #2: the
+2.5-6 ns/vreg-op issue rate is the load-bearing constant of the perf
+argument -- replace it with real counters).
+
+Captures a jax.profiler trace around the repeated-dispatch headline
+workload (bench.py's shape), converts the xplane via
+tensorboard_plugin_profile into the op-profile / framework-op-stats
+tools, and prints the kernel's self time, occupancy and flops/bandwidth
+utilization lines.
+
+Usage: python scripts_tpu/xprof_headline.py [--batch 16384] [--reps 6]
+       [--outdir /tmp/xprof_headline]
+On CPU (tunnel down) it still runs end-to-end in interpret mode to
+validate the capture/convert plumbing (the numbers are meaningless).
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--outdir", default="/tmp/xprof_headline")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from block_aligner_tpu import BLOSUM62, Gaps
+    from block_aligner_tpu.ops.lane_kernel import (
+        LaneKernelConfig,
+        build_lane_engine,
+        pack_lane,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    aa = b"ACDEFGHIKLMNPQRSTVWY"
+    B = args.batch if on_tpu else 2048
+    pairs = []
+    n = 1000 if on_tpu else 60
+    for _ in range(B):
+        q = bytes(rng.choice(list(aa), size=n).tolist())
+        r = bytearray(q)
+        for _ in range(n // 10):
+            r[int(rng.integers(0, len(r)))] = int(rng.choice(list(aa)))
+        pairs.append((q, bytes(r)))
+    gaps = Gaps(open=-11, extend=-1)
+    cfg = LaneKernelConfig(
+        batch=B, block=32, seq_cap=1152 if on_tpu else 256,
+        banks=16 if on_tpu else 2,
+        interpret=not on_tpu,
+    )
+    fn = build_lane_engine(cfg)
+    packed = pack_lane(pairs, BLOSUM62, cfg, gaps)
+    args_dev = jax.device_put(packed)
+    out = fn(*args_dev)
+    np.asarray(out)  # compile + warm
+
+    os.makedirs(args.outdir, exist_ok=True)
+    with jax.profiler.trace(args.outdir):
+        for _ in range(args.reps):
+            out = fn(*args_dev)
+        np.asarray(out)
+    print("trace captured to", args.outdir)
+
+    # ---- convert: xplane.pb -> tool JSON via tensorboard_plugin_profile
+    planes = sorted(glob.glob(
+        os.path.join(args.outdir, "plugins/profile/*/*.xplane.pb")))
+    if not planes:
+        print("no xplane.pb found", file=sys.stderr)
+        sys.exit(1)
+    xplane = planes[-1]
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except Exception:
+        # tensorboard_plugin_profile's bundled protos need the pure-python
+        # protobuf runtime on this image
+        os.environ.setdefault(
+            "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+        from tensorboard_plugin_profile.convert import (  # noqa: E501
+            raw_to_tool_data as rtd,
+        )
+
+    for tool in ("framework_op_stats", "op_profile"):
+        try:
+            data, _ = rtd.xspace_to_tool_data([xplane], tool, {})
+        except Exception as e:  # tool coverage varies by platform
+            print(f"[{tool}] conversion failed: {e}")
+            continue
+        path = os.path.join(args.outdir, f"{tool}.json")
+        if isinstance(data, bytes):
+            data = data.decode("utf-8", "replace")
+        with open(path, "w") as f:
+            f.write(data if isinstance(data, str) else json.dumps(data))
+        print(f"[{tool}] -> {path} ({len(data)} bytes)")
+        if tool == "framework_op_stats":
+            try:
+                rows = json.loads(data)
+                # table format: list of dicts or gviz; print top self-time
+                if isinstance(rows, list):
+                    for r in rows[:12]:
+                        print("  ", {k: r.get(k) for k in
+                                     ("name", "occurrences", "total_self_time",
+                                      "avg_self_time", "flop_rate")
+                                     if k in r})
+            except Exception:
+                pass
+    print("done; inspect with tensorboard --logdir", args.outdir)
+
+
+if __name__ == "__main__":
+    main()
