@@ -143,6 +143,10 @@ class LaneKernelConfig:
     # Mosaic sees the small-S shapes it schedules well -- this removes the
     # S=512 cliff (K=1 unit-dim pessimization / K=2 spills) by chaining
     # prefix-scan and shift carries across sub-banks instead of spilling
+    unroll: int = 1  # while-loop sub-steps per iteration (2 amortizes the
+    # ~1.3 us fixed per-iteration overhead over 16 columns; doubles the
+    # Mosaic body/compile -- an A/B knob for the headline config only:
+    # non-trace, non-segmented)
     interpret: bool = False
 
     def __post_init__(self):
@@ -162,6 +166,12 @@ class LaneKernelConfig:
         # K == 1 leaves a unit leading dim that pessimizes Mosaic layouts
         # ~5x (measured); prefer K >= 2 whenever the batch allows it
         assert self.batch % (P * self.banks) == 0
+        assert self.unroll in (1, 2)
+        if self.unroll > 1:
+            # trace step-slot indexing and segmented launch budgets assume
+            # one step per iteration; the unroll targets the headline
+            # (global / x-drop, resident) configurations
+            assert not self.trace and not self.segmented
         assert self.vmem_bytes <= 15 * 2**20, (
             f"~{self.vmem_bytes >> 20} MiB of VMEM scratch exceeds the "
             "~16 MiB core budget; lower banks or seq_cap"
@@ -1136,42 +1146,48 @@ def build_lane_engine(cfg: LaneKernelConfig):
 
         def body(carry):
             s_idx, _ = carry
-            in_pro = s_idx < PRO_STEPS
-            if cfg.trace:
-                slot = lax.rem(s_idx, 2)
+            # cfg.unroll sub-steps per while iteration (amortizes the
+            # ~1.3 us fixed iteration overhead; trace/segmented modes pin
+            # unroll == 1 -- their step-slot indexing is per-iteration)
+            for u in range(cfg.unroll):
+                s_u = s_idx + u if cfg.unroll > 1 else s_idx
+                in_pro = s_u < PRO_STEPS
+                if cfg.trace:
+                    slot = lax.rem(s_u, 2)
 
-                # the DMA issued 2 steps ago used this slot; it must land
-                # before this step overwrites the staging buffers
-                @pl.when(s_idx >= s_start + 2)
-                def _():
-                    t_dma(slot, s_idx - 2).wait()
-                    m_dma(slot, s_idx - 2).wait()
-            else:
-                slot = None
-            pre_step(s_idx, in_pro, slot)
-            if cfg.x_drop or cfg.free_query_end_gaps:
-                frz_step = None
-            else:
-                # can ANY lane's freeze column fall within this step?
-                wmax = jnp.where(in_pro, s_idx * STEP + STEP - 1, STEP - 1)
-                frz_step = jnp.any(
-                    (FRA[...] == 1) & (FRT[...] <= wmax)
-                    & (ST_DONE[...] == 0))
-            tr_pend = [None]
-            for w in range(STEP):
-                column(w, s_idx, in_pro, slot, tr_pend, frz_step)
+                    # the DMA issued 2 steps ago used this slot; it must
+                    # land before this step overwrites the staging buffers
+                    @pl.when(s_u >= s_start + 2)
+                    def _(slot=slot, s_u=s_u):
+                        t_dma(slot, s_u - 2).wait()
+                        m_dma(slot, s_u - 2).wait()
+                else:
+                    slot = None
+                pre_step(s_u, in_pro, slot)
+                if cfg.x_drop or cfg.free_query_end_gaps:
+                    frz_step = None
+                else:
+                    # can ANY lane's freeze column fall within this step?
+                    wmax = jnp.where(in_pro, s_u * STEP + STEP - 1,
+                                     STEP - 1)
+                    frz_step = jnp.any(
+                        (FRA[...] == 1) & (FRT[...] <= wmax)
+                        & (ST_DONE[...] == 0))
+                tr_pend = [None]
+                for w in range(STEP):
+                    column(w, s_u, in_pro, slot, tr_pend, frz_step)
 
-            if cfg.trace:
-                # stream this step's trace bits + rect descriptor to HBM;
-                # double-buffered, so the copy overlaps the next step
-                t_dma(slot, s_idx).start()
-                m_dma(slot, s_idx).start()
+                if cfg.trace:
+                    # stream this step's trace bits + rect descriptor to
+                    # HBM; double-buffered: the copy overlaps the next step
+                    t_dma(slot, s_u).start()
+                    m_dma(slot, s_u).start()
 
-            @pl.when(s_idx >= PRO_STEPS - 1)
-            def _():
-                post_step(s_idx)
+                @pl.when(s_u >= PRO_STEPS - 1)
+                def _(s_u=s_u):
+                    post_step(s_u)
 
-            return (s_idx + 1, jnp.min(ST_DONE[...]))
+            return (s_idx + cfg.unroll, jnp.min(ST_DONE[...]))
 
         if cfg.segmented:
             s_start = jnp.where(seg_first == 1, 0, PRO_STEPS)

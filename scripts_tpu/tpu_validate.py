@@ -414,9 +414,54 @@ def stage_h(q):
     q.put(("ok", res))
 
 
+def stage_i(q):
+    # headline 2-step unroll A/B (VERDICT r3: measure it, don't dismiss
+    # it): bench.py's shape, unroll 1 vs 2, same inputs, device rate via
+    # repeated dispatch
+    import numpy as np
+    from block_aligner_tpu import BLOSUM62, Gaps
+    from block_aligner_tpu.ops.lane_kernel import (
+        LaneKernelConfig, build_lane_engine, pack_lane)
+
+    rng = np.random.default_rng(4)
+    AA = b"ACDEFGHIKLMNPQRSTVWY"
+    B = 65536
+    pairs = []
+    for _ in range(B):
+        qb = bytes(rng.choice(list(AA), size=1000).tolist())
+        rb = bytearray(qb)
+        for _ in range(100):
+            rb[int(rng.integers(0, len(rb)))] = int(rng.choice(list(AA)))
+        pairs.append((qb, bytes(rb)))
+    gaps = Gaps(open=-11, extend=-1)
+    res = {}
+    import jax
+
+    outs = {}
+    for unroll in (1, 2):
+        cfg = LaneKernelConfig(batch=B, block=32, seq_cap=1152, banks=16,
+                               unroll=unroll)
+        fn = build_lane_engine(cfg)
+        args = jax.device_put(pack_lane(pairs, BLOSUM62, cfg, gaps))
+        t0 = time.perf_counter()
+        out = np.asarray(fn(*args))
+        res[f"unroll{unroll}_compile_plus_run_s"] = round(
+            time.perf_counter() - t0, 1)
+        outs[unroll] = out
+        t0 = time.perf_counter()
+        reps = 6
+        for _ in range(reps):
+            o = fn(*args)
+        np.asarray(o)
+        res[f"unroll{unroll}_us_per_pair"] = round(
+            (time.perf_counter() - t0) / reps / B * 1e6, 3)
+    res["bit_identical"] = bool(np.array_equal(outs[1], outs[2]))
+    q.put(("ok", res))
+
+
 STAGES = {"A": (stage_a, 300), "B": (stage_b, 2400), "C": (stage_c, 3600),
           "D": (stage_d, 3000), "E": (stage_e, 3600), "F": (stage_f, 2400),
-          "G": (stage_g, 3600), "H": (stage_h, 3600)}
+          "G": (stage_g, 3600), "H": (stage_h, 3600), "I": (stage_i, 3600)}
 
 
 def main():

@@ -290,3 +290,34 @@ def test_big_trace_x_drop_combined():
         wc = str(orc.cigar(w.query_idx, w.reference_idx))
         gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
         assert gc == wc, (k, gc[:100], wc[:100])
+
+
+def test_big_trace_byte_mode():
+    """ByteMatrix equality scoring composed with big-kernel trace."""
+    from block_aligner_tpu import BYTES1
+
+    rng = np.random.default_rng(17)
+    base = bytes(rng.integers(97, 123, size=300).tolist())
+    r = bytearray(base)
+    for _ in range(30):
+        r[int(rng.integers(0, len(r)))] = int(rng.integers(97, 123))
+    pairs = [(base, bytes(r)), (base[:250], base[10:230])]
+
+    gaps = Gaps(open=-2, extend=-1)
+    size = (32, 1024)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        al = BatchAligner(BYTES1, gaps, size, batch=128, seq_cap=512,
+                          trace=True)
+    assert al._big and al._lane_cfg.trace and al._lane_cfg.byte_mode
+    got = al.align_batch(pairs)
+    orc = BlockOracle(trace=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, size[1], BYTES1)
+        pr = PaddedBytes.from_bytes(r, size[1], BYTES1)
+        orc.align(pq, pr, BYTES1, gaps, size, 0)
+        w = orc.res()
+        assert got[k].score == w.score, (k, got[k], w)
+        gc = str(al.cigar(k, len(q), len(r)))
+        wc = str(orc.cigar(w.query_idx, w.reference_idx))
+        assert gc == wc, (k, gc[:100], wc[:100])

@@ -711,3 +711,30 @@ def test_lane_row_split4():
     got = _run_split(pairs, NW1, gaps, 256, 4)[0]
     got = got[:, :, 0, :].reshape(-1)[: len(pairs)]
     assert [int(g) for g in got] == want
+
+
+def test_lane_unroll2_bit_identical():
+    """unroll=2 (two 8-column sub-steps per while iteration — the
+    headline-config overhead-amortization knob) must be bit-identical to
+    unroll=1 across global and x-drop modes."""
+    rng = np.random.default_rng(12)
+    pairs = []
+    for _ in range(12):
+        n = int(rng.integers(20, 150))
+        q = rand_seq(rng, AA, n)
+        r = bytearray(q)
+        for _ in range(n // 8):
+            r[int(rng.integers(0, len(r)))] = int(rng.choice(list(AA)))
+        pairs.append((q, bytes(r)))
+    for xd in (0, 50):
+        outs = []
+        for unroll in (1, 2):
+            cfg = LaneKernelConfig(
+                batch=256, block=32, seq_cap=256, banks=2,
+                x_drop=xd > 0, unroll=unroll, interpret=True,
+            )
+            fn = build_lane_engine(cfg)
+            outs.append(np.asarray(fn(*pack_lane(
+                pairs, BLOSUM62, cfg, Gaps(open=-11, extend=-1),
+                x_drop=xd))))
+        assert np.array_equal(outs[0], outs[1]), f"x_drop={xd}"
