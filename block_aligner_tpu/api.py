@@ -67,10 +67,12 @@ def pick_route(min_size: int, max_size: int, seq_cap: int, *,
     """The BatchAligner kernel-routing decision, exposed for auditing.
 
     Returns ``(path, reasons)`` where path is one of "adaptive", "big",
-    "lane", "engine"; ``reasons`` is non-empty exactly when path ==
-    "engine" and names why no Pallas kernel serves the configuration (the
-    documented trapdoor list -- tests/test_api.py pins it, so a routing
-    change that silently grows the engine set fails loudly)."""
+    "lane", "long" (delegate to LongAdaptiveAligner: bands past 8192 or
+    sequences past the resident code budget, non-wide), or "engine";
+    ``reasons`` is non-empty exactly when path == "engine" and names why
+    no Pallas kernel serves the configuration (the documented trapdoor
+    list -- tests/test_api.py pins it, so a routing change that silently
+    grows the engine set fails loudly)."""
     min_size = max(min_size, 16)
     max_size = max(max_size, min_size)
     capv = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
@@ -83,6 +85,12 @@ def pick_route(min_size: int, max_size: int, seq_cap: int, *,
         return "big", []
     if min_size == max_size and min_size <= 512 and capv <= 16384:
         return "lane", []
+    # bands past 8192 (percent_len clamps at 16384) or big bands whose
+    # sequences exceed the resident code budget: the segmented
+    # LongAdaptiveAligner serves every non-wide mode there
+    if (512 < max_size <= 16384 and x_drop is None
+            and not free_query_end_gaps):
+        return "long", []
     reasons = []
     if max_size > 8192:
         reasons.append(
@@ -199,6 +207,21 @@ class BatchAligner:
         )
         if not lane_ok or use_lane_kernel is False:
             route = "engine"
+        self._long = route == "long"
+        if self._long:
+            # bands past 8192 / sequences past the resident code budget:
+            # delegate to the segmented long-read driver (host-windowed
+            # big-kernel launches) instead of the ~100x slower engine
+            self._inner = LongAdaptiveAligner(
+                matrix, gaps, (min_size, max_size), batch=batch,
+                seq_cap=seq_cap, trace=trace, local_start=local_start,
+                free_query_start_gaps=free_query_start_gaps,
+                mesh=mesh, data_axis=data_axis,
+            )
+            self._lane = self._adaptive = self._big = False
+            self._lane_cfg = self._inner.cfg
+            self.cfg = None
+            return
         self._adaptive = route == "adaptive"
         if self._adaptive:
             import jax
@@ -391,12 +414,16 @@ class BatchAligner:
 
     @property
     def batch_size(self) -> int:
-        if self._lane or self._adaptive or self._big:
+        if self._long or self._lane or self._adaptive or self._big:
             return self._lane_cfg.batch
         return self.cfg.batch
 
     @property
     def seq_capacity(self) -> int:
+        if self._long:
+            # segmented driver: the full code arrays live in HBM
+            return self._lane_cfg.full_cap - self._lane_cfg.seq_cap \
+                - self._lane_cfg.max_size - 17
         kern = self._lane or self._adaptive or self._big
         cap = self._lane_cfg.seq_cap if kern else self.cfg.seq_cap
         blk = self._lane_cfg.block if kern else self.cfg.max_size
@@ -415,6 +442,11 @@ class BatchAligner:
                 assert len(q) < self.min_size, (
                     "free_query_end_gaps requires min block size > query len"
                 )
+        if self._long:
+            got = self._inner.align_batch(pairs)
+            if self._trace_mode:
+                self._last_trace = self._inner._last_trace
+            return got
         if self._adaptive:
             from .ops.lane_kernel import pack_lane
 
@@ -581,9 +613,23 @@ class BatchAligner:
         (reference: examples/uc_bench.rs:89-104) at batch granularity.
         """
         assert self._trace_mode, "align_all_trace requires trace=True"
-        assert self._lane or self._adaptive or self._big, (
+        assert self._lane or self._adaptive or self._big or self._long, (
             "align_all_trace rides the kernel trace streams"
         )
+        if self._long:
+            # segmented long-read driver: per-batch align + walk (the
+            # device/host overlap happens per launch inside align_batch)
+            results: List[AlignResult] = []
+            cigars: List[Cigar] = []
+            for k in range(0, len(pairs), self.batch_size):
+                chunk = list(pairs[k : k + self.batch_size])
+                got = self.align_batch(chunk)
+                results.extend(got)
+                eps = [(len(q), len(r)) for q, r in chunk]
+                cigars.extend(self._last_trace.cigars_all(
+                    eps, nthreads=nthreads, eq=eq,
+                    seqs=chunk if eq else None))
+            return results, cigars
         if self._big:
             from .ops.big_kernel import pack_big as pack_lane
         else:
@@ -696,6 +742,10 @@ class BatchAligner:
         import jax
 
         assert len(pairs) <= self.batch_size
+        assert not self._long, (
+            "staged execution is per-launch inside LongAdaptiveAligner; "
+            "use align_batch"
+        )
         if self._adaptive:
             from .ops.lane_kernel import pack_lane
 

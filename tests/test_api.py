@@ -332,6 +332,12 @@ def test_engine_trapdoor_audit():
     assert pick_route(512, 8192, 8000, trace=True)[0] == "big"
     assert pick_route(128, 1024, 2048, trace=True)[0] == "big"
     assert pick_route(128, 1024, 2048, trace=True, x_drop=50)[0] == "big"
+    # >8192 bands and over-budget big bands delegate to the segmented
+    # long-read driver (non-wide)
+    assert pick_route(512, 16384, 60000)[0] == "long"
+    assert pick_route(512, 16384, 60000, trace=True)[0] == "long"
+    assert pick_route(512, 8192, 40000)[0] == "long"
+    assert pick_route(512, 16384, 60000, x_drop=50)[0] == "engine"
 
 
 def test_profile_aligner_big_blocks_raise():

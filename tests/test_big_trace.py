@@ -321,3 +321,31 @@ def test_big_trace_byte_mode():
         gc = str(al.cigar(k, len(q), len(r)))
         wc = str(orc.cigar(w.query_idx, w.reference_idx))
         assert gc == wc, (k, gc[:100], wc[:100])
+
+
+def test_batch_aligner_long_delegation_16384():
+    """BatchAligner transparently delegates >8192 bands to the segmented
+    LongAdaptiveAligner (no engine fallback): the REAL (32, 16384)
+    plane-stream config (R=64, streamed ACT/PAS, percent_len's clamp)
+    end-to-end with trace, oracle-exact score and CIGAR."""
+    rng = np.random.default_rng(31)
+    q = rand_seq(rng, 700)
+    r = bytearray(q)
+    for _ in range(60):
+        r[int(rng.integers(0, len(r)))] = int(rng.choice(list(AA)))
+    pairs = [(q, bytes(r))]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        al = BatchAligner(BLOSUM62, GAPS, (32, 16384), batch=128,
+                          seq_cap=2048, trace=True)
+    assert al._long and al._lane_cfg.plane_stream
+    got = al.align_batch(pairs)
+    orc = BlockOracle(trace=True)
+    pq = PaddedBytes.from_bytes(q, 16384, BLOSUM62)
+    pr = PaddedBytes.from_bytes(bytes(r), 16384, BLOSUM62)
+    orc.align(pq, pr, BLOSUM62, GAPS, (32, 16384), 0)
+    w = orc.res()
+    assert got[0].score == w.score, (got[0], w)
+    assert str(al.cigar(0, len(q), len(r))) == str(
+        orc.cigar(w.query_idx, w.reference_idx))
