@@ -38,6 +38,23 @@ def shard_batch(mesh: Mesh, tree, axis: str = "data"):
     return jax.tree_util.tree_map(put, tree)
 
 
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """shard_map across jax versions: the stable jax.shard_map (>= 0.8,
+    replication checking keyword renamed to check_vma) or the older
+    experimental module."""
+    try:
+        from jax import shard_map as sm
+
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
 def data_parallel_engine(cfg, mesh: Mesh, axis: str = "data"):
     """Build the engine wrapped for mesh execution: inputs sharded on batch,
     outputs sharded on batch.  The engine body is purely batch-elementwise,
@@ -72,8 +89,6 @@ def data_parallel_lane(cfg, mesh: Mesh, axis: str = "data"):
     """
     import dataclasses
 
-    from jax.experimental.shard_map import shard_map
-
     from ..ops.lane_kernel import build_lane_engine
 
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -95,10 +110,7 @@ def data_parallel_lane(cfg, mesh: Mesh, axis: str = "data"):
     # outputs are program-leading: scores (n_progs, K, OW, P); trace mode
     # adds the packed word stream and descriptor stream (both n_progs-led)
     out_specs = (shard0, shard5, shard5) if cfg.trace else shard0
-    wrapped = shard_map(
-        fn, mesh=mesh, in_specs=specs_in, out_specs=out_specs,
-        check_rep=False,
-    )
+    wrapped = _shard_map(fn, mesh, specs_in, out_specs)
 
     def run(*args):
         return wrapped(*args)
@@ -116,8 +128,6 @@ def data_parallel_big(cfg, mesh: Mesh, axis: str = "data"):
     shard on the data axis and the launch loop stays communication-free);
     trace mode adds the packed word + descriptor output streams."""
     import dataclasses
-
-    from jax.experimental.shard_map import shard_map
 
     from ..ops.big_kernel import build_big_engine
 
@@ -141,10 +151,7 @@ def data_parallel_big(cfg, mesh: Mesh, axis: str = "data"):
     if cfg.trace:
         outs += [lead(5), lead(4)]  # packed words, descriptors
     out_specs = tuple(outs) if len(outs) > 1 else outs[0]
-    wrapped = shard_map(
-        fn, mesh=mesh, in_specs=tuple(specs_in),
-        out_specs=out_specs, check_rep=False,
-    )
+    wrapped = _shard_map(fn, mesh, tuple(specs_in), out_specs)
 
     def run(*args):
         return wrapped(*args)
@@ -157,8 +164,6 @@ def data_parallel_adaptive(cfg, mesh: Mesh, axis: str = "data"):
     device mesh; same embarrassingly-parallel structure as
     ``data_parallel_lane``."""
     import dataclasses
-
-    from jax.experimental.shard_map import shard_map
 
     from ..ops.adaptive_kernel import build_adaptive_engine
 
@@ -192,10 +197,8 @@ def data_parallel_adaptive(cfg, mesh: Mesh, axis: str = "data"):
                 return P()
 
             in_specs = tuple(spec_for(a) for a in args)
-            state["wrapped"] = shard_map(
-                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                check_rep=False,
-            )
+            state["wrapped"] = _shard_map(
+                fn, mesh, in_specs, out_specs)
         return state["wrapped"](*args)
 
     return run
