@@ -14,7 +14,14 @@ starting block here, so the fixed-32 comparison is apples-to-apples.
 Datasets that do need growth route to the adaptive kernel
 (ops/adaptive_kernel.py, reference-exact grow/shrink/ckpt).
 
-Prints one JSON line:
+Robustness (round-5 hardening): the measurement runs in a CHILD process
+supervised by a parent watchdog.  The child prints `@progress` lines after
+every phase and a PROVISIONAL result line as soon as one timed rep exists;
+the parent enforces a deadline (BENCH_WATCHDOG_S, default 420 s) and, if
+the child hangs or dies, prints the best provisional JSON (or a structured
+error) and exits 0 — the driver's tail-parse always finds a JSON line.
+
+Prints one JSON line (last line of stdout):
 {"metric": ..., "value": N, "unit": "us_per_pair", "vs_baseline": N}
 where vs_baseline > 1 means faster than the reference.
 """
@@ -29,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_US_PER_PAIR = 24.1  # reference bench notebook cell 11 (1k protein)
+METRIC = "random_protein_1000x1000_global_block32_us_per_pair"
 
 
 def rand_protein_pairs(rng, n_pairs, length, k):
@@ -54,32 +62,28 @@ def rand_protein_pairs(rng, n_pairs, length, k):
     return pairs
 
 
-def probe_device(timeout_s=150):
-    """Probe device reachability in a subprocess: a dead accelerator
-    tunnel hangs jax backend init in-process, which would hang the whole
-    bench instead of failing fast."""
-    import subprocess
-
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        return (r.stdout.strip().splitlines() or [""])[-1] if r.returncode == 0 else ""
-    except Exception:
-        return ""
+def result_line(us_per_pair, provisional=False, extra=None):
+    d = {
+        "metric": METRIC,
+        "value": round(us_per_pair, 3),
+        "unit": "us_per_pair",
+        "vs_baseline": round(BASELINE_US_PER_PAIR / us_per_pair, 3),
+    }
+    if provisional:
+        d["provisional"] = True
+    if extra:
+        d.update(extra)
+    return json.dumps(d)
 
 
-def main():
-    plat = probe_device()
-    if not plat:
-        print(json.dumps({
-            "metric": "random_protein_1000x1000_global_block32_us_per_pair",
-            "value": -1, "unit": "us_per_pair", "vs_baseline": 0,
-            "error": "device unreachable (accelerator tunnel down)",
-        }))
-        return
+def child_main():
+    """Measure in-process; emits @progress lines and provisional/final
+    result lines on stdout (parent relays and tracks the best one)."""
+    t_start = time.perf_counter()
+
+    def progress(phase):
+        print(f"@progress {phase} t={time.perf_counter() - t_start:.1f}s",
+              flush=True)
 
     import jax
 
@@ -89,6 +93,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
+
+    plat = jax.devices()[0].platform
+    progress(f"jax_init platform={plat}")
 
     from block_aligner_tpu import BLOSUM62, Gaps
     from block_aligner_tpu.ops.lane_kernel import (
@@ -105,35 +112,109 @@ def main():
 
     rng = np.random.default_rng(1234)
     pairs = rand_protein_pairs(rng, B, LEN, K)
+    progress("genpairs")
 
     cap = max(256, -(-(1 + LEN + LEN // 4 + S + 16) // 128) * 128)
     cfg = LaneKernelConfig(batch=B, block=S, seq_cap=cap, alpha=32, banks=BANKS)
     fn = build_lane_engine(cfg)
     args = pack_lane(pairs, BLOSUM62, cfg, Gaps(open=-11, extend=-1))
+    progress("pack")
     args = jax.device_put(args)
+    jax.block_until_ready(args)
+    progress("device_put")
 
     # warmup / compile (fetching bytes is the only reliable sync through
     # the tunnel; block_until_ready returns early there)
     np.asarray(fn(*args))
+    progress("warmup_compile")
 
-    reps = 4
+    # one quick rep first -> provisional number on stdout ASAP
+    t0 = time.perf_counter()
+    np.asarray(fn(*args))
+    t1 = time.perf_counter()
+    prov = (t1 - t0) / B * 1e6
+    print(result_line(prov, provisional=True), flush=True)
+
+    reps = int(os.environ.get("BENCH_REPS", "4"))
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(reps)]
     np.asarray(outs[-1])  # grid programs are sequential: last launch's
     t1 = time.perf_counter()  # output forces the whole queue
 
     us_per_pair = (t1 - t0) / (reps * B) * 1e6
-    print(
-        json.dumps(
-            {
-                "metric": f"random_protein_{LEN}x{LEN}_global_block{S}_us_per_pair",
-                "value": round(us_per_pair, 3),
-                "unit": "us_per_pair",
-                "vs_baseline": round(BASELINE_US_PER_PAIR / us_per_pair, 3),
-            }
-        )
+    print(result_line(us_per_pair), flush=True)
+
+
+def parent_main():
+    """Run child under a deadline; guarantee a JSON tail line and rc=0."""
+    import subprocess
+
+    deadline = float(os.environ.get("BENCH_WATCHDOG_S", "420"))
+    t_start = time.monotonic()
+    env = dict(os.environ)
+    env["BENCH_CHILD"] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env,
     )
+
+    best = None          # last provisional/final result line seen
+    final_seen = False
+    phase = "spawn"
+
+    import selectors
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    buf = ""
+    while True:
+        remaining = deadline - (time.monotonic() - t_start)
+        if remaining <= 0:
+            break
+        if not sel.select(timeout=min(remaining, 5.0)):
+            if proc.poll() is not None:
+                break
+            continue
+        chunk = proc.stdout.readline()
+        if chunk == "":
+            break  # EOF: child exited (or crashed)
+        line = chunk.rstrip("\n")
+        buf = line
+        if line.startswith("@progress"):
+            phase = line
+            print(line, flush=True)
+        elif line.startswith("{") and '"metric"' in line:
+            best = line
+            if '"provisional"' not in line:
+                final_seen = True
+            # don't echo yet: the final JSON must be the LAST stdout line
+        else:
+            print(line, flush=True)
+        if final_seen:
+            break
+
+    if proc.poll() is None:
+        try:
+            proc.kill()
+        except Exception:
+            pass
+
+    if best is not None:
+        print(best, flush=True)
+        return
+
+    rc = proc.poll()
+    err = ("timeout" if rc is None else f"child exited rc={rc}")
+    print(json.dumps({
+        "metric": METRIC, "value": -1, "unit": "us_per_pair",
+        "vs_baseline": 0,
+        "error": f"{err} at phase [{phase}] after "
+                 f"{time.monotonic() - t_start:.0f}s; last line: {buf[:200]}",
+    }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD"):
+        child_main()
+    else:
+        parent_main()
