@@ -97,6 +97,14 @@ def child_main():
     plat = jax.devices()[0].platform
     progress(f"jax_init platform={plat}")
 
+    # tiny first op: the tunnel's first device roundtrip has a large and
+    # highly variable cost (measured 1-400+ s); pay it on a 1 KB payload so
+    # the watchdog sees the phase and the big transfer later runs at full
+    # tunnel rate
+    import jax.numpy as jnp
+    np.asarray(jnp.arange(256, dtype=jnp.int32) + 1)
+    progress("tunnel_warm")
+
     from block_aligner_tpu import BLOSUM62, Gaps
     from block_aligner_tpu.ops.lane_kernel import (
         LaneKernelConfig,
@@ -104,7 +112,10 @@ def child_main():
         pack_lane,
     )
 
-    B = int(os.environ.get("BENCH_BATCH", "65536"))
+    # B=16384 runs at/near VPU throughput (CLAUDE.md measured facts) and
+    # measured 2.777 us/pair vs 2.85 at B=65536 — while cutting the input
+    # transfer through the flaky ~24 MB/s tunnel from ~184 MB to ~46 MB.
+    B = int(os.environ.get("BENCH_BATCH", "16384"))
     LEN = int(os.environ.get("BENCH_LEN", "1000"))
     K = int(os.environ.get("BENCH_K", "100"))
     S = int(os.environ.get("BENCH_BLOCK", "32"))
@@ -135,7 +146,7 @@ def child_main():
     prov = (t1 - t0) / B * 1e6
     print(result_line(prov, provisional=True), flush=True)
 
-    reps = int(os.environ.get("BENCH_REPS", "4"))
+    reps = int(os.environ.get("BENCH_REPS", "16"))
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(reps)]
     np.asarray(outs[-1])  # grid programs are sequential: last launch's
@@ -145,12 +156,13 @@ def child_main():
     print(result_line(us_per_pair), flush=True)
 
 
-def parent_main():
-    """Run child under a deadline; guarantee a JSON tail line and rc=0."""
+def _run_child(deadline_abs, state):
+    """Spawn one measurement child and relay its output until the absolute
+    deadline, a final result, or a soft per-child limit (when no result has
+    appeared and a retry could still fit).  Updates state in place."""
+    import selectors
     import subprocess
 
-    deadline = float(os.environ.get("BENCH_WATCHDOG_S", "420"))
-    t_start = time.monotonic()
     env = dict(os.environ)
     env["BENCH_CHILD"] = "1"
     proc = subprocess.Popen(
@@ -158,17 +170,16 @@ def parent_main():
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, env=env,
     )
+    t_child = time.monotonic()
+    soft_limit = state.pop("soft_limit", None)
 
-    best = None          # last provisional/final result line seen
-    final_seen = False
-    phase = "spawn"
-
-    import selectors
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
-    buf = ""
     while True:
-        remaining = deadline - (time.monotonic() - t_start)
+        now = time.monotonic()
+        remaining = deadline_abs - now
+        if soft_limit is not None and state["best"] is None:
+            remaining = min(remaining, soft_limit - (now - t_child))
         if remaining <= 0:
             break
         if not sel.select(timeout=min(remaining, 5.0)):
@@ -179,37 +190,60 @@ def parent_main():
         if chunk == "":
             break  # EOF: child exited (or crashed)
         line = chunk.rstrip("\n")
-        buf = line
+        state["buf"] = line
         if line.startswith("@progress"):
-            phase = line
+            state["phase"] = line
             print(line, flush=True)
         elif line.startswith("{") and '"metric"' in line:
-            best = line
+            state["best"] = line
             if '"provisional"' not in line:
-                final_seen = True
+                state["final"] = True
             # don't echo yet: the final JSON must be the LAST stdout line
         else:
             print(line, flush=True)
-        if final_seen:
+        if state["final"]:
             break
 
-    if proc.poll() is None:
+    state["rc"] = proc.poll()
+    if state["rc"] is None:
         try:
             proc.kill()
         except Exception:
             pass
 
-    if best is not None:
-        print(best, flush=True)
+
+def parent_main():
+    """Run child(ren) under a deadline; guarantee a JSON tail and rc=0.
+
+    The tunnel's first device op can stall for minutes on a bad connection;
+    a fresh process makes a fresh connection (and by then the compile cache
+    is warm), so if the first child produces nothing within a soft limit it
+    is killed and one retry child gets the remaining budget."""
+    deadline = float(os.environ.get("BENCH_WATCHDOG_S", "420"))
+    t_start = time.monotonic()
+    deadline_abs = t_start + deadline
+
+    state = {"best": None, "final": False, "phase": "spawn", "buf": "",
+             "rc": None, "soft_limit": min(280.0, deadline * 0.67)}
+    _run_child(deadline_abs, state)
+    if not state["final"] and state["best"] is None \
+            and deadline_abs - time.monotonic() > 60:
+        print("@progress retry: fresh child (new tunnel connection, "
+              "warm compile cache)", flush=True)
+        _run_child(deadline_abs, state)
+
+    if state["best"] is not None:
+        print(state["best"], flush=True)
         return
 
-    rc = proc.poll()
+    rc = state["rc"]
     err = ("timeout" if rc is None else f"child exited rc={rc}")
     print(json.dumps({
         "metric": METRIC, "value": -1, "unit": "us_per_pair",
         "vs_baseline": 0,
-        "error": f"{err} at phase [{phase}] after "
-                 f"{time.monotonic() - t_start:.0f}s; last line: {buf[:200]}",
+        "error": f"{err} at phase [{state['phase']}] after "
+                 f"{time.monotonic() - t_start:.0f}s; "
+                 f"last line: {state['buf'][:200]}",
     }), flush=True)
 
 

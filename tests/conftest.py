@@ -14,3 +14,76 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Quick tier: `pytest -m quick` runs a <15-min subset covering one config per
+# kernel x mode family (lane/adaptive/big/engine x global/trace/x-drop/
+# profile/flags, plus oracle goldens, routing audit, fixtures, native C++,
+# mesh, and segmented long paths).  The full ~95-min suite stays the
+# round-end gate.  Membership is curated here so the tier definition lives
+# in one place; parametrized tests marked quick run ONE parametrization
+# (the first) to keep the tier flat.
+# ---------------------------------------------------------------------------
+
+QUICK = {
+    # scalar oracle goldens + data fixtures + native C++ parity (all fast)
+    "test_oracle_golden.py": None,  # whole file
+    "test_fixtures.py": None,
+    "test_native_exact.py": None,
+    # lane kernel: one test per mode family
+    "test_lane_kernel.py": {
+        "test_lane_tiny_protein", "test_lane_trace_cigars",
+        "test_lane_x_drop", "test_lane_profile_vs_oracle",
+        "test_lane_row_split_vs_oracle", "test_lane_byte_matrix_modes",
+    },
+    "test_adaptive_kernel.py": {
+        "test_adaptive_vs_oracle_mixed", "test_adaptive_trace_cigars",
+        "test_adaptive_profile_vs_oracle", "test_adaptive_xdrop_vs_oracle",
+    },
+    "test_big_kernel.py": {
+        "test_big_kernel_single_segment_vs_oracle",
+        "test_big_kernel_x_drop_vs_oracle",
+    },
+    "test_big_trace.py": {"test_big_trace_cigars_and_blocks"},
+    "test_engine_vs_oracle.py": {
+        "test_engine_golden_small", "test_engine_adaptive_grow_shrink",
+    },
+    "test_engine_trace.py": {"test_trace_golden"},
+    "test_engine_profile.py": {"test_profile_golden"},
+    "test_engine_modes.py": {"test_local_start"},
+    "test_api.py": {
+        "test_engine_trapdoor_audit", "test_batch_aligner_lane_routing",
+        "test_profile_aligner",
+    },
+    "test_align_exp.py": {"test_align_exp_matches_oracle"},
+    "test_long_aligner.py": {
+        "test_long_segmented_global", "test_long_segmented_trace_cigars",
+    },
+    "test_mesh_lane.py": {"test_lane_kernel_on_mesh"},
+    "test_golden_kernels.py": {"test_golden_doc_example_all_paths"},
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: fast representative subset (one config per "
+        "kernel x mode family); run with -m quick")
+
+
+def pytest_collection_modifyitems(config, items):
+    seen_param_base = set()
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname not in QUICK:
+            continue
+        names = QUICK[fname]
+        base = item.name.split("[")[0]
+        if names is not None and base not in names:
+            continue
+        key = (fname, base)
+        if "[" in item.name and key in seen_param_base:
+            continue  # quick runs only the first parametrization
+        seen_param_base.add(key)
+        item.add_marker(pytest.mark.quick)
