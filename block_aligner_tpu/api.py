@@ -879,7 +879,11 @@ class ProfileAligner:
         mesh=None,
         data_axis: str = "data",
         use_lane_kernel: Optional[bool] = None,
+        prof_len: Optional[int] = None,
     ):
+        # prof_len: max profile length when profiles are shorter than the
+        # longest query (sizes the big kernel's resident packed profile
+        # table, 32 B/position; defaults to seq_cap)
         # same flag-exclusion surface as the reference
         # (src/scan_block.rs:952-954, shared by align_profile)
         assert not (local_start and free_query_start_gaps)
@@ -898,6 +902,7 @@ class ProfileAligner:
             ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         # reference-exact profile-adaptive sizing runs in the adaptive
         # kernel for the global configuration
+        self._big = False
         self._adaptive = (
             min_size < max_size and 16 <= min_size and max_size <= 512
             and use_lane_kernel is not False
@@ -943,6 +948,54 @@ class ProfileAligner:
             self._lane = False
             self.cfg = None
             return
+        # big-kernel PSSM: global profiles past the resident-stack 512 cap
+        # (reference: align_profile runs at any block size -- its own PSSM
+        # accuracy methodology uses a 2048-block self-oracle,
+        # examples/pssm_accuracy.rs:80-82, src/scan_block.rs:597-783)
+        self._big = (
+            512 < max_size <= 8192 and use_lane_kernel is not False
+            and not (trace or x_drop is not None or local_start
+                     or free_query_start_gaps or free_query_end_gaps)
+        )
+        if self._big:
+            import jax
+
+            from .ops.big_kernel import (
+                BigKernelConfig,
+                big_vmem_bytes,
+                build_big_engine,
+            )
+
+            cap = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
+            prof_cap = round_up(
+                (seq_cap if prof_len is None else prof_len) + 10, 128)
+            if big_vmem_bytes(max_size, cap, prof_cap=prof_cap) \
+                    > 15 * 2**20:
+                raise ValueError(
+                    f"profile big kernel at block {max_size} with "
+                    f"sequences to {seq_cap} exceeds the VMEM budget "
+                    "(the resident packed profile table is 32 B/position)"
+                    "; shorten seq_cap, lower max_size, or pass "
+                    "use_lane_kernel=False for the XLA engine"
+                )
+            self._big_cfg = BigKernelConfig(
+                batch=round_up(max(batch, 128), 128 * ndev),
+                min_size=min_size,
+                max_size=max_size,
+                seq_cap=cap,
+                profile=True,
+                prof_cap=prof_cap,
+                interpret=jax.default_backend() != "tpu",
+            )
+            if mesh is not None:
+                from .parallel.mesh import data_parallel_big
+
+                self._fn = data_parallel_big(self._big_cfg, mesh, data_axis)
+            else:
+                self._fn = build_big_engine(self._big_cfg)
+            self._lane = False
+            self.cfg = None
+            return
         explicit_off = use_lane_kernel is False
         if use_lane_kernel is None:
             use_lane_kernel = min_size == max_size and 16 <= min_size <= 512
@@ -985,15 +1038,15 @@ class ProfileAligner:
             return
         cap = round_up(1 + seq_cap + max_size + 16, 128)
         if not explicit_off:
-            # documented exclusion: the reference's PSSM experiments never
-            # exceed block 128 (examples/pssm_accuracy.rs), so profiles
-            # past the kernel paths' 512 cap raise instead of silently
-            # demoting to the ~100x slower engine; pass
-            # use_lane_kernel=False to opt into the engine explicitly
+            # global profiles > 512 route to the big kernel above; only
+            # flagged/traced/x-drop profiles past 512 (outside the
+            # reference's PSSM surface, examples/pssm_accuracy.rs) raise
+            # instead of silently demoting to the ~100x slower engine
             raise ValueError(
-                f"ProfileAligner block sizes {min_size}-{max_size} exceed "
-                "the kernel paths' 512 cap (the reference PSSM surface "
-                "is <= 128); pass use_lane_kernel=False to run on the "
+                f"ProfileAligner block sizes {min_size}-{max_size} with "
+                "trace/x-drop/start-end flags exceed the kernel paths' "
+                "512 cap (global profiles up to 8192 run on the big "
+                "kernel); pass use_lane_kernel=False to run on the "
                 "~100x slower XLA engine anyway"
             )
         self.cfg = EngineConfig(
@@ -1018,6 +1071,8 @@ class ProfileAligner:
 
     @property
     def batch_size(self) -> int:
+        if self._big:
+            return self._big_cfg.batch
         if self._lane or self._adaptive:
             return self._lane_cfg.batch
         return self.cfg.batch
@@ -1030,6 +1085,22 @@ class ProfileAligner:
                 assert len(q) < self.min_size, (
                     "free_query_end_gaps requires min block size > query len"
                 )
+        if self._big:
+            from .ops.big_kernel import pack_big_profile
+
+            cfg = self._big_cfg
+            assert len(pairs) <= cfg.batch
+            args = pack_big_profile(pairs, cfg)
+            out = np.asarray(self._fn(*args))
+            over = out[:, :, -1, :].reshape(cfg.batch)
+            assert not over[: len(pairs)].any(), (
+                "big kernel hit its step cap; raise seq_cap/max_steps"
+            )
+            sc = out[:, :, 0, :].reshape(cfg.batch)
+            return [
+                AlignResult(int(sc[k]), len(q), p.str_len if p else 0)
+                for k, (q, p) in enumerate(pairs)
+            ]
         if self._adaptive:
             from .ops.lane_kernel import pack_lane_profile
 
@@ -1160,10 +1231,19 @@ class ProfileAligner:
 
     def stage(self, pairs):
         """Pack a (query, profile) batch and place it on device; run with
-        ``align_staged`` (lane-kernel AND adaptive-kernel non-trace
-        configurations -- both consume the same pack_lane_profile
-        layout)."""
+        ``align_staged`` (lane-kernel, adaptive-kernel AND big-kernel
+        non-trace configurations)."""
         import jax
+
+        if self._big:
+            from .ops.big_kernel import pack_big_profile
+
+            cfg = self._big_cfg
+            assert len(pairs) <= cfg.batch
+            args = list(pack_big_profile(pairs, cfg))
+            ql = np.asarray(args[0]).reshape(cfg.batch).copy()
+            rl = np.asarray(args[1]).reshape(cfg.batch).copy()
+            return (len(pairs), jax.device_put(tuple(args)), (ql, rl))
 
         from .ops.lane_kernel import pack_lane_profile
 
@@ -1180,10 +1260,10 @@ class ProfileAligner:
 
     def align_staged(self, staged) -> List[AlignResult]:
         n, args, (ql, rl) = staged
-        cfg = self._lane_cfg
+        cfg = self._big_cfg if self._big else self._lane_cfg
         out = np.asarray(self._fn(*args))
         over = out[:, :, -1, :].reshape(cfg.batch)[:n]
-        if self._adaptive:
+        if self._adaptive or self._big:
             assert not over.any(), (
                 "adaptive kernel hit its step cap; raise seq_cap/max_steps"
             )

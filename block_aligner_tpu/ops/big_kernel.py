@@ -102,9 +102,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.oracle import I16_MIN, STEP, ZERO
+from .lane_kernel import PROF_NGP, PROF_NW
 
 __all__ = ["BigKernelConfig", "build_big_engine", "pack_big",
-           "pack_big_full", "build_big_cutter", "big_vmem_bytes"]
+           "pack_big_full", "pack_big_profile", "build_big_cutter",
+           "big_vmem_bytes"]
 
 P = 128
 NEG32 = I16_MIN
@@ -120,7 +122,8 @@ SHRINK_SUFFIX_LEN = STEP // 4  # reference: src/scan_block.rs:786
 
 def big_vmem_bytes(max_size: int, seq_cap: int, seg: int = 256,
                    cc_stream: bool = False, x_drop: bool = False,
-                   trace_words: int = 0, plane_stream: bool = False) -> int:
+                   trace_words: int = 0, plane_stream: bool = False,
+                   prof_cap: int = 0) -> int:
     """VMEM scratch footprint of one big-kernel program (matches the
     scratch_shapes in ``build_big_engine``)."""
     S = max_size
@@ -138,6 +141,11 @@ def big_vmem_bytes(max_size: int, seq_cap: int, seg: int = 256,
     if trace_words:
         # TTS word staging + MSTG descriptor + TBC R-open row carry
         small += (trace_words * seg + 8 + STEP) * P * 4
+    if prof_cap:
+        # resident packed profile table + PG8 entering words + the
+        # streamed lane-window stages (PWB load, CKWB ckpt, PWS shrink)
+        # + next-seg slivers (PWNB/PWNS)
+        small += PROF_NW * (prof_cap + 3 * seg + 3 * STEP) * P * 4
     return codes + planes + stage + small
 
 
@@ -176,6 +184,18 @@ class BigKernelConfig:
     # window bases (min of the position and the live checkpoint)
     segmented: bool = False
     full_cap: int = 0  # segmented: per-side length of the full code array
+    # sequence-to-PSSM scoring (global mode only; reference:
+    # src/scan_block.rs:597-783 place_block_profile_gen / align_profile).
+    # The packed per-position profile table stays VMEM-resident over
+    # ``prof_cap`` positions: every position past a pair's str_len + 1 is
+    # an all-zero pad word (pack asserts it), so entering-position fetches
+    # clamp to rlen + 1 and the table needs rlen_max + 10 positions, not
+    # rlen + max_size + 1.  The down-orientation lane-window stack (8
+    # packed words per row) streams per segment from an HBM output slot
+    # with its own checkpoint planes, riding the same deferred
+    # shrink/advance/save/restore machinery as the CC code plane.
+    profile: bool = False
+    prof_cap: int = 0  # resident profile positions (multiple of 128)
     force_cc_stream: bool = False  # test hook: stream CC at any size
     force_plane_stream: bool = False  # test hook: stream ACT/PAS too
     interpret: bool = False
@@ -207,6 +227,13 @@ class BigKernelConfig:
         # reference const-generic exclusions (src/scan_block.rs asserts)
         assert not (self.local_start and self.free_query_start_gaps)
         assert not (self.x_drop and self.free_query_end_gaps)
+        if self.profile:
+            # global-mode PSSM only: flags/trace/x-drop profiles ride the
+            # adaptive kernel (<= 512) or the engine
+            assert not (self.byte_mode or self.x_drop or self.trace
+                        or self.local_start or self.free_query_start_gaps
+                        or self.free_query_end_gaps or self.segmented)
+            assert self.prof_cap % 128 == 0 and self.prof_cap >= 128
         if self.segmented:
             assert self.full_cap % 128 == 0 and self.full_cap >= self.seq_cap
             assert self.seg_steps >= 32, (
@@ -312,7 +339,7 @@ class BigKernelConfig:
         return big_vmem_bytes(self.max_size, self.seq_cap, self.seg,
                               self.cc_stream, self.wide,
                               self.trace_words if self.trace else 0,
-                              self.plane_stream)
+                              self.plane_stream, self.prof_cap)
 
 
 def _lo16(w):
@@ -357,8 +384,13 @@ def build_big_engine(cfg: BigKernelConfig):
         s *= 2
 
     NS = cfg.n_state_rows  # segmented small-state rows
+    PWN = PROF_NW
+    PLCH = cfg.prof_cap // 128 if cfg.profile else 0
 
     def kernel(qlen_ref, rlen_ref, M_ref, codes_hbm, gap_ref, *rest):
+        if cfg.profile:
+            proft_hbm = rest[0]
+            rest = rest[1:]
         if cfg.segmented:
             (baseq_ref, baser_ref, sb_in, ckb_in, vb_in,
              score_ref, sb_out, ckb_out, vb_out) = rest[:9]
@@ -366,6 +398,9 @@ def build_big_engine(cfg: BigKernelConfig):
         else:
             score_ref, ckh_out = rest[:2]
             rest = rest[2:]
+            if cfg.profile:
+                pwh_out = rest[0]
+                rest = rest[1:]
         if cfg.trace:
             thbm, mhbm = rest[:2]
             rest = rest[2:]
@@ -389,6 +424,9 @@ def build_big_engine(cfg: BigKernelConfig):
         scr = scr[33:]
         (botD, botR, DCAR, TCAR, EC8, GWD, GWR, NR8, SBC, SBR) = scr[:10]
         scr = scr[10:]
+        if cfg.profile:
+            (PROFT, PG8, PWB, CKWB, PWS, PWNB, PWNS) = scr[:7]
+            scr = scr[7:]
         if cfg.wide:
             # per-rect 16-residue max tracker (XVM) with chunk-granular
             # argmax (XAI = rect-local chunk base row, XAJ = absolute DP
@@ -450,6 +488,16 @@ def build_big_engine(cfg: BigKernelConfig):
 
             def ckr_at(r):
                 return ckh_out.at[1, r]
+
+        if cfg.profile:
+            # streamed profile lane-window stack + its checkpoint planes:
+            # a shared HBM output like ckh_out (programs run sequentially
+            # and re-init their slots)
+            def pw_at(r):
+                return pwh_out.at[0, r]
+
+            def ckpw_at(r):
+                return pwh_out.at[1, r]
         open_ = gap_ref[0, 0]
         e = gap_ref[0, 1]
         xdrop_x = gap_ref[0, 2]
@@ -521,6 +569,32 @@ def build_big_engine(cfg: BigKernelConfig):
                     da.wait()
                     dp.wait()
             dma.wait()
+            if cfg.profile:
+                # profile table after the codes DMA (serialized so the
+                # shared semaphore counts never interleave)
+                dma_p = pltpu.make_async_copy(
+                    proft_hbm.at[prog], PROFT, sem)
+                dma_p.start()
+                dma_p.wait()
+                # window init: rows [0, S) hold profile positions [0, S)
+                # (j_ == 0 at start); positions past prof_cap are all-zero
+                # pad words by the pack contract, matching the clamp in
+                # extract_prof.  Checkpoint planes zero like SBC/SBR.
+                zpw = jnp.zeros((PWN, SS, P), jnp.int32)
+                z128 = jnp.zeros((PWN, 128, P), jnp.int32)
+                for r0 in range(R):
+                    parts = []
+                    for c in range(SPC):
+                        gc = r0 * SPC + c
+                        parts.append(PROFT[:, gc] if gc < PLCH else z128)
+                    PWB[...] = jnp.concatenate(parts, axis=1)
+                    dw = pltpu.make_async_copy(PWB, pw_at(r0), semc)
+                    dw.start()
+                    dw.wait()
+                    CKWB[...] = zpw
+                    dk = pltpu.make_async_copy(CKWB, ckpw_at(r0), semr)
+                    dk.start()
+                    dk.wait()
 
             # initial code planes: positions 0..S of each side, straight
             # from the chunked code block (no host-side duplicate
@@ -593,7 +667,27 @@ def build_big_engine(cfg: BigKernelConfig):
         else:
             init_state()
 
-        Mb = None if cfg.byte_mode else M_ref[...].astype(jnp.bfloat16)
+        Mb = None if (cfg.byte_mode or cfg.profile) \
+            else M_ref[...].astype(jnp.bfloat16)
+
+        if cfg.profile:
+            def extract_prof(pos8):
+                """PG8[n, w, b] = packed profile word n at position
+                min(pos8[0, b], rlen + 1) + w.  The clamp is exact: every
+                position past rlen + 1 is the all-zero pad word
+                (pack_big_profile asserts it), and PROFT covers
+                rlen_max + 10 >= clamped pos + 7."""
+                pc = jnp.minimum(pos8, rlen + 1)
+                cu = pc // 128
+                lo = pc % 128
+                acc = jnp.zeros((PWN, 128, P), jnp.int32)
+                for c in range(PLCH):
+                    acc = jnp.where(cu == c, PROFT[:, c], acc)
+                out = jnp.zeros((PWN, STEP, P), jnp.int32)
+                for v in range(128 // STEP):
+                    out = jnp.where(lo == v * STEP,
+                                    acc[:, v * STEP : v * STEP + STEP], out)
+                PG8[...] = out
 
         def extract8(pos8, side):
             """(8, P) codes at pos8[0, b] + w on side (0=q, 1=r)."""
@@ -679,17 +773,30 @@ def build_big_engine(cfg: BigKernelConfig):
                                   j_ + psz + cpos),
                     ),
                 )
-                side = jnp.where(right_or, 1, 0)
-                if cfg.segmented:
-                    # positions are absolute; the code block is a per-pair
-                    # window starting at the side's base
-                    base = jnp.where(right_or, baser_ref[0], baseq_ref[0])
-                    ec0 = extract8(pos8 - base, side)
+                if cfg.profile:
+                    # two per-side fetches (garbage lanes masked by the
+                    # per-lane orientation in the column compute; same
+                    # scheme as the adaptive kernel's profile path)
+                    pos8_prof = jnp.where(dirn == DIR_R, j_ + sz - STEP,
+                                          j_ + psz + cpos)
+                    pos8_q = jnp.where(dirn == DIR_D, i_ + sz - STEP,
+                                       i_ + psz + cpos)
+                    extract_prof(pos8_prof)
+                    ec0 = extract8(pos8_q, jnp.int32(0))
+                    EC8[...] = ec0
                 else:
-                    ec0 = extract8(pos8, side)
-                EC8[...] = ec0
-                if not cfg.byte_mode:
-                    NR8[...] = score_rows(ec0)
+                    side = jnp.where(right_or, 1, 0)
+                    if cfg.segmented:
+                        # positions are absolute; the code block is a
+                        # per-pair window starting at the side's base
+                        base = jnp.where(right_or, baser_ref[0],
+                                         baseq_ref[0])
+                        ec0 = extract8(pos8 - base, side)
+                    else:
+                        ec0 = extract8(pos8, side)
+                    EC8[...] = ec0
+                    if not cfg.byte_mode:
+                        NR8[...] = score_rows(ec0)
                 if cfg.wide:
                     # no in-column freeze in wide modes (the oracle's
                     # early-exit is `not X_DROP and not FREE_QUERY_END`-
@@ -773,7 +880,7 @@ def build_big_engine(cfg: BigKernelConfig):
             sdone = act & shift
             origin = (dirn == DIR_GR) & (psz == 0) & (cpos == 0) & (j_ == 0)
             ec = EC8[...]
-            NR = None if cfg.byte_mode else NR8[...]
+            NR = None if (cfg.byte_mode or cfg.profile) else NR8[...]
             ec_t = jnp.tile(ec, (SS // STEP, 1))
 
             if cfg.local_start or cfg.free_query_start_gaps:
@@ -1063,11 +1170,112 @@ def build_big_engine(cfg: BigKernelConfig):
             else:
                 CC[pl.ds(r, 1)] = ccw_out[None]
 
+            if cfg.profile:
+                # ---- streamed profile lane-window stack (8 packed words
+                # per row): load segment r, fold the pending shrink, blend
+                # the ckpt save/restore, apply the window advance, store
+                # back -- the same deferred machinery as the CC plane ----
+                PG8_v = PG8[...]
+                dlw = pltpu.make_async_copy(pw_at(r), PWB, semc)
+                dlw.start()
+                dlw.wait()
+
+                @pl.when(jnp.any(pshr))
+                def _():
+                    for v in HALF_SIZES:
+                        vm = shv == v
+
+                        @pl.when(jnp.any(vm))
+                        def _(v=v, vm=vm):
+                            sseg, cut = v // SS, v % SS
+                            s1 = jnp.minimum(r + sseg, R - 1)
+                            s2 = jnp.minimum(r + sseg + 1, R - 1)
+                            if cut:
+                                da = pltpu.make_async_copy(
+                                    pwh_out.at[0, s1, :,
+                                               pl.ds(cut, SS - cut)],
+                                    PWS.at[:, pl.ds(0, SS - cut)], semc)
+                                db = pltpu.make_async_copy(
+                                    pwh_out.at[0, s2, :, pl.ds(0, cut)],
+                                    PWS.at[:, pl.ds(SS - cut, cut)], semr)
+                                da.start()
+                                db.start()
+                                da.wait()
+                                db.wait()
+                            else:
+                                da = pltpu.make_async_copy(
+                                    pwh_out.at[0, s1], PWS, semc)
+                                da.start()
+                                da.wait()
+                            PWB[...] = jnp.where(vm, PWS[...], PWB[...])
+                pw0 = PWB[...]
+
+                # ckpt save/restore: the same pb/prst events as kq/kr
+                # (save captures the post-shrink-fold window; a restore in
+                # the same step reads the just-saved value)
+                @pl.when(any_pb | any_prst)
+                def _():
+                    dk = pltpu.make_async_copy(ckpw_at(r), CKWB, semc)
+                    dk.start()
+                    dk.wait()
+                ck_pw = jnp.where(pb, pw0, CKWB[...])
+
+                @pl.when(any_pb)
+                def _():
+                    CKWB[...] = ck_pw
+                    dk = pltpu.make_async_copy(CKWB, ckpw_at(r), semc)
+                    dk.start()
+                    dk.wait()
+                pw_r = jnp.where(prst, ck_pw, pw0)
+
+                # next-seg 8-row slivers with the shrink fold (mirrors
+                # ccn; slivers only matter on shift steps, never on
+                # restore steps)
+                dn8 = pltpu.make_async_copy(
+                    pwh_out.at[0, rn, :, pl.ds(0, STEP)], PWNB, semc)
+                dn8.start()
+                dn8.wait()
+                for v in HALF_SIZES:
+                    vm = shv == v
+                    sseg, cut = v // SS, v % SS
+                    s1 = jnp.minimum(rn + sseg, R - 1)
+
+                    @pl.when(jnp.any(vm))
+                    def _(vm=vm, s1=s1, cut=cut):
+                        d2 = pltpu.make_async_copy(
+                            pwh_out.at[0, s1, :, pl.ds(cut, STEP)],
+                            PWNS, semc)
+                        d2.start()
+                        d2.wait()
+                        PWNB[...] = jnp.where(vm, PWNS[...], PWNB[...])
+
+                pw_sh = jnp.concatenate([pw_r[:, STEP:], PWNB[...]], axis=1)
+                pr_t8 = jnp.tile(PG8_v, (1, SS // STEP, 1))
+                pw1 = jnp.where(
+                    r_shift, jnp.where(winp, pr_t8, pw_sh),
+                    jnp.where(r_app & wina, pr_t8, pw_r))
+                PWB[...] = pw1
+                dsw = pltpu.make_async_copy(PWB, pw_at(r), semc)
+                dsw.start()
+                dsw.wait()
+
             # -- 8 DP columns on this segment --
-            lc = jnp.where(right_or, cq1, cr1)
-            if not cfg.byte_mode:
-                grp = lc >> 2
-                sub = (lc & 3) << 3
+            if cfg.profile:
+                # asymmetric profile fetch hoists: right rects select the
+                # entering position's packed word by each lane's query
+                # code; down rects select bytes from the lane-window stack
+                # by the entering query char (adaptive kernel scheme)
+                selq = cq1 >> 2
+                subq = (cq1 & 3) << 3
+                grw = pw1[PROF_NGP]
+                goc_r_l = (grw & 255) - 128
+                gor_r_l = ((grw >> 8) & 255) - 128
+                gcc_r_l = ((grw >> 16) & 255) - 128
+            else:
+                lc = jnp.where(right_or, cq1, cr1)
+                if not cfg.byte_mode:
+                    grp = lc >> 2
+                    sub = (lc & 3) << 3
             Dc = D0
             Cc = C0
             Dacc = negSS
@@ -1076,7 +1284,21 @@ def build_big_engine(cfg: BigKernelConfig):
             tr_acc = [None] * TW
             for w in range(STEP):
                 dcar_out.append(Dc[SS - 1 : SS])
-                if cfg.byte_mode:
+                if cfg.profile:
+                    cw = ec[w : w + 1]
+                    selc = jnp.where(right_or, selq, cw >> 2)
+                    acc = jnp.zeros((SS, P), jnp.int32)
+                    for g in range(PROF_NGP):
+                        opg = jnp.where(right_or, PG8_v[g, w : w + 1],
+                                        pw1[g])
+                        acc = jnp.where(selc == g, opg, acc)
+                    sub_w = jnp.where(right_or, subq, (cw & 3) << 3)
+                    scores = ((acc >> sub_w) & 255) - 128
+                    gw_c = PG8_v[PROF_NGP, w : w + 1]
+                    goc_c = (gw_c & 255) - 128
+                    gor_c = ((gw_c >> 8) & 255) - 128
+                    gcc_c = ((gw_c >> 16) & 255) - 128
+                elif cfg.byte_mode:
                     scores = jnp.where(
                         lc == ec[w : w + 1], gap_ref[0, 4], gap_ref[0, 5]
                     )
@@ -1108,10 +1330,24 @@ def build_big_engine(cfg: BigKernelConfig):
                     D11 = jnp.concatenate([row0f, D11[1:]], axis=0)
                 if cfg.local_start:
                     D11 = jnp.maximum(D11, rz)
-                C11_open = jnp.maximum(Dc + open_, NEG32)
-                C11 = jnp.maximum(jnp.maximum(Cc + e, NEG32), C11_open)
-                D11 = jnp.maximum(D11, C11)
-                D11_open = D11 + (open_ - e)
+                if cfg.profile:
+                    # position-specific gap costs; down rects swap the
+                    # C <-> R roles; close applies on the D-merge only
+                    # (the persisted C/R planes stay pre-close, like the
+                    # adaptive kernel / engine; oracle.py:642-660)
+                    goc = jnp.where(right_or, goc_c, gor_r_l) + e
+                    C11_open = jnp.maximum(Dc + goc, NEG32)
+                    C11 = jnp.maximum(jnp.maximum(Cc + e, NEG32), C11_open)
+                    c_end = jnp.where(
+                        right_or, jnp.maximum(C11 + gcc_c, NEG32), C11)
+                    D11 = jnp.maximum(D11, c_end)
+                    gor_v = jnp.where(right_or, gor_c, goc_r_l)
+                    D11_open = jnp.maximum(D11 + gor_v, NEG32)
+                else:
+                    C11_open = jnp.maximum(Dc + open_, NEG32)
+                    C11 = jnp.maximum(jnp.maximum(Cc + e, NEG32), C11_open)
+                    D11 = jnp.maximum(D11, C11)
+                    D11_open = D11 + (open_ - e)
                 t = D11_open
                 k = 1
                 while k < SS:
@@ -1120,7 +1356,13 @@ def build_big_engine(cfg: BigKernelConfig):
                 t = jnp.maximum(t, tcar[w : w + 1] + evec)
                 tcar_out.append(t[SS - 1 : SS])
                 R11 = jnp.maximum(t, zc)
-                D11 = jnp.maximum(D11, R11)
+                if cfg.profile:
+                    # gap close when leaving R (down rects only)
+                    r_end = jnp.where(
+                        right_or, R11, jnp.maximum(R11 + gcc_r_l, NEG32))
+                    D11 = jnp.maximum(D11, r_end)
+                else:
+                    D11 = jnp.maximum(D11, R11)
 
                 if cfg.trace:
                     # packed 2+2-bit emission, identical bit semantics to
@@ -1609,6 +1851,8 @@ def build_big_engine(cfg: BigKernelConfig):
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
+        if cfg.profile:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # proft
         OW = (3 if cfg.wide else 1) + (2 if cfg.trace else 0) + 1
         score_spec = pl.BlockSpec(
             (1, 1, OW, P), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
@@ -1645,6 +1889,11 @@ def build_big_engine(cfg: BigKernelConfig):
                 score_shape,
                 jax.ShapeDtypeStruct((2, R, SS, P), jnp.int32),
             ]
+            if cfg.profile:
+                # profile lane-window stack slots + their ckpt planes
+                out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+                out_shape.append(jax.ShapeDtypeStruct(
+                    (2, R, PWN, SS, P), jnp.int32))
         if cfg.trace:
             out_specs += [
                 pl.BlockSpec(memory_space=pltpu.HBM),  # trace word slots
@@ -1668,6 +1917,16 @@ def build_big_engine(cfg: BigKernelConfig):
             + [pltpu.VMEM((SS, P), jnp.int32)
                for _ in range(2)]  # SBC / SBR ckpt stage
         )
+        if cfg.profile:
+            scratch += [
+                pltpu.VMEM((PWN, PLCH, 128, P), jnp.int32),  # PROFT
+                pltpu.VMEM((PWN, STEP, P), jnp.int32),       # PG8
+                pltpu.VMEM((PWN, SS, P), jnp.int32),         # PWB load
+                pltpu.VMEM((PWN, SS, P), jnp.int32),         # CKWB ckpt
+                pltpu.VMEM((PWN, SS, P), jnp.int32),         # PWS shrink
+                pltpu.VMEM((PWN, STEP, P), jnp.int32),       # PWNB sliver
+                pltpu.VMEM((PWN, STEP, P), jnp.int32),       # PWNS stage
+            ]
         if cfg.wide:
             scratch += (
                 [pltpu.VMEM((16, P), jnp.int32)
@@ -1821,6 +2080,60 @@ def build_big_cutter(cfg: BigKernelConfig):
         return win.reshape(n_progs, P, 2 * NCH, 128).transpose(0, 2, 3, 1)
 
     return jax.jit(cut)
+
+
+def pack_big_profile(pairs, cfg: BigKernelConfig):
+    """Host-side packing for big-kernel sequence-to-PSSM batches.
+
+    ``pairs`` is a list of ``(query_bytes, AAProfile)`` (the profile plays
+    the reference role; reference: src/scan_block.rs:942-995).  Reuses the
+    lane kernel's packed-word builder (7 biased score words + 1 packed gap
+    word per position) and lays out:
+
+    * query codes in the standard 2-sided code block (reference side NULL);
+    * the packed profile table over ``prof_cap`` positions, verifying the
+      clamp contract the kernel relies on: every word at positions
+      ``rlen + 2 .. prof_cap`` is the all-zero pad (scores decode to -128,
+      gaps to -128), so ``extract_prof``'s ``min(pos, rlen + 1)`` clamp is
+      bit-exact.
+    """
+    import numpy as np
+
+    from .lane_kernel import _pack_profile_host
+
+    assert cfg.profile
+    B, A = cfg.batch, cfg.alpha
+    n_progs, NCH, PL = cfg.n_programs, cfg.n_chunks, cfg.prof_cap
+    qlen, rlen, qcodes, words, ge = _pack_profile_host(
+        pairs, cfg, cfg.seq_cap)
+    assert int(rlen.max()) + 10 <= PL, (
+        f"prof_cap {PL} must cover the longest profile + 10 "
+        f"(rlen max {int(rlen.max())})")
+    # clamp contract: all-zero pad words past each pair's rlen + 1
+    pos = np.arange(PL)
+    pad_mask = pos[None, :] >= (rlen + 2)[:, None]
+    assert not (words[:, :, :PL] * pad_mask[:, None, :]).any(), (
+        "profile pad positions must be all-zero packed words")
+
+    codes = np.full((B, 2 * cfg.seq_cap), 26, dtype=np.int8)  # NULL
+    codes[:, : cfg.seq_cap] = qcodes
+    codes_t = np.ascontiguousarray(
+        codes.reshape(n_progs, P, 2 * NCH, 128).transpose(0, 2, 3, 1))
+    proft = np.ascontiguousarray(
+        words[:, :, :PL]
+        .reshape(n_progs, P, PROF_NW, PL // 128, 128)
+        .transpose(0, 2, 3, 4, 1))
+    M = np.zeros((A, A), dtype=np.int32)
+    g = np.zeros((1, 6), dtype=np.int32)
+    g[0, 1] = ge if ge is not None else -1
+    return (
+        np.ascontiguousarray(qlen.reshape(n_progs, 1, P)),
+        np.ascontiguousarray(rlen.reshape(n_progs, 1, P)),
+        M,
+        codes_t,
+        g,
+        proft,
+    )
 
 
 def pack_big(pairs, matrix, cfg: BigKernelConfig, gaps=None, x_drop=0):

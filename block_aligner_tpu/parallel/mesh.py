@@ -142,6 +142,8 @@ def data_parallel_big(cfg, mesh: Mesh, axis: str = "data"):
         return P(axis, *([None] * (n - 1)))
 
     specs_in = [lead(3), lead(3), P(), lead(4), P()]
+    if cfg.profile:
+        specs_in.append(lead(5))  # packed profile table
     if cfg.segmented:
         # baseq, baser, sb_in, ckb_in, vb_in
         specs_in += [lead(3), lead(3), lead(5), lead(5), lead(4)]

@@ -341,16 +341,20 @@ def test_engine_trapdoor_audit():
 
 
 def test_profile_aligner_big_blocks_raise():
-    """Blocks past the kernel paths' 512 cap raise a clear error (the
-    reference PSSM surface is <= 128); use_lane_kernel=False opts into
-    the engine explicitly."""
+    """GLOBAL profiles past 512 route to the big kernel (round 5);
+    trace/x-drop/flagged profiles past 512 still raise a clear error,
+    and use_lane_kernel=False opts into the engine explicitly."""
     import pytest
 
+    pa = ProfileAligner((32, 1024), batch=64, seq_cap=256)
+    assert pa._big and not pa._lane and not pa._adaptive
     with pytest.raises(ValueError, match="512 cap"):
-        ProfileAligner((32, 1024), batch=64, seq_cap=256)
+        ProfileAligner((32, 1024), batch=64, seq_cap=256, trace=True)
+    with pytest.raises(ValueError, match="512 cap"):
+        ProfileAligner((32, 1024), batch=64, seq_cap=256, x_drop=50)
     pa = ProfileAligner((32, 1024), batch=8, seq_cap=256,
                         use_lane_kernel=False)
-    assert not pa._lane and not pa._adaptive
+    assert not pa._lane and not pa._adaptive and not pa._big
 
 
 def test_profile_aligner_adaptive_staged():
