@@ -126,7 +126,11 @@ def child_main():
     progress("genpairs")
 
     cap = max(256, -(-(1 + LEN + LEN // 4 + S + 16) // 128) * 128)
-    cfg = LaneKernelConfig(batch=B, block=S, seq_cap=cap, alpha=32, banks=BANKS)
+    # unroll=2: two 8-column sub-steps per while iteration, bit-identical
+    # (tpu_validate stage I A/B: 2.627 vs 2.651 us/pair at B=65536)
+    UN = int(os.environ.get("BENCH_UNROLL", "2"))
+    cfg = LaneKernelConfig(batch=B, block=S, seq_cap=cap, alpha=32,
+                           banks=BANKS, unroll=UN)
     fn = build_lane_engine(cfg)
     args = pack_lane(pairs, BLOSUM62, cfg, Gaps(open=-11, extend=-1))
     progress("pack")

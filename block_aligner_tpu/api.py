@@ -68,7 +68,9 @@ def pick_route(min_size: int, max_size: int, seq_cap: int, *,
 
     Returns ``(path, reasons)`` where path is one of "adaptive", "big",
     "lane", "long" (delegate to LongAdaptiveAligner: bands past 8192 or
-    sequences past the resident code budget, non-wide), or "engine";
+    adaptive bands whose sequences exceed the resident code budget, incl.
+    x-drop), "long_lane" (delegate to LongBatchAligner: fixed <=512
+    blocks past the code budget), or "engine";
     ``reasons`` is non-empty exactly when path == "engine" and names why
     no Pallas kernel serves the configuration (the documented trapdoor
     list -- tests/test_api.py pins it, so a routing change that silently
@@ -85,27 +87,39 @@ def pick_route(min_size: int, max_size: int, seq_cap: int, *,
         return "big", []
     if min_size == max_size and min_size <= 512 and capv <= 16384:
         return "lane", []
-    # bands past 8192 (percent_len clamps at 16384) or big bands whose
-    # sequences exceed the resident code budget: the segmented
-    # LongAdaptiveAligner serves every non-wide mode there
-    if (512 < max_size <= 16384 and x_drop is None
-            and not free_query_end_gaps):
+    # bands past 8192 (percent_len clamps at 16384) or adaptive bands
+    # whose sequences exceed the resident code budget: the segmented
+    # LongAdaptiveAligner serves every mode there except
+    # free_query_end_gaps (which requires min block > query length --
+    # never over-budget) and byte x-drop (reference exclusion); x-drop
+    # state persists across launches since round 5
+    if (not free_query_end_gaps and 128 <= max_size <= 16384
+            and (min_size < max_size or max_size > 512)):
         return "long", []
+    # fixed <=512 blocks past the code budget: the segmented fixed-block
+    # lane driver (global/x-drop/trace/flags, no byte matrices)
+    if (not free_query_end_gaps and not is_byte
+            and min_size == max_size and min_size <= 512):
+        return "long_lane", []
     reasons = []
-    if max_size > 8192:
+    if max_size > 16384:
         reasons.append(
-            "max block size > 8192 unsegmented -- use LongAdaptiveAligner "
-            "(up to 16384, percent_len's clamp)"
+            "max block size > 16384 (past percent_len's clamp)"
         )
-    elif capv > 16384 and max_size > 512:
+    elif free_query_end_gaps:
         reasons.append(
-            "big blocks with sequences past the resident code budget "
-            "-- use LongAdaptiveAligner"
+            "free_query_end_gaps past the resident budget (requires min "
+            "block > query length, so never legitimately over-budget)"
         )
-    elif capv > 16384:
+    elif is_byte:
         reasons.append(
-            "blocks with sequences past the resident code budget "
-            "-- use LongBatchAligner"
+            "segmented ByteMatrix -- the lane driver's equality scoring "
+            "does not stream byte codes"
+        )
+    elif max_size < 128:
+        reasons.append(
+            "adaptive bands under 128 past the code budget (big kernel "
+            "floor is 128)"
         )
     return "engine", reasons or ["unrouted configuration"]
 
@@ -214,10 +228,32 @@ class BatchAligner:
             # big-kernel launches) instead of the ~100x slower engine
             self._inner = LongAdaptiveAligner(
                 matrix, gaps, (min_size, max_size), batch=batch,
-                seq_cap=seq_cap, trace=trace, local_start=local_start,
+                seq_cap=seq_cap, trace=trace, x_drop=x_drop,
+                local_start=local_start,
                 free_query_start_gaps=free_query_start_gaps,
                 mesh=mesh, data_axis=data_axis,
             )
+            self._lane = self._adaptive = self._big = False
+            self._lane_cfg = self._inner.cfg
+            self.cfg = None
+            return
+        if route == "long_lane":
+            # fixed <=512 blocks whose sequences exceed the resident code
+            # budget: delegate to the segmented fixed-block lane driver
+            # (mirrors the round-4 "long" delegation; VERDICT r4 #5)
+            if mesh is not None:
+                import warnings
+
+                warnings.warn(
+                    "LongBatchAligner delegation has no mesh path; "
+                    "running single-device", stacklevel=2)
+            self._inner = LongBatchAligner(
+                matrix, gaps, block=min_size, batch=batch,
+                x_drop=x_drop, trace=trace, local_start=local_start,
+                free_query_start_gaps=free_query_start_gaps,
+                free_query_end_gaps=free_query_end_gaps,
+            )
+            self._long = True  # duck-typed: same delegate surface
             self._lane = self._adaptive = self._big = False
             self._lane_cfg = self._inner.cfg
             self.cfg = None
@@ -421,8 +457,12 @@ class BatchAligner:
     @property
     def seq_capacity(self) -> int:
         if self._long:
+            full = getattr(self._lane_cfg, "full_cap", 0)
+            if not full:
+                # LongBatchAligner sizes its full arrays per batch
+                return 1 << 20
             # segmented driver: the full code arrays live in HBM
-            return self._lane_cfg.full_cap - self._lane_cfg.seq_cap \
+            return full - self._lane_cfg.seq_cap \
                 - self._lane_cfg.max_size - 17
         kern = self._lane or self._adaptive or self._big
         cap = self._lane_cfg.seq_cap if kern else self.cfg.seq_cap
@@ -1699,9 +1739,14 @@ class LongAdaptiveAligner:
     so window bases flow device-to-device with no host sync.  Results are
     bit-exact with the unsegmented kernel / the scalar oracle.
 
-    Global scores (plus the local-start / free-leading-query-gap flags);
-    no x-drop — wide modes ride the <=512 segmented lane path.
-    AA/Nuc tables and ByteMatrix.
+    Global scores, the local-start / free-leading-query-gap flags, AND
+    x-drop (round 5: the 54 wide-tracker rows persist in the per-pair
+    scalar block, so best-position/termination state flows across
+    launches; reference runs x-drop on 25 kbp reads,
+    examples/nanopore_bench.rs).  free_query_end_gaps stays on the
+    engine (it requires min block > query length, which contradicts
+    segmentation).  AA/Nuc tables and ByteMatrix (no byte x-drop, like
+    the reference).
 
     ``trace=True`` additionally streams each launch's segment-compacted
     packed trace words + step descriptors to HBM; the host fetches them
@@ -1724,6 +1769,7 @@ class LongAdaptiveAligner:
         seq_cap: int = 65536,
         trace: bool = False,
         trace_slots: int = 0,
+        x_drop: Optional[int] = None,
         local_start: bool = False,
         free_query_start_gaps: bool = False,
         mesh=None,
@@ -1737,10 +1783,13 @@ class LongAdaptiveAligner:
             build_big_engine,
         )
 
+        self.x_drop = x_drop
         min_size, max_size = size
         # 16384 = percent_len's clamp (reference: src/lib.rs:109-111);
-        # > 8192 streams the ACT/PAS planes from HBM (plane_stream)
-        assert 512 < max_size <= 16384 and min_size <= max_size
+        # > 8192 streams the ACT/PAS planes from HBM (plane_stream); the
+        # 128 floor is the big kernel's row-segmentation minimum (<=512
+        # adaptive over-budget bands route here since round 5)
+        assert 128 <= max_size <= 16384 and min_size <= max_size
         is_byte = getattr(matrix, "kind", "") == "byte"
         a_ = 4 if is_byte else (32 if matrix.kind != "nuc" else 16)
         if window is None:
@@ -1764,6 +1813,7 @@ class LongAdaptiveAligner:
             byte_mode=is_byte,
             trace=trace,
             trace_slots=trace_slots,
+            x_drop=x_drop is not None,
             local_start=local_start,
             free_query_start_gaps=free_query_start_gaps,
             segmented=True,
@@ -1791,7 +1841,7 @@ class LongAdaptiveAligner:
         cfg = self.cfg
         assert len(pairs) <= cfg.batch
         qlen, rlen, Mp, codes_full, g = pack_big_full(
-            pairs, self.matrix, cfg, self.gaps)
+            pairs, self.matrix, cfg, self.gaps, x_drop=self.x_drop or 0)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1830,13 +1880,15 @@ class LongAdaptiveAligner:
         chunks = []
         pending = None  # previous launch's (score, thbm, mhbm, vb)
 
+        steps_row = 3 if cfg.wide else 1
+
         def fetch_chunk(score, thbm, mhbm, vbp):
             """Pull one launch's executed trace slice to the host; returns
             the launch's all-done flag.  Called AFTER the next launch is
             queued, so the device computes while the host copies."""
             sc = np.asarray(score)
-            steps = sc[:, 0, 1, 0].astype(np.int64)
-            tpos = sc[:, 0, 2, 0].astype(np.int64)
+            steps = sc[:, 0, steps_row, 0].astype(np.int64)
+            tpos = sc[:, 0, steps_row + 1, 0].astype(np.int64)
             chunks.append((
                 np.asarray(thbm[:, : max(int(tpos.max()), 1)]),
                 np.asarray(mhbm[:, : max(int(steps.max()), 1)]),
@@ -1881,10 +1933,19 @@ class LongAdaptiveAligner:
             )
         vb_np = np.asarray(vb)
         # vb rows mirror the kernel's small-state order: 6 = ST_DONE,
-        # 9 = OUT (ops/big_kernel.py SMALLS)
+        # 9 = OUT, 16 = BEST; wide adds XBI/XBJ at 99/100
+        # (ops/big_kernel.py SMALLS + n_state_rows)
         assert int(vb_np[:, 6].min()) == 1, (
             "segmented adaptive run exceeded its launch budget"
         )
+        if cfg.wide:
+            sc = vb_np[:, 16].reshape(cfg.batch)
+            bi = vb_np[:, 97].reshape(cfg.batch)
+            bj = vb_np[:, 98].reshape(cfg.batch)
+            return [
+                AlignResult(int(sc[b]), int(bi[b]), int(bj[b]))
+                for b in range(len(pairs))
+            ]
         out = vb_np[:, 9].reshape(cfg.batch)
         return [
             AlignResult(int(out[b]), len(q), len(r))

@@ -217,9 +217,12 @@ class BigKernelConfig:
             assert self.alpha == 4
         # reference surface: x-drop is not implemented for ByteMatrix
         assert not (self.x_drop and self.byte_mode)
-        # segmented wide-mode long reads ride the <=512 lane path (api.py):
-        # the tracker state would add 54 persisted rows per pair
-        assert not (self.wide and self.segmented)
+        # segmented x-drop persists the 54 wide-tracker rows in the
+        # per-pair scalar block (round 5; reference runs x-drop on 25 kbp
+        # reads, examples/nanopore_bench.rs).  free_query_end_gaps
+        # requires min block > query length, which contradicts
+        # segmentation's whole premise -- engine fallback there
+        assert not (self.free_query_end_gaps and self.segmented)
         if self.trace:
             assert self.eff_trace_slots >= 4 * self.n_segs, (
                 "trace_slots must cover at least a few full-size steps"
@@ -287,8 +290,11 @@ class BigKernelConfig:
     @property
     def n_state_rows(self) -> int:
         # 33 small refs (incl. the trace ckpt-event pends) + GWD/GWR
-        # (8 rows each) + next baseq/baser
-        return 51
+        # (8 rows each, 33..48); wide (x-drop) inserts the rect tracker
+        # (XVM/XAI/XAJ, 16 rows each at 49/65/81) + XBI/XBJ/XITER/GDMAX/
+        # GDBI/GDBJ at 97..102; the next baseq/baser ride the LAST two
+        # rows in both layouts (the host loop reads n_state_rows-2/-1)
+        return 51 + (54 if self.wide else 0)
 
     @property
     def trace_words(self) -> int:
@@ -663,6 +669,16 @@ def build_big_engine(cfg: BigKernelConfig):
                     ref[...] = VBUF[k]
                 GWD[...] = VBUF[pl.ds(33, STEP)][:, 0, :]
                 GWR[...] = VBUF[pl.ds(33 + STEP, STEP)][:, 0, :]
+                if cfg.wide:
+                    XVM[...] = VBUF[pl.ds(49, 16)][:, 0, :]
+                    XAI[...] = VBUF[pl.ds(65, 16)][:, 0, :]
+                    XAJ[...] = VBUF[pl.ds(81, 16)][:, 0, :]
+                    XBI[...] = VBUF[97]
+                    XBJ[...] = VBUF[98]
+                    XITER[...] = VBUF[99]
+                    GDMAX[...] = VBUF[100]
+                    GDBI[...] = VBUF[101]
+                    GDBJ[...] = VBUF[102]
                 dma.wait()
         else:
             init_state()
@@ -1822,8 +1838,18 @@ def build_big_engine(cfg: BigKernelConfig):
                 VBUF[k] = ref[...]
             VBUF[pl.ds(33, STEP)] = GWD[...][:, None, :]
             VBUF[pl.ds(33 + STEP, STEP)] = GWR[...][:, None, :]
-            VBUF[49] = bq
-            VBUF[50] = br
+            if cfg.wide:
+                VBUF[pl.ds(49, 16)] = XVM[...][:, None, :]
+                VBUF[pl.ds(65, 16)] = XAI[...][:, None, :]
+                VBUF[pl.ds(81, 16)] = XAJ[...][:, None, :]
+                VBUF[97] = XBI[...]
+                VBUF[98] = XBJ[...]
+                VBUF[99] = XITER[...]
+                VBUF[100] = GDMAX[...]
+                VBUF[101] = GDBI[...]
+                VBUF[102] = GDBJ[...]
+            VBUF[NS - 2] = bq
+            VBUF[NS - 1] = br
             if not cfg.plane_stream:
                 d0 = pltpu.make_async_copy(ACT, sb_out.at[prog, 0], semc)
                 d1 = pltpu.make_async_copy(PAS, sb_out.at[prog, 1], semr)
@@ -1981,7 +2007,8 @@ def build_big_engine(cfg: BigKernelConfig):
     return jax.jit(engine)
 
 
-def pack_big_full(pairs, matrix, cfg: BigKernelConfig, gaps=None):
+def pack_big_full(pairs, matrix, cfg: BigKernelConfig, gaps=None,
+                  x_drop=0):
     """Segmented-mode packing: per-pair FULL padded code arrays (windows
     are cut per launch by ``build_big_cutter``), the byte-plane-ordered
     score table, and the gap row.  Same position conventions as
@@ -2045,6 +2072,7 @@ def pack_big_full(pairs, matrix, cfg: BigKernelConfig, gaps=None):
     if gaps is not None:
         g[0, 0] = gaps.open
         g[0, 1] = gaps.extend
+    g[0, 2] = x_drop
     if cfg.byte_mode:
         g[0, 4] = matrix.match_score
         g[0, 5] = matrix.mismatch_score

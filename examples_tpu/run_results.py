@@ -193,15 +193,18 @@ def bench_accuracy_hard():
     max_len = max(max(len(q), len(r)) for q, r in pairs)
     want = [global_align_score(q, r, BLOSUM62, BL_GAPS) for q, r in pairs]
 
-    al = BatchAligner(BLOSUM62, BL_GAPS, (32, 32), batch=4096,
+    # device rate via staged queued reps, like every other uc30 row (the
+    # round-4 number timed align_all END-TO-END through the ~24 MB/s
+    # tunnel -- 150.4 us/pair of mostly transfer, not device time)
+    al = BatchAligner(BLOSUM62, BL_GAPS, (32, 32), batch=8192,
                       seq_cap=max_len + 32)
-    al.align_batch(pairs[:8])  # compile
-    t0 = time.perf_counter()
-    res = al.align_all(pairs)
-    dt = time.perf_counter() - t0
+    st1 = al.stage(pairs)
+    res = al.align_staged(st1)
     wrong = sum(1 for w, g in zip(want, res) if g.score != w)
+    dt = device_reps(al._lane_fn, st1[1], reps=4)
     row("uc30-hard 7000p fixed 32-32", len(pairs), dt, None, wrong,
-        "ref uc30 @32-32: 1271 wrong")
+        "staged device rate (r5; the r4 150.4 was end-to-end tunnel "
+        "transfer); ref uc30 @32-32: 1271 wrong")
 
     ad2 = BatchAligner(BLOSUM62, BL_GAPS, (32, 256), batch=8192,
                        seq_cap=max_len + 32)

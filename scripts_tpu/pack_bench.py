@@ -57,29 +57,36 @@ def main():
 
     nat = load()
 
-    def bench(label):
+    def bench(label, bench_pairs, bench_cfg):
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            pack_lane(pairs, BLOSUM62, cfg, gaps)
+            pack_lane(bench_pairs, BLOSUM62, bench_cfg, gaps)
             best = min(best, time.perf_counter() - t0)
-        us = best * 1e6 / args.batch
-        print(f"{label}: {best * 1e3:.1f} ms / {args.batch} pairs "
-              f"= {us:.2f} us/pair")
+        us = best * 1e6 / bench_cfg.batch
+        print(f"{label}: {best * 1e3:.1f} ms / {bench_cfg.batch} pairs "
+              f"= {us:.2f} us/pair", flush=True)
         return us
 
     if nat is not None and hasattr(nat, "ba_pack_lane"):
-        us_nat = bench("pack_lane native C++")
-        # numpy fallback for comparison: hide the native symbol
-        real = nat.ba_pack_lane
+        us_nat = bench("pack_lane native C++", pairs, cfg)
+        # numpy fallback for comparison, on a smaller batch: the fancy-
+        # index stack build peaks ~50 KB/pair of int64 temporaries, which
+        # OOM-kills the 16k-pair batch on the small bench host
+        nb = min(args.batch, 2048)
+        import dataclasses
+        ncfg = dataclasses.replace(cfg, batch=nb)
+        # hide the native lib: pack_lane re-resolves load() per call
+        import block_aligner_tpu.native as bnat
+        orig_load = bnat.load
+        bnat.load = lambda: None
         try:
-            del nat.ba_pack_lane
-            us_np = bench("pack_lane numpy fallback")
+            us_np = bench("pack_lane numpy fallback", pairs[:nb], ncfg)
         finally:
-            nat.ba_pack_lane = real
+            bnat.load = orig_load
         print(f"native speedup: {us_np / us_nat:.2f}x")
     else:
-        bench("pack_lane numpy (no native lib)")
+        bench("pack_lane numpy (no native lib)", pairs, cfg)
 
 
 if __name__ == "__main__":

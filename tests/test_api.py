@@ -292,12 +292,10 @@ def test_engine_trapdoor_audit():
     from block_aligner_tpu.api import pick_route
 
     documented = {
-        "max block size > 8192 unsegmented -- use LongAdaptiveAligner "
-        "(up to 16384, percent_len's clamp)",
-        "big blocks with sequences past the resident code budget "
-        "-- use LongAdaptiveAligner",
-        "blocks with sequences past the resident code budget "
-        "-- use LongBatchAligner",
+        "free_query_end_gaps past the resident budget (requires min "
+        "block > query length, so never legitimately over-budget)",
+        "adaptive bands under 128 past the code budget (big kernel "
+        "floor is 128)",
     }
     seen = set()
     engine_configs = []
@@ -322,22 +320,28 @@ def test_engine_trapdoor_audit():
                     assert not why
     assert seen == documented, ("stale documented reasons",
                                 documented - seen)
-    # the trapdoor set is small and only holds the documented extremes:
-    # >8192 unsegmented blocks and over-budget sequence lengths
+    # round 5: every config expressible by percent_len (<= 16384) routes
+    # to a kernel path except over-budget free_query_end_gaps (which the
+    # fqe min-block > query-length precondition makes unreachable)
     for (min_s, max_s, seq_cap, trace, xd, fqe) in engine_configs:
-        assert (
-            max_s > 8192 or seq_cap + max_s + 17 > 16384
-        ), (min_s, max_s, seq_cap, trace, xd, fqe)
+        assert (fqe or (min_s < max_s < 128)) \
+            and seq_cap + max_s + 17 > 16384, (
+                min_s, max_s, seq_cap, trace, xd, fqe)
     # spot-check: the round-3 trapdoors that round 4 closed now route
     assert pick_route(512, 8192, 8000, trace=True)[0] == "big"
     assert pick_route(128, 1024, 2048, trace=True)[0] == "big"
     assert pick_route(128, 1024, 2048, trace=True, x_drop=50)[0] == "big"
     # >8192 bands and over-budget big bands delegate to the segmented
-    # long-read driver (non-wide)
+    # long-read driver; round 5 adds x-drop (VERDICT r4 #4) and <=512
+    # over-budget delegation (VERDICT r4 #5)
     assert pick_route(512, 16384, 60000)[0] == "long"
     assert pick_route(512, 16384, 60000, trace=True)[0] == "long"
     assert pick_route(512, 8192, 40000)[0] == "long"
-    assert pick_route(512, 16384, 60000, x_drop=50)[0] == "engine"
+    assert pick_route(512, 16384, 60000, x_drop=50)[0] == "long"
+    assert pick_route(32, 512, 40000)[0] == "long"
+    assert pick_route(512, 512, 40000)[0] == "long_lane"
+    assert pick_route(128, 128, 40000, x_drop=50)[0] == "long_lane"
+    assert pick_route(128, 128, 40000, is_byte=True)[0] == "engine"
 
 
 def test_profile_aligner_big_blocks_raise():

@@ -327,3 +327,82 @@ def test_long_segmented_block_512():
         assert got[k].score == w.score, (k, got[k], w)
         assert str(al.cigar(k, w.query_idx, w.reference_idx)) == \
             str(orc.cigar(w.query_idx, w.reference_idx)), k
+
+
+def test_long_adaptive_x_drop():
+    """Segmented big-kernel x-drop (round 5, VERDICT r4 #4): the 54
+    wide-tracker rows persist across launches, so scores, best positions
+    and the X_DROP_ITER termination match the oracle over multi-launch
+    runs (incl. grow/restore across a launch boundary)."""
+    from block_aligner_tpu import LongAdaptiveAligner
+
+    rng = np.random.default_rng(73)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(4):
+        n = int(rng.integers(1500, 2500))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 10, AA)))
+    # inserted block: grow + checkpoint restore, likely across a launch
+    n = 1800
+    q = rand_seq(rng, AA, n)
+    r = q[: n // 2] + rand_seq(rng, AA, 300) + q[n // 2 :]
+    pairs.append((q, r))
+    # divergent tail: x-drop terminates mid-sequence (DONE persistence)
+    q = rand_seq(rng, AA, 2000)
+    r = q[:700] + rand_seq(rng, AA, 1300)
+    pairs.append((q, r))
+
+    al = LongAdaptiveAligner(BLOSUM62, gaps, (128, 512), window=1152,
+                             batch=128, seq_cap=4096, x_drop=100)
+    assert al.cfg.seg_steps * 8 < 1500  # really multi-launch
+    res = al.align_batch(pairs)
+    a = BlockOracle(x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 512, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 512, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (128, 512), 100)
+        got = (res[k].score, res[k].query_idx, res[k].reference_idx)
+        want = (a.res().score, a.res().query_idx, a.res().reference_idx)
+        assert got == want, (k, got, want)
+
+
+def test_batch_aligner_over_budget_delegation():
+    """BatchAligner auto-delegates over-budget bands (VERDICT r4 #5):
+    adaptive/x-drop bands to LongAdaptiveAligner, fixed <=512 blocks to
+    LongBatchAligner -- no config expressible by percent_len demotes to
+    the engine anymore (routing pinned by test_engine_trapdoor_audit)."""
+    from block_aligner_tpu import LongAdaptiveAligner
+    from block_aligner_tpu.api import BatchAligner
+
+    rng = np.random.default_rng(74)
+    gaps = Gaps(open=-11, extend=-1)
+    pairs = []
+    for _ in range(3):
+        n = int(rng.integers(400, 800))
+        q = rand_seq(rng, AA, n)
+        pairs.append((q, mutate(rng, q, n // 10, AA)))
+
+    # adaptive x-drop band, declared 20 kbp capacity -> "long"
+    ba = BatchAligner(BLOSUM62, gaps, size=(128, 512), batch=128,
+                      seq_cap=20000, x_drop=100)
+    assert ba._long and isinstance(ba._inner, LongAdaptiveAligner)
+    res = ba.align_batch(pairs)
+    a = BlockOracle(x_drop=True)
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 512, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 512, BLOSUM62)
+        a.align(pq, pr, BLOSUM62, gaps, (128, 512), 100)
+        assert res[k].score == a.res().score, (k, res[k], a.res())
+
+    # fixed block, declared 20 kbp capacity -> "long_lane"
+    ba2 = BatchAligner(BLOSUM62, gaps, size=(128, 128), batch=128,
+                       seq_cap=20000)
+    assert ba2._long and isinstance(ba2._inner, LongBatchAligner)
+    res2 = ba2.align_batch(pairs)
+    a2 = BlockOracle()
+    for k, (q, r) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 128, BLOSUM62)
+        pr = PaddedBytes.from_bytes(r, 128, BLOSUM62)
+        a2.align(pq, pr, BLOSUM62, gaps, (128, 128), 0)
+        assert res2[k].score == a2.res().score, (k, res2[k], a2.res())
