@@ -120,13 +120,18 @@ def one_round_long(seed, n_pairs=3):
     gaps = Gaps(open=go, extend=ge)
     trace = bool(rng.integers(0, 2))
     adaptive = bool(rng.integers(0, 2))
+    # segmented x-drop (round 5): wide-tracker rows persist across
+    # launches; byte matrices excluded like the reference
+    x_drop = None
+    if adaptive and matrix.kind != "byte" and rng.integers(0, 2):
+        x_drop = int(rng.integers(40, 150))
     pairs = [rand_pair(rng, alpha, 500, 1400, True)
              for _ in range(n_pairs)]
     if adaptive:
         size = (int(2 ** rng.integers(5, 8)), 1024)
         al = LongAdaptiveAligner(
             matrix, gaps, size, window=2048, batch=128, seq_cap=4096,
-            trace=trace,
+            trace=trace, x_drop=x_drop,
         )
         kern = "long-adaptive"
     else:
@@ -137,24 +142,89 @@ def one_round_long(seed, n_pairs=3):
         )
         kern = "long-lane"
     got = al.align_batch(pairs)
-    orc = BlockOracle(trace=trace)
+    orc = BlockOracle(trace=trace, x_drop=x_drop is not None)
     for k, (q, r) in enumerate(pairs):
         pq = PaddedBytes.from_bytes(q, size[1], matrix)
         pr = PaddedBytes.from_bytes(r, size[1], matrix)
-        orc.align(pq, pr, matrix, gaps, size, 0)
+        orc.align(pq, pr, matrix, gaps, size, x_drop or 0)
         w = orc.res()
         ok = got[k].score == w.score
+        if x_drop is not None:
+            ok = ok and (got[k].query_idx, got[k].reference_idx) == (
+                w.query_idx, w.reference_idx)
         if ok and trace:
             wc = str(orc.cigar(w.query_idx, w.reference_idx))
-            gc = str(al.cigar(k, len(q), len(r)))
+            gc = str(al.cigar(k, got[k].query_idx, got[k].reference_idx))
             ok = gc == wc
         if not ok:
             print(f"MISMATCH seed={seed} pair={k} kern={kern} "
-                  f"size={size} trace={trace} got={got[k]} "
-                  f"want={w}", flush=True)
+                  f"size={size} trace={trace} x_drop={x_drop} "
+                  f"got={got[k]} want={w}", flush=True)
             return False
     print(f"seed {seed}: ok ({kern}, {size}, trace={trace}, "
-          f"{matrix.kind})", flush=True)
+          f"x_drop={x_drop}, {matrix.kind})", flush=True)
+    return True
+
+
+def one_round_profile(seed, n_pairs=4):
+    """Big-kernel PSSM soak (round 5): random consensus-boosted profiles
+    + queries with structural indels through ProfileAligner's >512 route,
+    oracle-checked."""
+    from block_aligner_tpu import AAProfile
+    from block_aligner_tpu.api import ProfileAligner
+
+    rng = np.random.default_rng(seed)
+    pairs = []
+    for _ in range(n_pairs):
+        n = int(rng.integers(60, 400))
+        cons = bytes(rng.choice(list(AA), size=n).tolist())
+        if rng.integers(0, 2):
+            prof = AAProfile.from_bytes(
+                cons, 1024, int(rng.integers(3, 8)),
+                -int(rng.integers(2, 6)), -int(rng.integers(8, 14)), 0,
+                -int(rng.integers(8, 14)), -1)
+        else:
+            prof = AAProfile(n, 1024, -1)
+            base = rng.integers(-4, 3, size=(n, 26))
+            base[np.arange(n), np.frombuffer(cons, np.uint8) - 65] = (
+                rng.integers(4, 12, size=n))
+            prof.pos_scores[1 : n + 1, :26] = base
+            prof.gap_open_C[: n + 1] = rng.integers(-13, -8, size=n + 1)
+            prof.gap_close_C[: n + 1] = rng.integers(-3, 1, size=n + 1)
+            prof.gap_open_R[: n + 1] = rng.integers(-13, -8, size=n + 1)
+        q = bytearray(cons)
+        for _ in range(n // int(rng.integers(3, 10))):
+            op = int(rng.integers(0, 3))
+            pos = int(rng.integers(0, max(len(q), 1)))
+            if op == 0 and len(q) > 0:
+                q[pos % len(q)] = int(rng.choice(list(AA)))
+            elif op == 1 and len(q) > 1:
+                del q[pos % len(q)]
+            else:
+                q.insert(pos, int(rng.choice(list(AA))))
+        if rng.integers(0, 3) == 0:  # structural insert: grow ladder
+            ins = bytes(rng.choice(
+                list(AA), size=int(rng.integers(100, 300))).tolist())
+            pos = int(rng.integers(0, max(len(q), 1)))
+            q = q[:pos] + bytearray(ins) + q[pos:]
+        pairs.append((bytes(q), prof))
+
+    mins = int(2 ** rng.integers(7, 10))  # 128..512
+    size = (mins, 1024)
+    longest = max(max(len(q), p.str_len) for q, p in pairs)
+    pa = ProfileAligner(size, batch=128, seq_cap=longest + 32,
+                        prof_len=max(p.str_len for _, p in pairs))
+    assert pa._big
+    got = pa.align_batch(pairs)
+    orc = BlockOracle()
+    for k, (q, prof) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, size[1], prof)
+        orc.align_profile(pq, prof, size, 0)
+        if got[k].score != orc.res().score:
+            print(f"MISMATCH seed={seed} pair={k} kern=big-profile "
+                  f"size={size} got={got[k]} want={orc.res()}", flush=True)
+            return False
+    print(f"seed {seed}: ok (big-profile, {size})", flush=True)
     return True
 
 

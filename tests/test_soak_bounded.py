@@ -22,7 +22,7 @@ sys.path.insert(
                  "scripts_tpu"),
 )
 
-from soak_fuzz import one_round, one_round_long  # noqa: E402
+from soak_fuzz import one_round, one_round_long, one_round_profile  # noqa: E402
 
 
 @pytest.mark.parametrize("seed", range(5000, 5040))
@@ -33,3 +33,8 @@ def test_soak_config(seed):
 @pytest.mark.parametrize("seed", range(6000, 6010))
 def test_soak_long_segmented(seed):
     assert one_round_long(seed, n_pairs=2)
+
+
+@pytest.mark.parametrize("seed", range(7000, 7006))
+def test_soak_profile_big(seed):
+    assert one_round_profile(seed, n_pairs=3)
