@@ -119,7 +119,10 @@ def child_main():
     LEN = int(os.environ.get("BENCH_LEN", "1000"))
     K = int(os.environ.get("BENCH_K", "100"))
     S = int(os.environ.get("BENCH_BLOCK", "32"))
-    BANKS = int(os.environ.get("BENCH_BANKS", "16"))
+    # banks=4 beats 16 on-chip at this shape (r5 probe sweep, B=16384:
+    # banks 16/8/4/2 at unroll=1 -> 2.78/2.65/2.54/2.70 us/pair; unroll=2
+    # at banks=4 -> 2.524 best; scripts_tpu/headline_probe.py)
+    BANKS = int(os.environ.get("BENCH_BANKS", "4"))
 
     rng = np.random.default_rng(1234)
     pairs = rand_protein_pairs(rng, B, LEN, K)
@@ -127,7 +130,7 @@ def child_main():
 
     cap = max(256, -(-(1 + LEN + LEN // 4 + S + 16) // 128) * 128)
     # unroll=2: two 8-column sub-steps per while iteration, bit-identical
-    # (tpu_validate stage I A/B: 2.627 vs 2.651 us/pair at B=65536)
+    # (r5 probe at banks=4: 2.524 vs 2.543 us/pair)
     UN = int(os.environ.get("BENCH_UNROLL", "2"))
     cfg = LaneKernelConfig(batch=B, block=S, seq_cap=cap, alpha=32,
                            banks=BANKS, unroll=UN)

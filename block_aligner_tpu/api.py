@@ -728,10 +728,38 @@ class BatchAligner:
         out: List[Optional[AlignResult]] = [None] * len(pairs)
         flags = []
         got: List[AlignResult] = []
-        for k in range(0, len(work), self.batch_size):
-            got.extend(self.align_batch(work[k : k + self.batch_size]))
+        pipeline = (not self._long and not self._trace_mode
+                    and len(work) > self.batch_size)
+        if pipeline:
+            # overlap host pack of batch k+1 with device compute of batch k
+            # (stage -> async dispatch -> decode previous); same results as
+            # the sequential loop, identical per-batch decode path
+            for q, r in work:
+                assert max(len(q), len(r)) <= self.seq_capacity, (
+                    "sequence too long for this BatchAligner's seq_cap"
+                )
+                if self.free_query_end_gaps:
+                    assert len(q) < self.min_size, (
+                        "free_query_end_gaps requires min block size > "
+                        "query len"
+                    )
+            pending = None
+            for k in range(0, len(work), self.batch_size):
+                staged = self.stage(work[k : k + self.batch_size])
+                disp = self._dispatch_staged(staged)
+                if pending is not None:
+                    got.extend(self._decode_staged(*pending))
+                    if self._lane:
+                        flags.append(self.last_suspect)
+                pending = (staged, disp)
+            got.extend(self._decode_staged(*pending))
             if self._lane:
                 flags.append(self.last_suspect)
+        else:
+            for k in range(0, len(work), self.batch_size):
+                got.extend(self.align_batch(work[k : k + self.batch_size]))
+                if self._lane:
+                    flags.append(self.last_suspect)
         if order is not None:
             for pos, k in enumerate(order):
                 out[k] = got[pos]
@@ -821,14 +849,34 @@ class BatchAligner:
 
     def align_staged(self, staged) -> List[AlignResult]:
         """Run a batch previously prepared with ``stage``."""
+        return self._decode_staged(staged, self._dispatch_staged(staged))
+
+    def _dispatch_staged(self, staged):
+        """Enqueue the device work for a staged batch WITHOUT fetching the
+        results (JAX dispatch is async) — pair with ``_decode_staged``.
+        ``align_all`` uses the split to overlap the next batch's host pack
+        with the device compute of the current one (the score-path analogue
+        of ``align_all_trace``'s host-walk overlap)."""
+        args = staged[1]
+        if self._lane or self._adaptive or self._big:
+            return self._lane_fn(*args)
+        Sprof, CRow, qlen, rlen = args
+        kw = {}
+        if self.cfg.is_byte:
+            kw = dict(byte_match=self.matrix.match_score,
+                      byte_mismatch=self.matrix.mismatch_score)
+        return self._fn(Sprof, CRow, qlen, rlen, self.gaps.open,
+                        self.gaps.extend, self.x_drop or 0, **kw)
+
+    def _decode_staged(self, staged, res) -> List[AlignResult]:
+        """Fetch + decode a batch dispatched by ``_dispatch_staged``."""
         n, args = staged[0], staged[1]
         if self._adaptive or self._big:
             ql, rl = staged[2]
             return self._adaptive_results(
-                np.asarray(self._lane_fn(*args)), None, lens=(ql, rl, n)
+                np.asarray(res), None, lens=(ql, rl, n)
             )
         if self._lane:
-            res = self._lane_fn(*args)
             if self._lane_cfg.trace:
                 from .core.traceback import lane_trace
 
@@ -871,14 +919,7 @@ class BatchAligner:
                 AlignResult(int(out[b]), int(ql[b]), int(rl[b]))
                 for b in range(n)
             ]
-        Sprof, CRow, qlen, rlen = args
-        kw = {}
-        if self.cfg.is_byte:
-            kw = dict(byte_match=self.matrix.match_score,
-                      byte_mismatch=self.matrix.mismatch_score)
-        out = self._fn(Sprof, CRow, qlen, rlen, self.gaps.open,
-                       self.gaps.extend, self.x_drop or 0, **kw)
-        score, qi, rj = np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[2])
+        score, qi, rj = np.asarray(res[0]), np.asarray(res[1]), np.asarray(res[2])
         return [AlignResult(int(score[k]), int(qi[k]), int(rj[k]))
                 for k in range(n)]
 

@@ -1,0 +1,87 @@
+"""One-process multi-config probe of the headline lane-kernel rate.
+
+Amortizes the tunnel warm (1-400 s first-op cost) over several A/B
+configs: unroll 1/2, a couple of bank counts and batch sizes.  Prints a
+JSON line per config.  Use to chase the bench.py number without paying
+the cold start per experiment.
+
+Usage: python scripts_tpu/headline_probe.py [cfg ...]
+where each cfg is B,banks,unroll (e.g. 16384,16,2).  Default set probes
+the current bench default and its neighbours.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ba_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    np.asarray(jnp.arange(256, dtype=jnp.int32) + 1)
+    print(f"@tunnel_warm {time.perf_counter() - t0:.1f}s", flush=True)
+
+    from block_aligner_tpu import BLOSUM62, Gaps
+    from block_aligner_tpu.ops.lane_kernel import (
+        LaneKernelConfig, build_lane_engine, pack_lane)
+    from bench import rand_protein_pairs
+
+    cfgs = []
+    for a in sys.argv[1:]:
+        b, k, u = (int(x) for x in a.split(","))
+        cfgs.append((b, k, u))
+    if not cfgs:
+        cfgs = [(16384, 16, 2), (16384, 16, 1), (16384, 32, 2),
+                (65536, 16, 2)]
+
+    rng = np.random.default_rng(1234)
+    base_pairs = rand_protein_pairs(rng, 16384, 1000, 100)
+    gaps = Gaps(open=-11, extend=-1)
+    cap = max(256, -(-(1 + 1000 + 1000 // 4 + 32 + 16) // 128) * 128)
+
+    packed_cache = {}
+    for (B, banks, unroll) in cfgs:
+        pairs = base_pairs
+        while len(pairs) < B:
+            pairs = pairs + pairs
+        pairs = pairs[:B]
+        cfg = LaneKernelConfig(batch=B, block=32, seq_cap=cap, alpha=32,
+                               banks=banks, unroll=unroll)
+        fn = build_lane_engine(cfg)
+        key = (B, banks)
+        if key not in packed_cache:
+            packed_cache[key] = jax.device_put(
+                pack_lane(pairs, BLOSUM62, cfg, gaps))
+            jax.block_until_ready(packed_cache[key])
+        args = packed_cache[key]
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        compile_s = time.perf_counter() - t0
+        reps = max(4, (16 * 16384) // B)
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(reps)]
+        np.asarray(outs[-1])
+        us = (time.perf_counter() - t0) / (reps * B) * 1e6
+        print(json.dumps({
+            "B": B, "banks": banks, "unroll": unroll,
+            "compile_or_warm_s": round(compile_s, 1),
+            "reps": reps, "us_per_pair": round(us, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

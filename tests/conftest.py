@@ -56,7 +56,7 @@ QUICK = {
     "test_engine_modes.py": {"test_local_start"},
     "test_api.py": {
         "test_engine_trapdoor_audit", "test_batch_aligner_lane_routing",
-        "test_profile_aligner",
+        "test_profile_aligner", "test_align_all_pipelined_multibatch",
     },
     "test_align_exp.py": {"test_align_exp_matches_oracle"},
     "test_long_aligner.py": {

@@ -63,6 +63,42 @@ def test_batch_aligner_lane_routing():
         assert res[k].score == o.res().score, k
 
 
+def test_align_all_pipelined_multibatch():
+    """align_all with >1 chunk uses the stage/dispatch/decode pipeline
+    (pack of batch k+1 overlaps device compute of batch k); results and
+    last_suspect must match the sequential align_batch loop and oracle,
+    sorted or not."""
+    gaps = Gaps(open=-11, extend=-1)
+    rng = np.random.default_rng(11)
+    aa = list(b"ACDEFGHIKLMNPQRSTVWY")
+    pairs = []
+    for _ in range(20):
+        n = int(rng.integers(8, 100))
+        q = bytes(rng.choice(aa, size=n).tolist())
+        r = bytearray(q)
+        for p in rng.integers(0, n, size=max(1, n // 8)):
+            r[p] = aa[int(rng.integers(0, 20))]
+        pairs.append((q, bytes(r)))
+
+    for size in [(32, 32), (16, 32)]:  # lane kernel / adaptive kernel
+        al = BatchAligner(BLOSUM62, gaps, size=size, batch=8, seq_cap=128)
+        for sort in (True, False):
+            res = al.align_all(pairs, sort=sort)
+            sus = al.last_suspect if al._lane else None
+            for k, (q, r) in enumerate(pairs):
+                o = oracle(q, r, BLOSUM62, gaps, size)
+                assert res[k].score == o.res().score, (size, sort, k)
+            seq = []
+            fl = []
+            for k in range(0, len(pairs), 8):
+                seq.extend(al.align_batch(pairs[k : k + 8]))
+                if al._lane:
+                    fl.append(al.last_suspect)
+            assert [x.score for x in res] == [x.score for x in seq]
+            if sus is not None and not sort:
+                assert np.array_equal(sus, np.concatenate(fl))
+
+
 def test_batch_aligner_x_drop_engine():
     gaps = Gaps(open=-11, extend=-1)
     al = BatchAligner(BLOSUM62, gaps, size=(16, 32), batch=2, seq_cap=128, x_drop=50)
