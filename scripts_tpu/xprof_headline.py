@@ -61,7 +61,8 @@ def main():
     gaps = Gaps(open=-11, extend=-1)
     cfg = LaneKernelConfig(
         batch=B, block=32, seq_cap=1152 if on_tpu else 256,
-        banks=16 if on_tpu else 2,
+        banks=4 if on_tpu else 2,  # bench.py default (r5 probe sweep)
+        unroll=2 if on_tpu else 1,
         interpret=not on_tpu,
     )
     fn = build_lane_engine(cfg)
