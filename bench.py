@@ -98,12 +98,21 @@ def child_main():
     progress(f"jax_init platform={plat}")
 
     # tiny first op: the tunnel's first device roundtrip has a large and
-    # highly variable cost (measured 1-400+ s); pay it on a 1 KB payload so
-    # the watchdog sees the phase and the big transfer later runs at full
-    # tunnel rate
+    # highly variable cost (measured 1.3-410 s across processes on the
+    # SAME warm server); pay it on a 1 KB payload, in a thread so pair
+    # generation and host packing overlap the stall
+    import threading
+
     import jax.numpy as jnp
-    np.asarray(jnp.arange(256, dtype=jnp.int32) + 1)
-    progress("tunnel_warm")
+
+    warm_done = threading.Event()
+
+    def _warm():
+        np.asarray(jnp.arange(256, dtype=jnp.int32) + 1)
+        progress("tunnel_warm")
+        warm_done.set()
+
+    threading.Thread(target=_warm, daemon=True).start()
 
     from block_aligner_tpu import BLOSUM62, Gaps
     from block_aligner_tpu.ops.lane_kernel import (
@@ -137,6 +146,7 @@ def child_main():
     fn = build_lane_engine(cfg)
     args = pack_lane(pairs, BLOSUM62, cfg, Gaps(open=-11, extend=-1))
     progress("pack")
+    warm_done.wait()
     args = jax.device_put(args)
     jax.block_until_ready(args)
     progress("device_put")
@@ -178,15 +188,26 @@ def _run_child(deadline_abs, state):
         text=True, env=env,
     )
     t_child = time.monotonic()
-    soft_limit = state.pop("soft_limit", None)
+    soft_retry = state.pop("soft_retry", False)
+    last_line = t_child
 
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
     while True:
         now = time.monotonic()
         remaining = deadline_abs - now
-        if soft_limit is not None and state["best"] is None:
-            remaining = min(remaining, soft_limit - (now - t_child))
+        if soft_retry and state["best"] is None:
+            if not state.get("seen_warm"):
+                # the first device roundtrip legitimately takes anywhere
+                # from 1 to 400+ s (the tunnel cools on a ~10-min idle
+                # scale; a fresh connection pays the stall AGAIN, so
+                # killing mid-warm always loses) — wait almost to the
+                # deadline; post-warm the measurement takes ~6 s
+                remaining = min(remaining, (deadline_abs - 20.0) - now)
+            else:
+                # post-warm phases are seconds each on a warm compile
+                # cache; a 150 s per-line stall means something is wedged
+                remaining = min(remaining, 150.0 - (now - last_line))
         if remaining <= 0:
             break
         if not sel.select(timeout=min(remaining, 5.0)):
@@ -198,8 +219,11 @@ def _run_child(deadline_abs, state):
             break  # EOF: child exited (or crashed)
         line = chunk.rstrip("\n")
         state["buf"] = line
+        last_line = time.monotonic()
         if line.startswith("@progress"):
             state["phase"] = line
+            if "tunnel_warm" in line:
+                state["seen_warm"] = True
             print(line, flush=True)
         elif line.startswith("{") and '"metric"' in line:
             state["best"] = line
@@ -231,7 +255,7 @@ def parent_main():
     deadline_abs = t_start + deadline
 
     state = {"best": None, "final": False, "phase": "spawn", "buf": "",
-             "rc": None, "soft_limit": min(280.0, deadline * 0.67)}
+             "rc": None, "soft_retry": True}
     _run_child(deadline_abs, state)
     if not state["final"] and state["best"] is None \
             and deadline_abs - time.monotonic() > 60:

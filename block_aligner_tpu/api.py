@@ -1035,8 +1035,6 @@ class ProfileAligner:
         # examples/pssm_accuracy.rs:80-82, src/scan_block.rs:597-783)
         self._big = (
             512 < max_size <= 8192 and use_lane_kernel is not False
-            and not (trace or x_drop is not None or local_start
-                     or free_query_start_gaps or free_query_end_gaps)
         )
         if self._big:
             import jax
@@ -1050,8 +1048,10 @@ class ProfileAligner:
             cap = round_up(max(1 + seq_cap + max_size + 16, 256), 128)
             prof_cap = round_up(
                 (seq_cap if prof_len is None else prof_len) + 10, 128)
-            if big_vmem_bytes(max_size, cap, prof_cap=prof_cap) \
-                    > 15 * 2**20:
+            tw = (2 if local_start else 1) if trace else 0
+            if big_vmem_bytes(max_size, cap, prof_cap=prof_cap,
+                              x_drop=x_drop is not None,
+                              trace_words=tw) > 15 * 2**20:
                 raise ValueError(
                     f"profile big kernel at block {max_size} with "
                     f"sequences to {seq_cap} exceeds the VMEM budget "
@@ -1066,6 +1066,11 @@ class ProfileAligner:
                 seq_cap=cap,
                 profile=True,
                 prof_cap=prof_cap,
+                trace=trace,
+                x_drop=x_drop is not None,
+                local_start=local_start,
+                free_query_start_gaps=free_query_start_gaps,
+                free_query_end_gaps=free_query_end_gaps,
                 interpret=jax.default_backend() != "tpu",
             )
             if mesh is not None:
@@ -1119,16 +1124,13 @@ class ProfileAligner:
             return
         cap = round_up(1 + seq_cap + max_size + 16, 128)
         if not explicit_off:
-            # global profiles > 512 route to the big kernel above; only
-            # flagged/traced/x-drop profiles past 512 (outside the
-            # reference's PSSM surface, examples/pssm_accuracy.rs) raise
-            # instead of silently demoting to the ~100x slower engine
+            # every profile configuration to 8192 (all modes) runs on a
+            # kernel path now; only >8192 profile bands raise instead of
+            # silently demoting to the ~100x slower engine
             raise ValueError(
-                f"ProfileAligner block sizes {min_size}-{max_size} with "
-                "trace/x-drop/start-end flags exceed the kernel paths' "
-                "512 cap (global profiles up to 8192 run on the big "
-                "kernel); pass use_lane_kernel=False to run on the "
-                "~100x slower XLA engine anyway"
+                f"ProfileAligner block sizes {min_size}-{max_size} exceed "
+                "the big kernel's 8192 cap; pass use_lane_kernel=False "
+                "to run on the ~100x slower XLA engine anyway"
             )
         self.cfg = EngineConfig(
             batch=round_up(batch, ndev),
@@ -1171,12 +1173,42 @@ class ProfileAligner:
 
             cfg = self._big_cfg
             assert len(pairs) <= cfg.batch
-            args = pack_big_profile(pairs, cfg)
-            out = np.asarray(self._fn(*args))
+            args = list(pack_big_profile(pairs, cfg))
+            if self.x_drop is not None:
+                args[4] = args[4].copy()
+                args[4][0, 2] = self.x_drop
+            res = self._fn(*args)
+            wide = cfg.x_drop or cfg.free_query_end_gaps
+            if cfg.trace:
+                from .core.traceback import big_trace
+
+                out, thbm, mhbm = res
+                out = np.asarray(out)
+                base = 3 if wide else 1
+                steps = out[:, 0, base, 0].astype(np.int64)
+                tpos = out[:, 0, base + 1, 0].astype(np.int64)
+                nst = max(int(steps.max()), 1)
+                ntp = max(int(tpos.max()), 1)
+                self._last_trace = big_trace(
+                    [(np.asarray(thbm[:, :ntp]), np.asarray(mhbm[:, :nst]),
+                      steps, tpos)],
+                    local_start=cfg.local_start,
+                    free_query_start_gaps=cfg.free_query_start_gaps,
+                    words=cfg.trace_words,
+                )
+            else:
+                out = np.asarray(res)
             over = out[:, :, -1, :].reshape(cfg.batch)
             assert not over[: len(pairs)].any(), (
                 "big kernel hit its step cap; raise seq_cap/max_steps"
             )
+            if wide:
+                o2 = out[:, :, 0:3, :].transpose(0, 1, 3, 2).reshape(
+                    cfg.batch, 3)
+                return [
+                    AlignResult(int(o2[k, 0]), int(o2[k, 1]), int(o2[k, 2]))
+                    for k in range(len(pairs))
+                ]
             sc = out[:, :, 0, :].reshape(cfg.batch)
             return [
                 AlignResult(int(sc[k]), len(q), p.str_len if p else 0)
@@ -1320,8 +1352,12 @@ class ProfileAligner:
             from .ops.big_kernel import pack_big_profile
 
             cfg = self._big_cfg
+            assert not self._trace_mode
             assert len(pairs) <= cfg.batch
             args = list(pack_big_profile(pairs, cfg))
+            if self.x_drop is not None:
+                args[4] = args[4].copy()
+                args[4][0, 2] = self.x_drop
             ql = np.asarray(args[0]).reshape(cfg.batch).copy()
             rl = np.asarray(args[1]).reshape(cfg.batch).copy()
             return (len(pairs), jax.device_put(tuple(args)), (ql, rl))

@@ -86,9 +86,11 @@ Trace mode streams segment-compacted packed words + rect/ckpt-event
 descriptors (see ``BigKernelConfig.trace``), decoded by
 ``core/traceback.big_trace`` -- this is the reference's flagship traced
 long-read configuration (1%%-10%% adaptive bands to 8192,
-examples/nanopore_bench_global.rs:144-227).  Profile mode is not
-implemented here (reference PSSM experiments never exceed S = 128,
-examples/pssm_accuracy.rs); ProfileAligner raises for >512 profiles.
+examples/nanopore_bench_global.rs:144-227).  Profile (PSSM) mode keeps a
+compact VMEM-resident packed profile table (``BigKernelConfig.profile``)
+and composes with trace, x-drop, and the start/end-gap flags exactly as
+the reference's align_profile does (same Block const generics,
+src/scan_block.rs:89,942-995); ProfileAligner routes >512 profiles here.
 """
 
 from __future__ import annotations
@@ -231,11 +233,13 @@ class BigKernelConfig:
         assert not (self.local_start and self.free_query_start_gaps)
         assert not (self.x_drop and self.free_query_end_gaps)
         if self.profile:
-            # global-mode PSSM only: flags/trace/x-drop profiles ride the
-            # adaptive kernel (<= 512) or the engine
-            assert not (self.byte_mode or self.x_drop or self.trace
-                        or self.local_start or self.free_query_start_gaps
-                        or self.free_query_end_gaps or self.segmented)
+            # PSSM composes with trace, x-drop, and the start/end-gap
+            # flags exactly like the adaptive kernel (the reference's
+            # align_profile rides the same Block<TRACE, X_DROP, ...>
+            # const generics, src/scan_block.rs:89,942-995); byte
+            # matrices are sequence-only and segmented profile windows
+            # (>8192-position PSSMs) stay un-built
+            assert not (self.byte_mode or self.segmented)
             assert self.prof_cap % 128 == 0 and self.prof_cap >= 128
         if self.segmented:
             assert self.full_cap % 128 == 0 and self.full_cap >= self.seq_cap
@@ -1362,6 +1366,7 @@ def build_big_engine(cfg: BigKernelConfig):
                 else:
                     C11_open = jnp.maximum(Dc + open_, NEG32)
                     C11 = jnp.maximum(jnp.maximum(Cc + e, NEG32), C11_open)
+                    c_end = C11
                     D11 = jnp.maximum(D11, C11)
                     D11_open = D11 + (open_ - e)
                 t = D11_open
@@ -1378,6 +1383,7 @@ def build_big_engine(cfg: BigKernelConfig):
                         right_or, R11, jnp.maximum(R11 + gcc_r_l, NEG32))
                     D11 = jnp.maximum(D11, r_end)
                 else:
+                    r_end = R11
                     D11 = jnp.maximum(D11, R11)
 
                 if cfg.trace:
@@ -1385,8 +1391,12 @@ def build_big_engine(cfg: BigKernelConfig):
                     # the adaptive kernel / reference
                     # (src/scan_block.rs:1166-1190); the R-open bit's
                     # one-row shift chains across segments through TBC
-                    tb = (D11 == C11).astype(jnp.int32) | (
-                        (D11 == R11).astype(jnp.int32) << 1)
+                    # profile mode compares against the gap-CLOSED values
+                    # (c_end/r_end; reference profile trace uses C11_end/
+                    # R11_end, src/scan_block.rs:722-747); non-profile
+                    # aliases c_end = C11, r_end = R11
+                    tb = (D11 == c_end).astype(jnp.int32) | (
+                        (D11 == r_end).astype(jnp.int32) << 1)
                     temp_tr = (R11 == D11_open).astype(jnp.int32)
                     tr_R = jnp.concatenate(
                         [TBC[pl.ds(w, 1)], temp_tr[: SS - 1]], axis=0)
@@ -1998,9 +2008,10 @@ def build_big_engine(cfg: BigKernelConfig):
         )(qlen, rlen, M, codes, gaps, *seg_args)
         if not cfg.segmented:
             if cfg.trace:
-                # (score, trace words, descriptors); ckpt planes are
-                # kernel-internal state
-                return out[0], out[2], out[3]
+                # (score, trace words, descriptors); ckpt planes (and the
+                # profile window stack) are kernel-internal state
+                ti = 3 if cfg.profile else 2
+                return out[0], out[ti], out[ti + 1]
             return out[0]
         return out
 

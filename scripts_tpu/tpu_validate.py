@@ -459,9 +459,85 @@ def stage_i(q):
     q.put(("ok", res))
 
 
+def stage_j(q):
+    # big-kernel PROFILE composition on hardware (r5: trace + x-drop past
+    # block 512; the reference's align_profile rides the same
+    # Block<TRACE, X_DROP, ...> const generics, scan_block.rs:89,942-995):
+    # compile + device rate + oracle spot-checks at (128, 1024)
+    import numpy as np
+    from block_aligner_tpu import AAProfile, BlockOracle, PaddedBytes
+    from block_aligner_tpu.api import ProfileAligner
+
+    rng = np.random.default_rng(17)
+    AA = b"ACDEFGHIKLMNPQRSTVWY"
+    res = {}
+
+    def rand_seq(n):
+        return bytes(rng.choice(list(AA), size=n).tolist())
+
+    pairs = []
+    for _ in range(128):
+        n = int(rng.integers(200, 400))
+        cons = rand_seq(n)
+        prof = AAProfile.from_bytes(cons, 1024, 5, -4, -11, 0, -11, -1)
+        qb = bytearray(cons)
+        for _ in range(n // 6):
+            qb[int(rng.integers(0, len(qb)))] = int(rng.choice(list(AA)))
+        pos = n // 2
+        qb = qb[:pos] + bytearray(rand_seq(60)) + qb[pos:]
+        pairs.append((bytes(qb), prof))
+
+    # trace mode
+    pa = ProfileAligner((128, 1024), batch=128, seq_cap=768, trace=True)
+    assert pa._big and pa._big_cfg.trace
+    t0 = time.perf_counter()
+    got = pa.align_batch(pairs)
+    res["proftrace_compile_plus_run_s"] = round(time.perf_counter() - t0, 1)
+    orc = BlockOracle(trace=True)
+    wrong = 0
+    for k in range(4):
+        qb, p = pairs[k]
+        pq = PaddedBytes.from_bytes(qb, 1024, p)
+        orc.align_profile(pq, p, (128, 1024), 0)
+        w = orc.res()
+        ok = got[k].score == w.score and str(
+            pa.cigar(k, len(qb), p.str_len)
+        ) == str(orc.cigar(w.query_idx, w.reference_idx))
+        wrong += 0 if ok else 1
+    res["proftrace_wrong_of_4"] = wrong
+    t0 = time.perf_counter()
+    got = pa.align_batch(pairs)
+    res["proftrace_us_per_pair"] = round(
+        (time.perf_counter() - t0) / len(pairs) * 1e6, 1)
+
+    # x-drop mode
+    pax = ProfileAligner((128, 1024), batch=128, seq_cap=768, x_drop=100)
+    assert pax._big and pax._big_cfg.x_drop
+    t0 = time.perf_counter()
+    gx = pax.align_batch(pairs)
+    res["profxdrop_compile_plus_run_s"] = round(time.perf_counter() - t0, 1)
+    ox = BlockOracle(x_drop=True)
+    wrong = 0
+    for k in range(4):
+        qb, p = pairs[k]
+        pq = PaddedBytes.from_bytes(qb, 1024, p)
+        ox.align_profile(pq, p, (128, 1024), 100)
+        w = ox.res()
+        wrong += 0 if (gx[k].score, gx[k].query_idx, gx[k].reference_idx) \
+            == (w.score, w.query_idx, w.reference_idx) else 1
+    res["profxdrop_wrong_of_4"] = wrong
+    t0 = time.perf_counter()
+    st = pax.stage(pairs)
+    gx = pax.align_staged(st)
+    res["profxdrop_us_per_pair_staged"] = round(
+        (time.perf_counter() - t0) / len(pairs) * 1e6, 1)
+    q.put(("ok", res))
+
+
 STAGES = {"A": (stage_a, 300), "B": (stage_b, 2400), "C": (stage_c, 3600),
           "D": (stage_d, 3000), "E": (stage_e, 3600), "F": (stage_f, 2400),
-          "G": (stage_g, 3600), "H": (stage_h, 3600), "I": (stage_i, 3600)}
+          "G": (stage_g, 3600), "H": (stage_h, 3600), "I": (stage_i, 3600),
+          "J": (stage_j, 3600)}
 
 
 def main():

@@ -47,7 +47,8 @@ QUICK = {
         "test_big_kernel_x_drop_vs_oracle",
     },
     "test_big_trace.py": {"test_big_trace_cigars_and_blocks"},
-    "test_big_profile.py": {"test_big_profile_staged"},
+    "test_big_profile.py": {"test_big_profile_staged",
+                            "test_big_profile_trace_vs_oracle"},
     "test_engine_vs_oracle.py": {
         "test_engine_golden_small", "test_engine_adaptive_grow_shrink",
     },

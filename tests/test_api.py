@@ -380,18 +380,20 @@ def test_engine_trapdoor_audit():
     assert pick_route(128, 128, 40000, is_byte=True)[0] == "engine"
 
 
-def test_profile_aligner_big_blocks_raise():
-    """GLOBAL profiles past 512 route to the big kernel (round 5);
-    trace/x-drop/flagged profiles past 512 still raise a clear error,
-    and use_lane_kernel=False opts into the engine explicitly."""
+def test_profile_aligner_big_blocks_route():
+    """Profiles past 512 route to the big kernel in EVERY mode (round 5:
+    global, then trace/x-drop/flags too — the reference's align_profile
+    rides the same Block<TRACE, X_DROP, ...> const generics,
+    src/scan_block.rs:89,942-995); only >8192 raises, and
+    use_lane_kernel=False opts into the engine explicitly."""
     import pytest
 
-    pa = ProfileAligner((32, 1024), batch=64, seq_cap=256)
-    assert pa._big and not pa._lane and not pa._adaptive
-    with pytest.raises(ValueError, match="512 cap"):
-        ProfileAligner((32, 1024), batch=64, seq_cap=256, trace=True)
-    with pytest.raises(ValueError, match="512 cap"):
-        ProfileAligner((32, 1024), batch=64, seq_cap=256, x_drop=50)
+    for kw in ({}, {"trace": True}, {"x_drop": 50}, {"local_start": True},
+               {"free_query_start_gaps": True}):
+        pa = ProfileAligner((32, 1024), batch=64, seq_cap=256, **kw)
+        assert pa._big and not pa._lane and not pa._adaptive, kw
+    with pytest.raises(ValueError, match="8192 cap"):
+        ProfileAligner((512, 16384), batch=64, seq_cap=256)
     pa = ProfileAligner((32, 1024), batch=8, seq_cap=256,
                         use_lane_kernel=False)
     assert not pa._lane and not pa._adaptive and not pa._big

@@ -135,3 +135,97 @@ def test_big_profile_staged():
     direct = pa.align_batch(pairs)
     staged = pa.align_staged(pa.stage(pairs))
     assert [r.score for r in direct] == [r.score for r in staged]
+
+
+def test_big_profile_trace_vs_oracle():
+    """Profile + TRACE past 512 (round 5): big-kernel PSSM trace decodes
+    to oracle-exact CIGARs.  The reference's align_profile rides the same
+    Block<TRACE, ...> const generics as sequence alignment
+    (src/scan_block.rs:89,942-995; profile trace bits compare the
+    gap-CLOSED C/R values, src/scan_block.rs:722-747)."""
+    rng = np.random.default_rng(23)
+    pairs = [growth_pair(rng, 300, 200, 1024),
+             growth_pair(rng, 420, 300, 1024)]
+    n = 350
+    prof, cons = rand_profile(rng, n, 1024)
+    q = bytearray(cons)
+    for _ in range(n // 5):
+        q[int(rng.integers(0, len(q)))] = int(rng.choice(list(AA)))
+    pairs.append((bytes(q), prof))
+    # overhangs exercise down-rect R-close trace bits
+    pairs.append((cons + rand_seq(rng, 150), prof))
+    pairs.append((bytes(cons[:100]) + bytes(cons[250:]), prof))
+
+    pa = ProfileAligner((128, 1024), batch=128, seq_cap=768, trace=True)
+    assert pa._big
+    got = pa.align_batch(pairs)
+    orc = BlockOracle(trace=True)
+    for k, (q, p) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 1024, p)
+        orc.align_profile(pq, p, (128, 1024), 0)
+        w = orc.res()
+        assert got[k].score == w.score, (k, got[k].score, w.score)
+        wc = str(orc.cigar(w.query_idx, w.reference_idx))
+        gc = str(pa.cigar(k, len(q), p.str_len))
+        assert gc == wc, (k, gc[:80], wc[:80])
+    # pair 0 was built to grow: assert the oracle actually grew past 128
+    orc2 = BlockOracle(trace=True)
+    q0, p0 = pairs[0]
+    orc2.align_profile(PaddedBytes.from_bytes(q0, 1024, p0), p0,
+                       (128, 1024), 0)
+    assert max(max(r.dp_width, r.dp_height) for r in orc2._rects) > 128
+
+
+def test_big_profile_x_drop_vs_oracle():
+    """Profile + X_DROP past 512 (round 5): wide-tracker best positions
+    match the oracle (reference: align_profile's x_drop argument,
+    src/scan_block.rs:942-995)."""
+    rng = np.random.default_rng(29)
+    pairs = [growth_pair(rng, 300, 220, 1024)]
+    n = 400
+    prof, cons = rand_profile(rng, n, 1024)
+    q = bytearray(cons)
+    for _ in range(n // 4):
+        q[int(rng.integers(0, len(q)))] = int(rng.choice(list(AA)))
+    pairs.append((bytes(q), prof))
+    # early-termination bait: strong prefix match, divergent tail
+    n = 320
+    prof, cons = rand_profile(rng, n, 1024)
+    pairs.append((bytes(cons[: n // 2]) + rand_seq(rng, n // 2), prof))
+
+    pa = ProfileAligner((128, 1024), batch=128, seq_cap=768, x_drop=100)
+    assert pa._big
+    got = pa.align_batch(pairs)
+    orc = BlockOracle(x_drop=True)
+    for k, (q, p) in enumerate(pairs):
+        pq = PaddedBytes.from_bytes(q, 1024, p)
+        orc.align_profile(pq, p, (128, 1024), 100)
+        w = orc.res()
+        assert (got[k].score, got[k].query_idx, got[k].reference_idx) \
+            == (w.score, w.query_idx, w.reference_idx), (k, got[k], w)
+
+
+def test_big_profile_flags_vs_oracle():
+    """Profile + LOCAL_START (incl. trace, TW=2) and
+    free_query_start_gaps past 512 vs the oracle."""
+    rng = np.random.default_rng(31)
+    n = 300
+    prof, cons = rand_profile(rng, n, 1024)
+    q = rand_seq(rng, 60) + bytes(cons[20:240]) + rand_seq(rng, 40)
+    pairs = [(q, prof), growth_pair(rng, 280, 200, 1024)]
+
+    for flags in ({"local_start": True},
+                  {"free_query_start_gaps": True}):
+        pa = ProfileAligner((128, 1024), batch=128, seq_cap=768,
+                            trace=True, **flags)
+        assert pa._big
+        got = pa.align_batch(pairs)
+        orc = BlockOracle(trace=True, **flags)
+        for k, (qq, p) in enumerate(pairs):
+            pq = PaddedBytes.from_bytes(qq, 1024, p)
+            orc.align_profile(pq, p, (128, 1024), 0)
+            w = orc.res()
+            assert got[k].score == w.score, (flags, k, got[k].score, w.score)
+            wc = str(orc.cigar(w.query_idx, w.reference_idx))
+            gc = str(pa.cigar(k, len(qq), p.str_len))
+            assert gc == wc, (flags, k, gc[:80], wc[:80])
