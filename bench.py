@@ -229,7 +229,12 @@ def _run_child(deadline_abs, state):
             state["best"] = line
             if '"provisional"' not in line:
                 state["final"] = True
-            # don't echo yet: the final JSON must be the LAST stdout line
+            # echo provisionals IMMEDIATELY: if an external (driver)
+            # timeout kills this parent, the tail still ends in a JSON
+            # result line; the final/best line is re-printed last on a
+            # clean exit, superseding these for the tail-parse
+            if not state["final"]:
+                print(line, flush=True)
         else:
             print(line, flush=True)
         if state["final"]:
@@ -250,7 +255,11 @@ def parent_main():
     a fresh process makes a fresh connection (and by then the compile cache
     is warm), so if the first child produces nothing within a soft limit it
     is killed and one retry child gets the remaining budget."""
-    deadline = float(os.environ.get("BENCH_WATCHDOG_S", "420"))
+    # 540 s: tunnel cold-start stalls measured up to ~420 s in r5 and the
+    # post-warm measurement takes ~10 s on a warm compile cache, so 420 was
+    # too tight; provisional results are echoed as they appear, so even an
+    # EXTERNAL kill before this deadline leaves a parseable JSON tail
+    deadline = float(os.environ.get("BENCH_WATCHDOG_S", "540"))
     t_start = time.monotonic()
     deadline_abs = t_start + deadline
 

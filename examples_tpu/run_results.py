@@ -467,8 +467,9 @@ def main():
             "that, not device throughput.  bench.py's repeated-dispatch "
             "methodology isolates device throughput.\n"
             "\nHeadline: see bench.py (1k-protein global 32 block, "
-            "B=65536) and BENCH_r*.json; last recorded 2.96 us/pair = "
-            "8.2x the 24.1 us/pair AVX2 baseline.\n")
+            "B=16384, banks=4, unroll=2 since r5) and BENCH_r*.json; "
+            "last recorded 2.512 us/pair = 9.6x the 24.1 us/pair AVX2 "
+            "baseline (device self-time 2.274, docs/perf_analysis.md).\n")
     print(f"wrote {out}")
 
 
